@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for each left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key, optionally bounded by a
+  * staleness tolerance (reference J5, `src/10_build_features.py:168-178` +
+  * staleness post-filter `10:254-259`).
+  *
+  * Spark has no built-in AS-OF join. The naive theta-join
+  * (`l.join(r, r.ts <= l.ts)`) is a per-key cartesian product — quadratic,
+  * dead at scale. This implementation uses the *union + ordered window*
+  * technique instead: tag both sides, union, and run
+  * `last(value, ignoreNulls).over(partitionBy(key).orderBy(ts, side).rowsBetween(-inf, 0))`.
+  * Cost = one hash shuffle + one sort over (|L|+|R|) rows — the same
+  * complexity class as a sort-merge join, linear in data size, fully
+  * parallel per key. This is the plan a native engine's ASOF operator
+  * produces, expressed with built-in operators so Catalyst/AQE still apply.
+  */
+object Asof {
+
+  /** @param left        left (probe) side; all its columns are preserved
+    * @param right       right (reference) side
+    * @param keys        equi-join key column names (present on both sides)
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param payloadCols right columns to carry (renamed as given)
+    * @param toleranceSec if set, matches older than this many seconds are
+    *                     nulled out (reference staleness rule F6)
+    * @param rightTieBreak column ordering right rows that share a timestamp;
+    *                      the *last* under this ordering wins (deterministic)
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Map[String, String],
+      toleranceSec: Option[Long] = None,
+      rightTieBreak: Option[String] = None): DataFrame = {
+
+    val payload = struct(
+      (col(rightTime).as("__asof_ts") +:
+        payloadCols.toSeq.sortBy(_._1).map { case (from, to) => col(from).as(to) }): _*)
+
+    val tieBreak = rightTieBreak.map(col).getOrElse(lit(0L))
+    val rightU = right
+      .select((keys.map(col) :+ col(rightTime).as("__ts") :+ payload.as("__rv") :+ tieBreak.as("__tb")): _*)
+      .withColumn("__side", lit(0))
+
+    val leftU = left
+      .withColumn("__ts", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast(rightU.schema("__tb").dataType))
+
+    val unioned = leftU.unionByName(rightU, allowMissingColumns = true)
+
+    // Right rows sort before left rows at equal ts (side 0 < 1) so a right
+    // row at exactly leftTime matches (<= semantics). Among right ties the
+    // last under __tb wins via last(ignoreNulls).
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val fresh = toleranceSec match {
+      case Some(tol) =>
+        when(
+          col("__m").isNotNull &&
+            (col("__ts").cast("long") - col("__m.__asof_ts").cast("long")) <= tol,
+          col("__m"))
+      case None => col("__m")
+    }
+
+    val withPayload = payloadCols.toSeq.sortBy(_._1).foldLeft(
+      matched.withColumn("__f", fresh)
+        .withColumn("asof_ts", col("__f.__asof_ts"))) {
+      case (df, (_, to)) => df.withColumn(to, col(s"__f.$to"))
+    }
+
+    withPayload.drop("__ts", "__side", "__tb", "__rv", "__m", "__f")
+  }
+}
