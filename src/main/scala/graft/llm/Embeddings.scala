@@ -1,0 +1,90 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Two paths, matching how ANN works at scale:
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline.
+  *    The query set is broadcast, so the scan over the corpus is a single
+  *    shuffle-free map + a small top-k aggregation. Cost O(|corpus|·|Q|·dim);
+  *    right when |Q| is small, exact recall required.
+  *  - [[lshBucket]] / [[annTopK]]: random-hyperplane LSH. Each vector gets a
+  *    b-bit bucket; neighbor search joins only within buckets — the shuffle
+  *    is hash-partitioned on the bucket key and each bucket is tiny. This is
+  *    the 100 TB path: signatures are computed in the scan, and candidate
+  *    volume is tuned by the number of hyperplanes.
+  *
+  * Hyperplane weights are ±1 derived from md5 (deterministic, engine-neutral,
+  * reproducible in the SQL oracle); a production variant would use seeded
+  * Gaussian planes.
+  */
+object Embeddings {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 hyperplanes: sign h,d = parity of the first hex nibble
+    * of md5("h,d").
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { h =>
+      (0 until dim).map { d =>
+        val nibble = Integer.parseInt(md5hex(s"$h,$d").substring(0, 1), 16)
+        if (nibble % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Sequential-order dot product of two double array columns (fold-left, the
+    * same order DuckDB evaluates — bit-reproducible across engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast); `corpus` is scanned once.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cvec"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("sim"))
+  }
+
+  /** b-bit LSH bucket string ('1' where dot(v, plane) > 0). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map { p =>
+      when(dot(vec, typedLit(p)) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** Approximate top-k: neighbors ranked within each LSH bucket only. */
+  def annTopK(corpus: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val v = corpus.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), planes))
+    val l = v.select(col("vec_id").as("a"), col("vec").as("va"), col("bucket"))
+    val r = v.select(col("vec_id").as("b"), col("vec").as("vb"), col("bucket"))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("bucket"), col("rank"), col("sim"))
+  }
+}

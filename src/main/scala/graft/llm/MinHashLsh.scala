@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → k MinHash values → band keys → bucket self-join → exact
+  * Jaccard verification on the candidates only.
+  *
+  * Scale design: the only shuffle is the band-key self-join, which is
+  * hash-partitioned on the band key — the classic LSH join. Candidate volume
+  * is controlled by (bands × rowsPerBand): verification (the expensive exact
+  * Jaccard) runs only on bucket collisions, never all-pairs. At 100 TB the
+  * signature stage is embarrassingly parallel map work; the join shuffles
+  * only (id, bandKey) pairs, ~tens of bytes per document per band.
+  */
+object MinHashLsh {
+
+  /** @param numHashes   MinHash signature length k (= bands * rowsPerBand)
+    * @param shingleSize word n-gram size
+    * @param bands       number of LSH bands
+    */
+  case class Config(numHashes: Int = 8, shingleSize: Int = 3, bands: Int = 4) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand: Int = numHashes / bands
+  }
+
+  /** id, shingles(array), sig(array of k minhashes). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val sh = TextAnalysis.wordShingles(col(textCol), cfg.shingleSize)
+    docs.select(
+      col(idCol).as("id"),
+      sh.as("shingles"),
+      array((0 until cfg.numHashes).map(h => TextAnalysis.minhash(sh, h)): _*).as("sig"))
+  }
+
+  /** Exploded (id, band, band_key) rows: band_key = md5 of the band's
+    * concatenated minhash rows.
+    */
+  def bandKeys(sigs: DataFrame, cfg: Config): DataFrame = {
+    val bandCols = (0 until cfg.bands).map { b =>
+      val rows = (0 until cfg.rowsPerBand).map(r => col("sig")(b * cfg.rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(rows: _*)).as("band_key"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs (a < b) with the number of colliding bands. */
+  def candidatePairs(bandKeysDf: DataFrame): DataFrame = {
+    val l = bandKeysDf.select(col("id").as("a"), col("band"), col("band_key"))
+    val r = bandKeysDf.select(col("id").as("b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact Jaccard over distinct shingle sets, candidates only. */
+  def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sset"))
+    pairs
+      .join(sets.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
+          size(array_union(col("sa"), col("sb"))))
+      .drop("sa", "sb")
+  }
+
+  /** End-to-end: docs → verified candidate pairs. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, cfg)
+    jaccardVerify(candidatePairs(bandKeys(sigs, cfg)), sigs)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side design is real and tested: schema, partitioning, batch
+  * iteration, metadata extraction as codegen'd expressions. The actual media
+  * decode is STUBBED (no image/audio libraries in this environment) behind
+  * [[FakeDecoder]] — a deterministic stand-in with the same signature a real
+  * decoder (javax.imageio / ffmpeg-bound) would have. Swap `decodeImage`
+  * for a real implementation and nothing else changes.
+  *
+  * Scale notes: binary payloads ride in the same parquet row group as their
+  * metadata; `maxPartitionBytes` bounds per-task memory; decode happens via
+  * `mapPartitions` so any per-batch native context (decoder handles, GPU
+  * sessions) is amortized across the partition, the same shape as
+  * `mapInPandas` batching in PySpark.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + envelope metadata. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded media metadata (what a real decoder would return). */
+  case class MediaMeta(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, sha: String)
+
+  /** STUB decoder: deterministic fake dimensions derived from the payload.
+    * A real implementation would parse the container header here.
+    */
+  object FakeDecoder {
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
+      // ??? — real decode unavailable in this environment; deterministic fake:
+      val n = bytes.length
+      val w = 64 + (n % 1216)
+      val h = 64 + ((n * 7) % 656)
+      val frames = if (n % 3 == 0) 1 else 1 + (n % 30)
+      (w, h, frames)
+    }
+  }
+
+  /** Build a media table from the documents corpus (text bytes stand in for
+    * media payloads — the plumbing under test is schema/partition/batch).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("content"))
+
+  /** Metadata extraction as pure expressions (no decode): byte length,
+    * content hash, head-of-payload hex — the cheap scan-time envelope pass
+    * that runs *before* any expensive decode is scheduled.
+    */
+  def envelope(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      octet_length(col("content")).as("n_bytes"),
+      sha2(col("content"), 256).as("content_sha"),
+      hex(substring(col("content"), 1, 16)).as("head16"))
+
+  /** Batched decode pass: mapPartitions over the typed Dataset so decoder
+    * state is per-partition, not per-row.
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder context would be initialized here
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          val (w, h, f) = FakeDecoder.decodeImage(r.content)
+          digest.reset()
+          val sha = digest.digest(r.content).map("%02x".format(_)).mkString
+          MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, h, f, sha)
+        }
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** SimHash document fingerprinting (32-bit, md5-derived bit family).
+  *
+  * For each word w: md5(w) yields 32 bits (8 hex nibbles × 4); each bit
+  * votes ±1 on its position; the fingerprint bit is the sign of the summed
+  * votes. Near-identical documents differ in few bit positions (small
+  * Hamming distance), enabling near-dup bucketing by fingerprint prefix.
+  *
+  * Implemented as ONE nested array expression (transform/aggregate/zip_with)
+  * — no explode, no shuffle, no UDF: per-row compute only, which is exactly
+  * what you want when fingerprinting 100 TB of documents during a scan.
+  * Built via `expr` because the Scala `shiftright` helper only accepts a
+  * literal shift amount, while the SQL parser accepts an expression.
+  */
+object SimHash {
+
+  /** 32-char '0'/'1' fingerprint string for a text column (by name). */
+  def simhash32(textCol: String): Column = expr(
+    s"""array_join(
+       |  transform(
+       |    aggregate(
+       |      transform(split($textCol, ' '), w -> md5(w)),
+       |      array_repeat(0, 32),
+       |      (acc, h) -> zip_with(acc,
+       |        transform(sequence(0, 31), j ->
+       |          (shiftright(locate(substring(h, 1 + (j div 4), 1), '0123456789abcdef') - 1,
+       |                      j % 4) & 1) * 2 - 1),
+       |        (x, y) -> x + y)),
+       |    s -> CASE WHEN s > 0 THEN '1' ELSE '0' END),
+       |  '')""".stripMargin)
+
+  /** Hamming distance between two '0'/'1' fingerprint strings. */
+  def hamming(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => (x =!= y).cast("int")),
+      lit(0), (acc, v) => acc + v)
+  }
+}

@@ -451,8 +451,244 @@ object Catalog {
       .orderBy("flag_key", "hr")
   }
 
+  // ------------------------------------------- LLM-pipeline operators
+
+  /** JSON field extraction from a string column. */
+  val q19 = q(
+    "q19_json_extract",
+    """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n,
+      |       round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k")
+  }
+
+  /** Exact dedup via content hash (synthetic duplicate batch unioned in so
+    * the dedup is observable).
+    */
+  val q20 = q(
+    "q20_exact_dedup",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM all_docs GROUP BY md5(text) ORDER BY text_hash""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dupBatch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    docs.unionByName(dupBatch)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+  }
+
+  /** Token counting: whitespace + BPE-ish regex. */
+  val q21 = q(
+    "q21_token_stats",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |       length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.TextAnalysis._
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("n_ws_tokens"),
+      tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: word stats, stopword density, coarse quality bin. */
+  val q22 = q(
+    "q22_quality_score",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
+      |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+      |       WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+      |            / len(string_split(text, ' ')) > 0.4 THEN 'boilerplate'
+      |       WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+      |            / len(string_split(text, ' ')) < 0.02 THEN 'unnatural'
+      |       ELSE 'ok' END AS quality_bin
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.TextAnalysis._
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("n_words"),
+      round(avgWordLen(col("text")), 4).as("avg_word_len"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      qualityBin(col("text")).as("quality_bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-based language ID (deterministic argmax with priority ties). */
+  val q23 = q(
+    "q23_langid",
+    """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST((length(t)-length(replace(t,' the ','')))/5 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' a ','')))/3 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' of ','')))/4 AS BIGINT) AS s_en,
+      |  CAST((length(t)-length(replace(t,' le ','')))/4 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' la ','')))/4 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' les ','')))/5 AS BIGINT) AS s_fr,
+      |  CAST((length(t)-length(replace(t,' der ','')))/5 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' und ','')))/5 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' die ','')))/5 AS BIGINT) AS s_de,
+      |  CAST((length(t)-length(replace(t,' el ','')))/4 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' los ','')))/5 AS BIGINT)
+      |  + CAST((length(t)-length(replace(t,' una ','')))/5 AS BIGINT) AS s_es
+      |FROM p)
+      |SELECT doc_id, s_en, s_fr, s_de, s_es,
+      |  CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+      |       WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+      |       WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+      |       ELSE 'es' END AS lang_pred
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.TextAnalysis._
+    val t = col("text")
+    Tables.documents(s, d).select(
+      (Seq(col("doc_id")) ++
+        langMarkers.map { case (l, ms) => langScore(t, ms).as(s"s_$l") } :+
+        langId(t).as("lang_pred")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** MinHash + LSH near-dup candidates with exact-Jaccard verification
+    * (k=8 md5 MinHashes, 3-gram shingles, 4 bands × 2 rows).
+    */
+  val q24 = q(
+    "q24_minhash_lsh",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |mh AS (SELECT doc_id, shingles,
+      |         [list_min(list_transform(shingles, s -> md5(h || '|' || s))) for h in generate_series(0, 7)] AS sig
+      |       FROM sh),
+      |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+      |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+      |         FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+      |                            AND x.doc_id < y.doc_id
+      |         GROUP BY 1, 2),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
+      |SELECT c.a, c.b, c.n_bands,
+      |       round(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+      |             len(list_distinct(sa.sset || sb.sset)), 4) AS jaccard
+      |FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    graft.llm.MinHashLsh
+      .nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("a"), col("b"), col("n_bands"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** SimHash 32-bit fingerprints (± vote per md5-derived bit, sign → bit). */
+  val q25 = q(
+    "q25_simhash",
+    """WITH wh AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+      |bits AS (SELECT doc_id, g.j AS j,
+      |         sum((((strpos('0123456789abcdef', substr(h, 1 + g.j // 4, 1)) - 1) >> (g.j % 4)) & 1) * 2 - 1) AS s
+      |         FROM wh, (SELECT unnest(generate_series(0, 31)) AS j) g
+      |         GROUP BY doc_id, g.j)
+      |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.llm.SimHash.simhash32("text").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Brute-force exact cosine top-k (correctness baseline for ANN). */
+  val q26 = q(
+    "q26_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings),
+      |sc AS (SELECT qid, cid, list_cosine_similarity(qvec, cvec) AS sim FROM q, c WHERE cid <> qid),
+      |r AS (SELECT qid, cid, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |      FROM sc)
+      |SELECT qid, cid, rank, round(sim, 4) AS sim FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.llm.Embeddings
+      .cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select(col("qid"), col("cid"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed approximate nearest neighbors (the 100 TB scale path:
+    * join within 6-bit random-hyperplane buckets instead of all-pairs).
+    */
+  val q27: Q = {
+    val planes = graft.llm.Embeddings.hyperplanes(6, 64)
+    val planeSql = planes.map { p =>
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(vec, $lits) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    q(
+      "q27_ann_lsh",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |b AS (SELECT vec_id, vec, $planeSql AS bucket FROM v),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b, x.bucket AS bucket,
+         |             list_cosine_similarity(x.vec, y.vec) AS sim
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (SELECT a, b, bucket, sim,
+         |             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
+         |      FROM p)
+         |SELECT a, b, bucket, rank, round(sim, 4) AS sim FROM r WHERE rank <= 3
+         |ORDER BY a, rank""".stripMargin) { (s, d) =>
+      graft.llm.Embeddings
+        .annTopK(Tables.embeddings(s, d), planes, 3)
+        .select(col("a"), col("b"), col("bucket"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("a", "rank")
+    }
+  }
+
+  /** Multimodal envelope pass: binary payload metadata + stubbed decode dims. */
+  val q28 = q(
+    "q28_media_meta",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  hex(encode(substr(text, 1, 16))) AS head16,
+      |  64 + (octet_length(encode(text)) % 1216) AS fake_width,
+      |  64 + ((octet_length(encode(text)) * 7) % 656) AS fake_height
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    graft.llm.Multimodal.envelope(
+      graft.llm.Multimodal.fromDocuments(Tables.documents(s, d)))
+      .withColumn("fake_width", lit(64) + (col("n_bytes") % 1216))
+      .withColumn("fake_height", lit(64) + ((col("n_bytes") * 7) % 656))
+      .orderBy("media_id")
+  }
+
+  /** Winnowing-style document fingerprint (min-md5 of 5-gram shingles) with
+    * fingerprint-level duplicate grouping.
+    */
+  val q29 = q(
+    "q29_fingerprint",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |fp AS (SELECT doc_id, list_min(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+      |         i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS fingerprint
+      |       FROM w)
+      |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(graft.llm.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("fingerprint")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18,
+    q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
