@@ -77,7 +77,7 @@ object Macros {
     * (incl. NULL) → false. Reference: `02:210-220`.
     */
   def robustBool(c: Column): Column =
-    lower(trim(c)).isin("1", "true")
+    coalesce(lower(trim(c)).isin("1", "true"), lit(false))
 
   /** IstDaten status priority: REAL/IST → 3, GESCHAETZT → 2, PROGNOSE → 1,
     * other/NULL → 0. Reference: `02:263-268`.

@@ -1,0 +1,114 @@
+package graft.tpg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Macros
+import graft.operators.Dedupe
+
+/** IstDaten (realized-trip) ingest ≙ reference `src/02_ingest_istdaten.py`.
+  *
+  * Semicolon CSV (S4) → DE→EN renames (P2) → TPG + Bus/Tram filters (F3/F4,
+  * kept at ingest because they change *stored contents*) → status default +
+  * robust boolean casts (F7/C10) → day-first timestamp parse (C9) → the
+  * 5-component priority dedupe (W3) → month-partitioned write (S10).
+  *
+  * Scale: the dedupe is the only shuffle — hash-partitioned on the business
+  * key. Month partitioning makes re-ingest of a month an idempotent dynamic
+  * partition overwrite, replacing the reference's per-month
+  * DELETE+INSERT+COMMIT loop with no transaction machinery at all.
+  */
+object IstdatenIngest {
+
+  /** S4: semicolon CSV, all columns as string, UTF-8 → Latin-1 retry. */
+  def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    def read(encoding: String) = spark.read
+      .option("header", "true")
+      .option("sep", ";")
+      .option("encoding", encoding)
+      .csv(paths: _*)
+    try { val df = read("UTF-8"); df.schema; df }
+    catch { case _: Exception => read("ISO-8859-1") }
+  }
+
+  /** C9: day-first timestamp, seconds optional (`dd.MM.yyyy HH:mm[:ss]`). */
+  private def parseTs(c: org.apache.spark.sql.Column) =
+    coalesce(
+      try_to_timestamp(c, lit("dd.MM.yyyy HH:mm:ss")),
+      try_to_timestamp(c, lit("dd.MM.yyyy HH:mm")))
+
+  /** Normalize raw IstDaten to the ist_events schema (pre-dedupe). */
+  def normalize(raw: DataFrame, operatorAbbr: String = "TPG"): DataFrame = {
+    val present = raw.columns.toSet
+    val selected = Schemas.istdatenRenames.map { case (from, to) =>
+      (if (present.contains(from)) col(from) else lit(null).cast("string")).as(to)
+    }
+    raw.select(selected: _*)
+      // F3 + F4: operator and product filters (stored-content semantics)
+      .filter(col("operator_abbr") === operatorAbbr)
+      .filter(col("product_id").isin("Bus", "Tram") || col("product_id").isNull)
+      .withColumn("service_date", coalesce(
+        try_to_timestamp(col("service_date"), lit("dd.MM.yyyy")),
+        try_to_timestamp(col("service_date"), lit("yyyy-MM-dd"))).cast("date"))
+      .withColumn("arrival_time_sched", parseTs(col("arrival_time_sched")))
+      .withColumn("arrival_time_est", parseTs(col("arrival_time_est")))
+      .withColumn("depart_time_sched", parseTs(col("depart_time_sched")))
+      .withColumn("depart_time_est", parseTs(col("depart_time_est")))
+      // F7: empty status → PROGNOSE
+      .withColumn("arrival_status",
+        when(col("arrival_status").isNull || trim(col("arrival_status")) === "", "PROGNOSE")
+          .otherwise(col("arrival_status")))
+      .withColumn("depart_status",
+        when(col("depart_status").isNull || trim(col("depart_status")) === "", "PROGNOSE")
+          .otherwise(col("depart_status")))
+      // C10: robust booleans (NA → false)
+      .withColumn("is_pass_through", Macros.robustBool(col("is_pass_through")))
+      .withColumn("is_additional", Macros.robustBool(col("is_additional")))
+      .withColumn("is_cancelled", Macros.robustBool(col("is_cancelled")))
+  }
+
+  /** W3: the reference's 5-component priority dedupe (`02:263-325`):
+    * per business key (service_date, fahrt_bezeichner, stop_code,
+    * coalesce(arrival_sched, depart_sched)) keep the row with
+    *   1. highest status rank (REAL/IST > GESCHAETZT > PROGNOSE > other)
+    *   2. has an estimated time
+    *   3. not cancelled
+    *   4. not pass-through
+    *   5. latest estimated time
+    * plus a deterministic final tiebreak (the reference relied on pandas
+    * stable sort order; we pin line_text+stop_name to make runs reproducible
+    * on any cluster — divergence documented in SURVEY §7 risk 1).
+    */
+  def dedupe(df: DataFrame): DataFrame = {
+    val statRank = greatest(
+      Macros.statusRank(col("arrival_status")),
+      Macros.statusRank(col("depart_status")))
+    val hasEst = col("arrival_time_est").isNotNull || col("depart_time_est").isNotNull
+    val estTs = coalesce(col("depart_time_est"), col("arrival_time_est"))
+    Dedupe.topOnePerKey(
+      df.distinct(), // O6: exact duplicates first, as the reference does
+      keys = Seq(
+        col("service_date"), col("fahrt_bezeichner"), col("stop_code"),
+        coalesce(col("arrival_time_sched"), col("depart_time_sched"))),
+      priority = Seq(
+        statRank.desc,
+        hasEst.cast("int").desc,
+        (!col("is_cancelled")).cast("int").desc,
+        (!col("is_pass_through")).cast("int").desc,
+        estTs.desc_nulls_last,
+        col("line_text").asc_nulls_last,
+        col("stop_name").asc_nulls_last))
+  }
+
+  def ingest(spark: SparkSession, paths: Seq[String]): DataFrame =
+    dedupe(normalize(readRaw(spark, paths)))
+
+  /** S10: month-partitioned idempotent sink. */
+  def write(df: DataFrame, path: String): Unit =
+    df.withColumn("ym", Macros.monthKey(col("service_date")))
+      .write
+      .partitionBy("ym")
+      .option("compression", "zstd")
+      .mode("overwrite")
+      .parquet(path)
+}

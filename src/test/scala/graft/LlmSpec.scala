@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark engines and distributed queries here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("text analysis: tokens, occurrences, stopwords, langid, fingerprint") {
+    val t = TextAnalysis
+    val r = docs.filter($"doc_id" === 0)
+      .select(
+        t.tokenCountWs($"text").as("nws"),
+        t.occurrences(concat(lit(" "), $"text", lit(" ")), " the ").as("nthe"),
+        t.stopwordRatio($"text").as("swr"),
+        t.langId($"text").as("lang"),
+        t.fingerprint($"text").as("fp"))
+      .collect()(0)
+    assert(r.getAs[Int]("nws") == 14)
+    assert(r.getAs[Long]("nthe") == 3L)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[String]("fp").length == 32)
+    // identical text → identical fingerprint
+    val fps = docs.filter($"doc_id".isin(0L, 3L))
+      .select(t.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text")
+      .orderBy("a", "b").collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairSet.contains((0L, 3L))) // exact dup always collides
+    val exact = pairs.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 3L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    assert(exact.getAs[Long]("n_bands") == 4L)
+    assert(!pairSet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
+  }
+
+  test("simhash: deterministic, near-dups within small hamming distance") {
+    val h = docs.select($"doc_id", SimHash.simhash32("text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    assert(h(0L) == h(3L)) // identical docs
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L))) // near-dup closer than unrelated
+  }
+
+  test("embeddings: cosine correctness and top-k ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.cosineTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("cid")).sameElements(Array(1L, 2L, 3L)))
+    assert(math.abs(got(1).getAs[Double]("sim")) < 1e-12)       // orthogonal
+    assert(math.abs(got(2).getAs[Double]("sim") + 1.0) < 1e-12) // opposite
+  }
+
+  test("ann lsh: identical vectors share a bucket and find each other") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val planes = Embeddings.hyperplanes(6, 64)
+    assert(planes.length == 6 && planes.forall(_.length == 64))
+    assert(planes == Embeddings.hyperplanes(6, 64)) // deterministic
+    val got = Embeddings.annTopK(vecs, planes, 3).collect()
+    val found = got.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(found.contains((0L, 1L)) && found.contains((1L, 0L)))
+  }
+
+  test("multimodal: envelope metadata + batched stub decode") {
+    val media = Multimodal.fromDocuments(docs.withColumn("doc_id", $"doc_id"))
+    val text0 = docs.filter($"doc_id" === 0).collect()(0).getString(1)
+    val env = media.transform(Multimodal.envelope).orderBy("media_id").collect()
+    assert(env(0).getAs[String]("kind") == "image") // doc_id 0 % 3
+    assert(env(0).getAs[Int]("n_bytes") == text0.getBytes("UTF-8").length)
+    assert(env(0).getAs[String]("content_sha").length == 64)
+    val meta = Multimodal.decodeMeta(spark, media).orderBy("media_id").collect()
+    assert(meta.length == 4)
+    assert(meta(0).n_bytes == text0.length && meta(0).width == 64 + text0.length % 1216)
+    assert(meta(0).sha == env(0).getAs[String]("content_sha")) // expr and mapPartitions agree
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Asof, Dedupe, Merge}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topOnePerKey keeps the priority maximum, deterministically") {
+    val df = Seq(
+      ("k1", 1, "low"), ("k1", 3, "high"), ("k1", 2, "mid"),
+      ("k2", 5, "only")).toDF("k", "p", "tag")
+    val got = Dedupe.topOnePerKey(df, Seq($"k"), Seq($"p".desc, $"tag".asc))
+      .orderBy("k").collect()
+    assert(got.map(_.getString(2)).sameElements(Array("high", "only")))
+  }
+
+  test("topOnePerKey tie-break via final unique column is stable") {
+    val df = Seq(("k", 1, "a"), ("k", 1, "b")).toDF("k", "p", "id")
+    val got = Dedupe.topOnePerKey(df, Seq($"k"), Seq($"p".desc, $"id".asc)).collect()
+    assert(got.length == 1 && got(0).getString(2) == "a")
+  }
+
+  test("medianDedupe: exact per-column median, NULLs skipped") {
+    val df = Seq(
+      ("s", "t", Some(20.0), Some(0.0)),
+      ("s", "t", Some(22.0), Some(0.4)),
+      ("s", "t", Some(21.0), None))
+      .toDF("station", "ts", "temp", "rain")
+    val got = Dedupe.medianDedupe(df, Seq("station", "ts"), Seq("temp", "rain")).collect()(0)
+    assert(got.getDouble(2) == 21.0)
+    assert(got.getDouble(3) == 0.2)
+  }
+
+  test("asof join: <= semantics, staleness edges inclusive, deterministic ties") {
+    val left = Seq(
+      (1L, "u", "2024-06-01 10:00:00"),
+      (2L, "u", "2024-06-01 10:04:00"),
+      (3L, "u", "2024-06-01 10:09:01"),
+      (4L, "u", "2024-06-01 09:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val right = Seq(
+      ("u", "2024-06-01 10:00:00", 100L),
+      ("u", "2024-06-01 10:04:00", 200L),
+      ("u", "2024-06-01 10:04:00", 201L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp($"ts"))
+    val got = Asof.join(left, right, Seq("k"), "ts", "ts",
+      Map("rid" -> "matched_rid"), toleranceSec = Some(300), rightTieBreak = Some("rid"))
+      .orderBy("id")
+      .select("id", "matched_rid")
+      .collect()
+    // id=1: right at exactly same ts matches (<=); id=2: tie on ts → max rid;
+    // id=3: 10:04 is 301 s before 10:09:01 → stale → null; id=4: nothing before
+    assert(got(0).getLong(1) == 100L)
+    assert(got(1).getLong(1) == 201L)
+    assert(got(2).isNullAt(1))
+    assert(got(3).isNullAt(1))
+  }
+
+  test("upsertByKey replaces matched keys and is idempotent") {
+    val existing = Seq((1, "old"), (2, "old"), (3, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (4, "new")).toDF("k", "v")
+    val once = Merge.upsertByKey(existing, incoming, Seq("k"))
+    val twice = Merge.upsertByKey(once, incoming, Seq("k"))
+    val gotOnce = once.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    val gotTwice = twice.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(gotOnce.sameElements(Array((1, "old"), (2, "new"), (3, "old"), (4, "new"))))
+    assert(gotTwice.sameElements(gotOnce))
+  }
+
+  test("upsertByKeyRange deletes only inside each key's incoming window") {
+    val existing = Seq(
+      ("a", "2024-06-01 10:00:00", 1), ("a", "2024-06-01 11:00:00", 2),
+      ("b", "2024-06-01 10:00:00", 3))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val incoming = Seq(("a", "2024-06-01 09:30:00", 10), ("a", "2024-06-01 10:30:00", 11))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val got = Merge.upsertByKeyRange(existing, incoming, "k", "ts")
+      .orderBy("k", "ts").collect().map(_.getInt(2))
+    // a@10:00 falls inside [09:30,10:30] → replaced; a@11:00 survives; b untouched
+    assert(got.sameElements(Array(10, 11, 2, 3)))
+  }
+}
