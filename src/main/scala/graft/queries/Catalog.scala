@@ -700,9 +700,66 @@ object Catalog {
       .orderBy("fingerprint")
   }
 
+  /** C6 via the native `window()` tumbling operator (vs q08's manual floor —
+    * this is the form that carries over verbatim to Structured Streaming).
+    */
+  val q30 = q(
+    "q30_tumbling_window",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) // 1000000 AS BIGINT) AS bin_epoch,
+      |       count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bin_epoch""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("win.start").cast("long").as("bin_epoch"),
+        col("n"), col("sum_value"))
+      .orderBy("bin_epoch")
+  }
+
+  /** O7: fixed-size seeded random sample. Engine RNGs differ, so there is no
+    * cross-engine oracle — the driver records the weaker rows-only check.
+    * Deterministic per engine (seed 42 + orderBy before limit).
+    */
+  val q31 = qNoOracle("q31_sample_seeded") { (s, d) =>
+    Tables.events(s, d)
+      .orderBy(rand(42), col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  /** A2: dominant-key pick (the reference's dominant-station strategy,
+    * `10:96-107`): group, count, deterministic top-1.
+    */
+  val q32 = q(
+    "q32_dominant_key",
+    """SELECT user_id, count(*) AS n
+      |FROM events GROUP BY user_id
+      |ORDER BY n DESC, user_id LIMIT 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("user_id"))
+      .limit(1)
+  }
+
+  /** C17: regex extraction feeding a group-by (the reference's filename
+    * month-key extraction shape, `02:79,101-108`).
+    */
+  val q33 = q(
+    "q33_regex_extract",
+    """SELECT regexp_extract(source, '([0-9]+)', 1) AS src_num,
+      |       count(*) AS n, sum(n_chars) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("src_num")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
-    q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q30, q31, q32, q33)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streaming
+
+case class Ev(ts: java.sql.Timestamp, k: String, v: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(s: String, k: String, v: Double) = Ev(java.sql.Timestamp.valueOf(s), k, v)
+
+  test("streaming 10-min bin agg produces the same bins as batch") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      ev("2024-06-01 10:01:00", "a", 1.0),
+      ev("2024-06-01 10:05:00", "a", 3.0),
+      ev("2024-06-01 10:11:00", "a", 5.0),
+      ev("2024-06-01 10:02:00", "b", 7.0))
+    val q = Streaming.binAgg(mem.toDF(), "ts", Seq("k"), "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bins")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bins").orderBy("k", "bin_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n") == 2L && got(0).getAs[Double]("avg_value") == 2.0)
+    assert(got(1).getAs[Long]("n") == 1L && got(1).getAs[Double]("sum_value") == 5.0)
+    // unified semantics: identical transform on the same data as a batch DF
+    val batch = Streaming.binAgg(
+      Seq(ev("2024-06-01 10:01:00", "a", 1.0), ev("2024-06-01 10:05:00", "a", 3.0),
+        ev("2024-06-01 10:11:00", "a", 5.0), ev("2024-06-01 10:02:00", "b", 7.0)).toDF(),
+      "ts", Seq("k"), "v").orderBy("k", "bin_start").collect()
+    assert(batch.map(_.toString).sameElements(got.map(_.toString)))
+  }
+
+  test("streaming dedupe drops repeated business keys") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      ev("2024-06-01 10:01:00", "a", 1.0),
+      ev("2024-06-01 10:01:00", "a", 1.0), // dup
+      ev("2024-06-01 10:02:00", "a", 2.0))
+    val q = Streaming.dedupe(mem.toDF(), "ts", Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+}
