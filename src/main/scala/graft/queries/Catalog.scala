@@ -756,10 +756,56 @@ object Catalog {
       .orderBy("src_num")
   }
 
+  /** F1 + A6: case-insensitive substring filter (the reference's operator
+    * pattern match, `01:152-155`) feeding min/max bounds aggregation.
+    */
+  val q34 = q(
+    "q34_substring_filter",
+    """SELECT p_brand, count(*) AS n,
+      |       min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+      |FROM part
+      |WHERE contains(lower(p_type), 'dar')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(lower(col("p_type")).contains("dar"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        min("p_retailprice").as("min_price"),
+        max("p_retailprice").as("max_price"))
+      .orderBy("p_brand")
+  }
+
+  /** J4: strict equi-join on a computed 10-minute bin (the reference's
+    * default weather join shape, `10:158-166`) — bin stats broadcast, the
+    * event side never shuffles.
+    */
+  val q35 = q(
+    "q35_strict_bin_join",
+    """WITH bin_stats AS (
+      |  SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch,
+      |         round(avg(value), 4) AS purchase_avg, count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT e.event_id, (epoch_us(e.ts) // 600000000) * 600 AS bin_epoch,
+      |       b.purchase_avg, b.n_purchases
+      |FROM events e LEFT JOIN bin_stats b
+      |  ON (epoch_us(e.ts) // 600000000) * 600 = b.bin_epoch
+      |WHERE e.event_type <> 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val binStats = ev.filter(col("event_type") === "purchase")
+      .groupBy(Macros.floorBinEpoch(col("ts"), 600).as("bin_epoch"))
+      .agg(round(avg("value"), 4).as("purchase_avg"), count(lit(1)).as("n_purchases"))
+    ev.filter(col("event_type") =!= "purchase")
+      .withColumn("bin_epoch", Macros.floorBinEpoch(col("ts"), 600))
+      .join(broadcast(binStats), Seq("bin_epoch"), "left")
+      .select(col("event_id"), col("bin_epoch"), col("purchase_avg"), col("n_purchases"))
+      .orderBy("event_id")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33)
+    q30, q31, q32, q33, q34, q35)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Asof, Dedupe, Merge}
+
+/** Property-style invariants (SURVEY §5.3) over a ScalaCheck-generated
+  * dataset — one deterministic seed so failures are reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gen = Gen.listOfN(400, for {
+    k <- Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    p <- Gen.choose(0, 5)
+    ts <- Gen.choose(0L, 100000L)
+    id <- Gen.choose(0, 1000000)
+  } yield (k, p, ts, id))
+
+  private val rows = gen.pureApply(Gen.Parameters.default, Seed(42L)).distinctBy(_._4)
+  private lazy val df = rows.toDF("k", "p", "ts", "id")
+
+  test("dedupe: exactly one row per key, and it is a priority maximum") {
+    val got = Dedupe.topOnePerKey(df, Seq($"k"),
+      Seq($"p".desc, $"ts".desc, $"id".asc)).collect()
+    val byKey = rows.groupBy(_._1)
+    assert(got.length == byKey.size)
+    got.foreach { r =>
+      val (k, p, ts, id) = (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      val expected = byKey(k).minBy { case (_, pp, tt, ii) => (-pp, -tt, ii) }
+      assert((k, p, ts, id) == expected, s"wrong pick for key $k")
+    }
+  }
+
+  test("upsert: run-twice ≡ run-once (idempotent), keys unioned exactly") {
+    val existing = df.filter($"id" % 3 =!= 0).select($"id", $"p")
+    val incoming = df.filter($"id" % 2 === 0).select($"id", ($"p" + 100).as("p"))
+    val once = Merge.upsertByKey(existing, incoming, Seq("id"))
+    val twice = Merge.upsertByKey(once, incoming, Seq("id"))
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    // every incoming key carries the incoming value
+    assert(once.join(incoming.select("id"), Seq("id"), "left_semi")
+      .filter($"p" < 100).count() == 0)
+  }
+
+  test("asof join preserves left row count exactly (left-join law)") {
+    val left = df.select($"k", timestamp_seconds($"ts").as("ts"), $"id")
+    val right = df.filter($"p" >= 3)
+      .select($"k", timestamp_seconds($"ts" - 10).as("ts"), $"id".as("rid"))
+    val joined = Asof.join(left, right, Seq("k"), "ts", "ts",
+      Map("rid" -> "matched_rid"), toleranceSec = Some(1000), rightTieBreak = Some("rid"))
+    assert(joined.count() == left.count())
+    // every match is truly at-or-before and within tolerance
+    val bad = joined.filter($"asof_ts".isNotNull &&
+      ($"asof_ts" > $"ts" || $"ts".cast("long") - $"asof_ts".cast("long") > 1000))
+    assert(bad.count() == 0)
+  }
+}
