@@ -604,8 +604,8 @@ object Catalog {
       |         GROUP BY doc_id, g.j)
       |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), graft.llm.SimHash.simhash32("text").as("simhash"))
+    graft.llm.SimHash.simhash32Agg(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
 
