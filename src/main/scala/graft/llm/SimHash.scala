@@ -65,11 +65,11 @@ object SimHash {
       .select(col("id"), concat(bits: _*).as("simhash"))
   }
 
-  /** Hamming distance between two '0'/'1' fingerprint strings. */
-  def hamming(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions._
-    aggregate(
-      zip_with(split(a, ""), split(b, ""), (x, y) => (x =!= y).cast("int")),
-      lit(0), (acc, v) => acc + v)
-  }
+  /** Hamming distance between two '0'/'1' fingerprint strings — the native
+    * codegen expression (see [[graft.functions.HammingDistance]]); the
+    * interpreted `zip_with` formulation it replaced paid per-character
+    * lambda dispatch.
+    */
+  def hamming(a: Column, b: Column): Column =
+    graft.functions.HammingDistance.hamming(a, b)
 }

@@ -802,10 +802,36 @@ object Catalog {
       .orderBy("event_id")
   }
 
+  /** SimHash Hamming-distance histogram against a reference document —
+    * exercises the native codegen `HammingDistance` expression (the
+    * fingerprint-similarity primitive for simhash near-dup bucketing).
+    */
+  val q36 = q(
+    "q36_simhash_hamming",
+    """WITH wh AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+      |bits AS (SELECT doc_id, g.j AS j,
+      |         sum((((strpos('0123456789abcdef', substr(h, 1 + g.j // 4, 1)) - 1) >> (g.j % 4)) & 1) * 2 - 1) AS s
+      |         FROM wh, (SELECT unnest(generate_series(0, 31)) AS j) g
+      |         GROUP BY doc_id, g.j),
+      |sh AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |       FROM bits GROUP BY doc_id),
+      |ref AS (SELECT simhash AS ref_hash FROM sh WHERE doc_id = 0),
+      |d AS (SELECT s.doc_id,
+      |             len(list_filter(generate_series(1, 32), i -> substr(s.simhash, i, 1) <> substr(r.ref_hash, i, 1))) AS dist
+      |      FROM sh s, ref r)
+      |SELECT dist, count(*) AS n FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    val sh = graft.llm.SimHash.simhash32Agg(Tables.documents(s, d), "doc_id", "text")
+    val ref = sh.filter(col("id") === 0).select(col("simhash").as("ref_hash"))
+    sh.crossJoin(broadcast(ref))
+      .select(graft.llm.SimHash.hamming(col("simhash"), col("ref_hash")).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n"))
+      .orderBy("dist")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35)
+    q30, q31, q32, q33, q34, q35, q36)
 }

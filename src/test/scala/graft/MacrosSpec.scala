@@ -71,6 +71,28 @@ class MacrosSpec extends SparkSpec {
     assert(got.sameElements(Array(3, 3, 2, 1, 0, 0)))
   }
 
+  test("hamming_distance native expression: eval, codegen span, SQL form") {
+    import graft.functions.HammingDistance
+    val df = Seq(("10100000", "10011000"), ("1010", "10"))
+      .toDF("a", "b")
+      .select(HammingDistance.hamming($"a", $"b").as("d"))
+    assert(df.collect().map(_.getInt(0)).sameElements(Array(3, 2)))
+    // null propagation
+    val n = Seq((Option.empty[String], Some("x"))).toDF("a", "b")
+      .select(HammingDistance.hamming($"a", $"b").as("d")).collect()(0)
+    assert(n.isNullAt(0))
+    // SQL registration path
+    HammingDistance.register(spark)
+    assert(spark.sql("SELECT hamming_distance('abc', 'abd') AS d")
+      .collect()(0).getInt(0) == 1)
+    // stays inside whole-stage codegen (LocalRelation would constant-fold,
+    // so anchor on a range scan)
+    val plan = spark.range(3)
+      .select(HammingDistance.hamming(concat($"id", lit("a")), lit("1a")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen marker in:\n$plan")
+  }
+
   test("kmhToMs and month key") {
     val r = Seq(("3.6", "2024-06-01 10:00:00")).toDF("kmh", "ts")
       .select(
