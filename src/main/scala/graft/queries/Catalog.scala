@@ -77,6 +77,9 @@ object Catalog {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Built-in exact percentile (ObjectHashAggregate): partial aggregation
+    // keeps per-partition buffers parallel. A window-sort reformulation was
+    // measured slower here — partitionBy on 3 groups degenerates to 3 tasks.
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(

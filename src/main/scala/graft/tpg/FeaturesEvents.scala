@@ -54,7 +54,10 @@ object FeaturesEvents {
     */
   def strictWeatherJoin(enriched: DataFrame, weather: DataFrame, stationId: Option[String]): DataFrame = {
     val w = stationId.map(id => weather.filter(col("station_id") === id)).getOrElse(weather)
-      .withColumnRenamed("station_id", "weather_station_id")
+      // project to the weather payload only — inputs read from partitioned
+      // silver carry bookkeeping columns (ym) that must not leak into gold
+      .select((Seq(col("station_id").as("weather_station_id"), col("ts_utc")) ++
+        WeatherIngest.measures.map(col)): _*)
     enriched.join(broadcast(w), enriched("sched_bin") === w("ts_utc"), "left")
   }
 
