@@ -40,15 +40,17 @@ object Embeddings {
       }
     }
 
-  /** Sequential-order dot product of two double array columns (fold-left, the
-    * same order DuckDB evaluates — bit-reproducible across engines).
+  /** Sequential-order (ascending index) dot product / cosine — native
+    * codegen expressions (graft.functions.ArrayMath); bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold-left they replaced, and to
+    * DuckDB's list functions, but run as a primitive loop inside
+    * whole-stage codegen.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.ArrayMath.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * small (it is broadcast); `corpus` is scanned once.
