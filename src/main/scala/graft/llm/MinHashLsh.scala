@@ -38,22 +38,12 @@ object MinHashLsh {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
     require(cfg.numHashes % 4 == 0, "numHashes must be a multiple of 4")
-    val nMd5 = cfg.numHashes / 4
-    val cnt = size(col("w")) - (cfg.shingleSize - 1)
     docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
-      .withColumn("shingles",
-        when(cnt > 0,
-          transform(sequence(lit(1), cnt),
-            i => concat_ws(" ", (0 until cfg.shingleSize).map(k => element_at(col("w"), i + k)): _*)))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("hx", array((0 until nMd5).map(seed =>
-        transform(col("shingles"), s => md5(concat(lit(s"$seed|"), s)))): _*))
-      .withColumn("sig", array((0 until cfg.numHashes).map { i =>
-        array_min(transform(element_at(col("hx"), i / 4 + 1),
-          h => substring(h, 1 + 8 * (i % 4), 8)))
-      }: _*))
-      .drop("w", "hx")
+      .select(
+        col(idCol).as("id"),
+        graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
+      .withColumn("sig",
+        graft.functions.TextExprs.minhashSlices(col("shingles"), cfg.numHashes))
   }
 
   /** Exploded (id, band, band_key) rows: band_key = md5 of the band's
@@ -92,16 +82,17 @@ object MinHashLsh {
 
   /** End-to-end: docs → verified candidate pairs.
     *
-    * The signature frame is persisted: it feeds three plan branches (band
-    * keys + both sides of the Jaccard verify join) and the md5 shingle work
-    * is the dominant cost — without persistence Spark recomputes it per
-    * branch (measured 3× slower at sf0.1). At scale this is the standard
-    * checkpoint between the map-heavy signature stage and the join stage.
+    * The signature frame feeds three plan branches (band keys + both sides
+    * of the Jaccard verify join) and is recomputed per branch. With the
+    * original interpreted array expressions, persisting it was a 3× win;
+    * after moving signatures into the compiled [[graft.functions.TextKernels]]
+    * expressions, recompute is cheaper than caching the large shingle arrays
+    * (measured 2.9s vs 3.2s at sf0.1) — so no persist. Revisit if the
+    * corpus-to-memory ratio changes the trade-off at cluster scale.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(candidatePairs(bandKeys(sigs, cfg)), sigs)
   }
 }
