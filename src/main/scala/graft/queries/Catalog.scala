@@ -831,10 +831,78 @@ object Catalog {
       .orderBy("dist")
   }
 
+  // ------------------------------ engine completeness beyond the reference
+
+  /** ROLLUP hierarchy aggregation (not in the reference; standard engine
+    * surface). `grouping()` flags distinguish subtotal rows from NULL keys.
+    */
+  val q37 = q(
+    "q37_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS flag,
+      |       coalesce(l_linestatus, '(all)') AS status,
+      |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  /** Set operations: INTERSECT / EXCEPT over key sets. */
+  val q38 = q(
+    "q38_set_ops",
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |     rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'rich_buyers' AS label, count(*) AS n FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich)
+      |UNION ALL
+      |SELECT 'rich_non_buyers', count(*) FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
+      |UNION ALL
+      |SELECT 'all_keys', count(*) FROM (SELECT k FROM buyers UNION SELECT k FROM rich)
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val buyers = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val rows = Seq(
+      ("all_keys", buyers.union(rich).distinct()),
+      ("rich_buyers", buyers.intersect(rich)),
+      ("rich_non_buyers", rich.except(buyers)))
+    rows.map { case (label, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(label).as("label"), col("n"))
+    }.reduce(_ unionByName _).orderBy("label")
+  }
+
+  /** Exact distinct-count per group (shuffle-expanding aggregate — the
+    * exact-cardinality path; the approximate path is `approx_count_distinct`,
+    * not oracle-comparable because sketch implementations differ).
+    */
+  val q39 = q(
+    "q39_count_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT user_id % 10) AS n_buckets, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id") % 10).as("n_buckets"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
