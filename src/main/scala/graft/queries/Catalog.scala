@@ -15,7 +15,7 @@ import graft.operators.{Asof, Dedupe, Merge, Profile}
   *  - every aggregate / computed column is aliased identically on both sides;
   *  - timestamps are output as epoch microseconds (`unix_micros` ↔
   *    `epoch_us`) — never raw TIMESTAMP, avoiding tz/precision skew;
-  *  - DOUBLE *aggregates* are `round(x, 4)` on both sides (aggregation order
+  *  - DOUBLE *aggregates* are `floor((x) * 10000 + 0.5) / 10000` on both sides (aggregation order
   *    differs between engines in the last ulp); scalar double arithmetic is
   *    left raw (IEEE-deterministic and identical);
   *  - every result has a deterministic total ORDER BY.
@@ -33,18 +33,29 @@ object Catalog {
   private def qNoOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 
+  /** Deterministic 4-decimal rounding used on BOTH sides of every oracle
+    * pair: `floor(x*10000 + 0.5)/10000` is plain IEEE arithmetic, so given
+    * the same input double both engines produce bit-identical results —
+    * unlike library `round`, whose BigDecimal (Spark) vs multiply/nearbyint
+    * (DuckDB) paths can disagree when a group's exact rational value (e.g.
+    * an average of 2-decimal money over n rows) lands exactly on a
+    * 4th-decimal half boundary. That disagreement was observed on
+    * q19 at sf0.001 before this change.
+    */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   // ---------------------------------------------------------------- core
 
   /** A4/A5 family: filtered multi-aggregate group-by (pricing summary). */
   val q01 = q(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 4)                       AS sum_qty,
-      |       round(sum(l_extendedprice), 4)                  AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |       round(avg(l_quantity), 4)                       AS avg_qty,
-      |       round(avg(l_extendedprice), 4)                  AS avg_price,
-      |       round(avg(CAST(l_quantity >= 25 AS DOUBLE)), 4) AS share_big,
+      |       floor((sum(l_quantity)) * 10000 + 0.5) / 10000                       AS sum_qty,
+      |       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000                  AS sum_base_price,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+      |       floor((avg(l_quantity)) * 10000 + 0.5) / 10000                       AS avg_qty,
+      |       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000                  AS avg_price,
+      |       floor((avg(CAST(l_quantity >= 25 AS DOUBLE))) * 10000 + 0.5) / 10000 AS share_big,
       |       count(*)                                        AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,12 +65,12 @@ object Catalog {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg((col("l_quantity") >= 25).cast("double")), 4).as("share_big"),
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg((col("l_quantity") >= 25).cast("double"))).as("share_big"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -70,9 +81,9 @@ object Catalog {
   val q02 = q(
     "q02_quantiles",
     """SELECT l_returnflag,
-      |       round(quantile_cont(l_quantity, 0.5), 4)      AS p50_qty,
-      |       round(quantile_cont(l_quantity, 0.9), 4)      AS p90_qty,
-      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |       floor((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000      AS p50_qty,
+      |       floor((quantile_cont(l_quantity, 0.9)) * 10000 + 0.5) / 10000      AS p90_qty,
+      |       floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50_price,
       |       count(*)                                      AS n
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -83,9 +94,9 @@ object Catalog {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
-        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+        r4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
+        r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
+        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -94,7 +105,7 @@ object Catalog {
   val q03 = q(
     "q03_join_enrich",
     """SELECT p.p_brand, s.s_name,
-      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000 AS revenue,
       |       count(*) AS n_items
       |FROM lineitem l
       |JOIN part p     ON l.l_partkey = p.p_partkey
@@ -106,7 +117,7 @@ object Catalog {
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"), col("s_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand", "s_name")
   }
@@ -115,7 +126,7 @@ object Catalog {
   val q04 = q(
     "q04_semi_join",
     """SELECT c.c_mktsegment, count(*) AS n_customers,
-      |       round(sum(c.c_acctbal), 4) AS sum_bal
+      |       floor((sum(c.c_acctbal)) * 10000 + 0.5) / 10000 AS sum_bal
       |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY c.c_mktsegment
@@ -123,7 +134,7 @@ object Catalog {
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .agg(count(lit(1)).as("n_customers"), r4(sum("c_acctbal")).as("sum_bal"))
       .orderBy("c_mktsegment")
   }
 
@@ -184,8 +195,8 @@ object Catalog {
   val q08 = q(
     "q08_bin10_agg",
     """SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch, event_type,
-      |       count(*) AS n, round(avg(value), 4) AS avg_value,
-      |       round(sum(value), 4) AS sum_value
+      |       count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value,
+      |       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bin_epoch, event_type""".stripMargin) { (s, d) =>
@@ -195,8 +206,8 @@ object Catalog {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg("value"), 4).as("avg_value"),
-        round(sum("value"), 4).as("sum_value"))
+        r4(avg("value")).as("avg_value"),
+        r4(sum("value")).as("sum_value"))
       .orderBy("bin_epoch", "event_type")
   }
 
@@ -249,9 +260,9 @@ object Catalog {
     "q10_rolling_windows",
     """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |       lag(value) OVER w1 AS prev_value,
-      |       round(avg(value) OVER (w1 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
-      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
-      |                              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS sum_7d
+      |       floor((avg(value) OVER (w1 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS avg3,
+      |       floor((sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |                              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS sum_7d
       |FROM events
       |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
@@ -263,8 +274,8 @@ object Catalog {
       .select(
         col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         lag(col("value"), 1).over(w1).as("prev_value"),
-        round(avg(col("value")).over(w1.rowsBetween(-2, 0)), 4).as("avg3"),
-        round(sum(col("value")).over(wr), 4).as("sum_7d"))
+        r4(avg(col("value")).over(w1.rowsBetween(-2, 0))).as("avg3"),
+        r4(sum(col("value")).over(wr)).as("sum_7d"))
       .orderBy("user_id", "event_id")
   }
 
@@ -290,7 +301,7 @@ object Catalog {
       |       WHEN l_quantity - 15 < 20 THEN '10-20'
       |       WHEN l_quantity - 15 < 30 THEN '20-30'
       |       ELSE '>=30' END AS temp_bin,
-      |  count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+      |  count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
       |FROM lineitem
       |GROUP BY 1, 2, 3
       |ORDER BY rain_bin, wind_bin, temp_bin""".stripMargin) { (s, d) =>
@@ -299,7 +310,7 @@ object Catalog {
         Macros.rainBin(col("l_discount") * 60).as("rain_bin"),
         Macros.windBin(col("l_quantity") / 2).as("wind_bin"),
         Macros.tempBin(col("l_quantity") - 15).as("temp_bin"))
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("sum_price"))
       .orderBy("rain_bin", "wind_bin", "temp_bin")
   }
 
@@ -312,7 +323,7 @@ object Catalog {
       |                  CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS user_clean,
       |                  nullif(props, '{"k": 69}') AS props_clean
       |           FROM events)
-      |SELECT column_name, n_null, round(null_frac, 4) AS null_frac FROM (
+      |SELECT column_name, n_null, floor((null_frac) * 10000 + 0.5) / 10000 AS null_frac FROM (
       |  SELECT 'value_clean' AS column_name,
       |         sum(CAST(value_clean IS NULL AS BIGINT)) AS n_null,
       |         avg(CAST(value_clean IS NULL AS DOUBLE)) AS null_frac FROM t
@@ -328,7 +339,7 @@ object Catalog {
       when(col("user_id") % 10 === 0, lit(null)).otherwise(col("user_id")).as("user_clean"),
       nullif(col("props"), lit("""{"k": 69}""")).as("props_clean"))
     Profile.missingProfile(t, Seq("value_clean", "user_clean", "props_clean"))
-      .select(col("column_name"), col("n_null"), round(col("null_frac"), 4).as("null_frac"))
+      .select(col("column_name"), col("n_null"), r4(col("null_frac")).as("null_frac"))
       .orderBy("column_name")
   }
 
@@ -336,13 +347,13 @@ object Catalog {
   val q13 = q(
     "q13_heatmap_dow_hour",
     """SELECT isodow(ts) AS dow, hour(ts) AS hr,
-      |       count(*) AS n, round(avg(value), 4) AS avg_value
+      |       count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY dow, hr""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(Macros.isoDow(col("ts")).as("dow"), hour(col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("dow", "hr")
   }
 
@@ -352,8 +363,8 @@ object Catalog {
   val q14 = q(
     "q14_delay_semantics",
     """SELECT l.l_returnflag,
-      |       round(avg(CAST(date_diff('minute', o.o_orderdate, l.l_shipdate) AS DOUBLE)), 4) AS avg_delay_min,
-      |       round(avg(CAST(date_diff('second', o.o_orderdate, l.l_shipdate) AS DOUBLE)), 4) AS avg_delay_sec,
+      |       floor((avg(CAST(date_diff('minute', o.o_orderdate, l.l_shipdate) AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_delay_min,
+      |       floor((avg(CAST(date_diff('second', o.o_orderdate, l.l_shipdate) AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_delay_sec,
       |       max(date_diff('minute', o.o_orderdate, l.l_shipdate)) AS max_delay_min,
       |       count(*) AS n
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -365,8 +376,8 @@ object Catalog {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(avg(delayMin), 4).as("avg_delay_min"),
-        round(avg(delaySec.cast("double")), 4).as("avg_delay_sec"),
+        r4(avg(delayMin)).as("avg_delay_min"),
+        r4(avg(delaySec.cast("double"))).as("avg_delay_sec"),
         max(delayMin.cast("long")).as("max_delay_min"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
@@ -415,7 +426,7 @@ object Catalog {
   /** J2: cascading semi-join prune (the reference's GTFS shape `01:178-223`). */
   val q17 = q(
     "q17_semi_cascade",
-    """SELECT l.l_returnflag, count(*) AS n, round(sum(l.l_quantity), 4) AS sum_qty
+    """SELECT l.l_returnflag, count(*) AS n, floor((sum(l.l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
       |FROM lineitem l
       |WHERE EXISTS (
       |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND EXISTS (
@@ -429,7 +440,7 @@ object Catalog {
     Tables.lineitem(s, d)
       .join(goodOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -438,8 +449,8 @@ object Catalog {
     "q18_keys_cyclic",
     """SELECT l_returnflag || '·' || l_linestatus AS flag_key,
       |       hour(l_shipdate) AS hr,
-      |       round(sin(hour(l_shipdate) * 2 * pi() / 24), 4) AS sin_hour,
-      |       round(cos(hour(l_shipdate) * 2 * pi() / 24), 4) AS cos_hour,
+      |       floor((sin(hour(l_shipdate) * 2 * pi() / 24)) * 10000 + 0.5) / 10000 AS sin_hour,
+      |       floor((cos(hour(l_shipdate) * 2 * pi() / 24)) * 10000 + 0.5) / 10000 AS cos_hour,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY 1, 2, 3, 4
@@ -448,8 +459,8 @@ object Catalog {
       .groupBy(
         Macros.dotKey(col("l_returnflag"), col("l_linestatus")).as("flag_key"),
         hour(col("l_shipdate")).as("hr"),
-        round(Macros.sinHour(hour(col("l_shipdate"))), 4).as("sin_hour"),
-        round(Macros.cosHour(hour(col("l_shipdate"))), 4).as("cos_hour"))
+        r4(Macros.sinHour(hour(col("l_shipdate")))).as("sin_hour"),
+        r4(Macros.cosHour(hour(col("l_shipdate")))).as("cos_hour"))
       .agg(count(lit(1)).as("n"))
       .orderBy("flag_key", "hr")
   }
@@ -460,11 +471,11 @@ object Catalog {
   val q19 = q(
     "q19_json_extract",
     """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n,
-      |       round(avg(value), 4) AS avg_value
+      |       floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("k")
   }
 
@@ -509,9 +520,9 @@ object Catalog {
     "q22_quality_score",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_words,
-      |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
-      |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
-      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  floor((length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_word_len,
+      |  floor((len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+      |        / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio,
       |  CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
       |       WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
       |            / len(string_split(text, ' ')) > 0.4 THEN 'boilerplate'
@@ -523,8 +534,8 @@ object Catalog {
     Tables.documents(s, d).select(
       col("doc_id"),
       tokenCountWs(col("text")).as("n_words"),
-      round(avgWordLen(col("text")), 4).as("avg_word_len"),
-      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      r4(avgWordLen(col("text"))).as("avg_word_len"),
+      r4(stopwordRatio(col("text"))).as("stopword_ratio"),
       qualityBin(col("text")).as("quality_bin"))
       .orderBy("doc_id")
   }
@@ -587,13 +598,13 @@ object Catalog {
       |         GROUP BY 1, 2),
       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
       |SELECT c.a, c.b, c.n_bands,
-      |       round(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
-      |             len(list_distinct(sa.sset || sb.sset)), 4) AS jaccard
+      |       floor((len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+      |             len(list_distinct(sa.sset || sb.sset))) * 10000 + 0.5) / 10000 AS jaccard
       |FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
       |ORDER BY a, b""".stripMargin) { (s, d) =>
     graft.llm.MinHashLsh
       .nearDupPairs(Tables.documents(s, d), "doc_id", "text")
-      .select(col("a"), col("b"), col("n_bands"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), col("n_bands"), r4(col("jaccard")).as("jaccard"))
       .orderBy("a", "b")
   }
 
@@ -621,12 +632,12 @@ object Catalog {
       |r AS (SELECT qid, cid, sim,
       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
       |      FROM sc)
-      |SELECT qid, cid, rank, round(sim, 4) AS sim FROM r WHERE rank <= 5
+      |SELECT qid, cid, rank, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     graft.llm.Embeddings
       .cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
-      .select(col("qid"), col("cid"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("cid"), col("rank"), r4(col("sim")).as("sim"))
       .orderBy("qid", "rank")
   }
 
@@ -649,11 +660,11 @@ object Catalog {
          |r AS (SELECT a, b, bucket, sim,
          |             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
          |      FROM p)
-         |SELECT a, b, bucket, rank, round(sim, 4) AS sim FROM r WHERE rank <= 3
+         |SELECT a, b, bucket, rank, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r WHERE rank <= 3
          |ORDER BY a, rank""".stripMargin) { (s, d) =>
       graft.llm.Embeddings
         .annTopK(Tables.embeddings(s, d), planes, 3)
-        .select(col("a"), col("b"), col("bucket"), col("rank"), round(col("sim"), 4).as("sim"))
+        .select(col("a"), col("b"), col("bucket"), col("rank"), r4(col("sim")).as("sim"))
         .orderBy("a", "rank")
     }
   }
@@ -709,11 +720,11 @@ object Catalog {
   val q30 = q(
     "q30_tumbling_window",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) // 1000000 AS BIGINT) AS bin_epoch,
-      |       count(*) AS n, round(sum(value), 4) AS sum_value
+      |       count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
       |FROM events GROUP BY 1 ORDER BY bin_epoch""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes").as("win"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
       .select(
         col("win.start").cast("long").as("bin_epoch"),
         col("n"), col("sum_value"))
@@ -786,7 +797,7 @@ object Catalog {
     "q35_strict_bin_join",
     """WITH bin_stats AS (
       |  SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch,
-      |         round(avg(value), 4) AS purchase_avg, count(*) AS n_purchases
+      |         floor((avg(value)) * 10000 + 0.5) / 10000 AS purchase_avg, count(*) AS n_purchases
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
       |SELECT e.event_id, (epoch_us(e.ts) // 600000000) * 600 AS bin_epoch,
       |       b.purchase_avg, b.n_purchases
@@ -797,7 +808,7 @@ object Catalog {
     val ev = Tables.events(s, d)
     val binStats = ev.filter(col("event_type") === "purchase")
       .groupBy(Macros.floorBinEpoch(col("ts"), 600).as("bin_epoch"))
-      .agg(round(avg("value"), 4).as("purchase_avg"), count(lit(1)).as("n_purchases"))
+      .agg(r4(avg("value")).as("purchase_avg"), count(lit(1)).as("n_purchases"))
     ev.filter(col("event_type") =!= "purchase")
       .withColumn("bin_epoch", Macros.floorBinEpoch(col("ts"), 600))
       .join(broadcast(binStats), Seq("bin_epoch"), "left")
@@ -841,7 +852,7 @@ object Catalog {
     """SELECT coalesce(l_returnflag, '(all)') AS flag,
       |       coalesce(l_linestatus, '(all)') AS status,
       |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin) { (s, d) =>
@@ -850,7 +861,7 @@ object Catalog {
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
-        round(sum("l_quantity"), 4).as("sum_qty"),
+        r4(sum("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
