@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** Production registration of the engine's native expressions via
+  * `SparkSessionExtensions` — sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) get `hamming_distance`,
+  * `dot_product`, `cosine_similarity`, `word_shingles`, `minhash_slices`
+  * as first-class SQL functions, no per-session registration calls needed.
+  *
+  * The Column-API helpers (`ArrayMath.dot` etc.) self-register lazily on
+  * the active session, so library use works either way; this extension is
+  * the clean path for SQL-string users and shared clusters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => sys.error(s"expected integer literal argument, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      info("hamming_distance", "hamming_distance(a, b) - byte-wise Hamming distance of two strings"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two array<double>"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - word n-gram shingle array"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_slices"),
+      info("minhash_slices", "minhash_slices(shingles, k) - k-element MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSlices(exprs(0), litInt(exprs(1)))))
+  }
+}
