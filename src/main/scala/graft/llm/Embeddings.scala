@@ -67,6 +67,54 @@ object Embeddings {
       .select(col("qid"), col("cid"), col("rank"), col("sim"))
   }
 
+  /** Per-label mean vectors — the IVF coarse quantizer trained from the
+    * corpus itself (labels stand in for k-means cells; a learned quantizer
+    * would drop in the same way). One shuffle keyed by (label, dim) with
+    * map-side combine, then one tiny per-label array assembly.
+    */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** IVF cell assignment: nearest centroid by cosine (centroids broadcast —
+    * the corpus scans once, shuffle-free).
+    */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("label").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("label").as("cell"))
+  }
+
+  /** IVF approximate top-k: neighbors ranked within each vector's cell —
+    * the alternative scale path to [[annTopK]]'s hyperplane LSH. The join is
+    * hash-partitioned on the cell id; candidate volume = cell size, tuned by
+    * the quantizer's cell count.
+    */
+  def ivfTopK(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cents)
+    val l = assigned.select(col("vec_id").as("a"), col("vec").as("va"), col("cell"))
+    val r = assigned.select(col("vec_id").as("b"), col("vec").as("vb"), col("cell"))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
+    l.join(r, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("cell"), col("rank"), col("sim"))
+  }
+
   /** b-bit LSH bucket string ('1' where dot(v, plane) > 0). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map { p =>

@@ -910,10 +910,60 @@ object Catalog {
       .orderBy("event_type")
   }
 
+  /** IVF coarse quantizer: per-label centroid components (elementwise means
+    * of the embedding vectors — one (label, dim) row each).
+    */
+  val q40 = q(
+    "q40_label_centroids",
+    """SELECT label, g.i - 1 AS dim,
+      |       floor((avg(embedding[g.i]::DOUBLE)) * 10000 + 0.5) / 10000 AS c
+      |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |GROUP BY 1, 2
+      |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(r4(avg(col("v"))).as("c"))
+      .orderBy("label", "dim")
+  }
+
+  /** IVF approximate nearest neighbors: assign each vector to its nearest
+    * label centroid, then rank neighbors within the cell only — the
+    * IVF scale path complementing q27's hyperplane LSH.
+    */
+  val q41 = q(
+    "q41_ivf_ann",
+    """WITH cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+      |    SELECT label, g.i AS dim, avg(embedding[g.i]::DOUBLE) AS c
+      |    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY label),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |asn AS (SELECT vec_id, vec, label AS cell,
+      |        row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY list_cosine_similarity(vec, centroid) DESC, label) AS rn
+      |        FROM v, cent),
+      |a2 AS (SELECT vec_id, vec, cell FROM asn WHERE rn = 1),
+      |p AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell,
+      |             list_cosine_similarity(x.vec, y.vec) AS sim
+      |      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |r AS (SELECT a, b, cell, sim,
+      |             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
+      |      FROM p)
+      |SELECT a, b, cell, rank, floor((sim) * 10000 + 0.5) / 10000 AS sim
+      |FROM r WHERE rank <= 3 ORDER BY a, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.llm.Embeddings
+      .ivfTopK(emb, graft.llm.Embeddings.centroids(emb), 3)
+      .select(col("a"), col("b"), col("cell"), col("rank"), r4(col("sim")).as("sim"))
+      .orderBy("a", "rank")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -81,6 +81,24 @@ class LlmSpec extends SparkSpec {
     assert(found.contains((0L, 1L)) && found.contains((1L, 0L)))
   }
 
+  test("ivf: centroid assignment groups same-direction vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.centroids(vecs)
+    assert(cents.count() == 2)
+    val assigned = Embeddings.ivfAssign(vecs, cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(assigned(0L) == 0 && assigned(1L) == 0)
+    assert(assigned(2L) == 1 && assigned(3L) == 1)
+    val topk = Embeddings.ivfTopK(vecs, cents, 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(topk == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))) // within-cell only
+  }
+
   test("multimodal: envelope metadata + batched stub decode") {
     val media = Multimodal.fromDocuments(docs.withColumn("doc_id", $"doc_id"))
     val text0 = docs.filter($"doc_id" === 0).collect()(0).getString(1)
