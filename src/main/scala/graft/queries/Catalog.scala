@@ -960,10 +960,43 @@ object Catalog {
       .orderBy("a", "rank")
   }
 
+  /** Embedding-cosine near-duplicate dedup: a vector is a duplicate when
+    * some lower-id vector is within the similarity threshold; it is paired
+    * with its best keeper. All-pairs form = the exactness baseline (the
+    * scale path runs the same predicate inside q41's IVF cells or q27's
+    * LSH buckets).
+    */
+  val q42 = q(
+    "q42_embedding_dedup",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |p AS (SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+      |             list_cosine_similarity(a.vec, b.vec) AS sim
+      |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35),
+      |r AS (SELECT dup_id, kept_id, sim,
+      |             row_number() OVER (PARTITION BY dup_id
+      |                                ORDER BY sim DESC, kept_id) AS rn
+      |      FROM p)
+      |SELECT dup_id, kept_id, floor((sim) * 10000 + 0.5) / 10000 AS sim
+      |FROM r WHERE rn = 1 ORDER BY dup_id""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val l = v.select(col("vec_id").as("kept_id"), col("vec").as("va"))
+    val r = v.select(col("vec_id").as("dup_id"), col("vec").as("vb"))
+    val w = Window.partitionBy(col("dup_id")).orderBy(col("sim").desc, col("kept_id").asc)
+    l.join(r, col("kept_id") < col("dup_id"))
+      .withColumn("sim", graft.llm.Embeddings.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.35)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("kept_id"), r4(col("sim")).as("sim"))
+      .orderBy("dup_id")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }
