@@ -834,9 +834,13 @@ object Catalog {
       |             len(list_filter(generate_series(1, 32), i -> substr(s.simhash, i, 1) <> substr(r.ref_hash, i, 1))) AS dist
       |      FROM sh s, ref r)
       |SELECT dist, count(*) AS n FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    // single computation of the fingerprint frame: the reference hash is
+    // pulled out with an unpartitioned window (tiny frame — one short row
+    // per doc) instead of a self-join that would recompute the aggregation
     val sh = graft.llm.SimHash.simhash32Agg(Tables.documents(s, d), "doc_id", "text")
-    val ref = sh.filter(col("id") === 0).select(col("simhash").as("ref_hash"))
-    sh.crossJoin(broadcast(ref))
+    val wAll = Window.partitionBy(lit(1))
+    sh.withColumn("ref_hash",
+        max(when(col("id") === 0, col("simhash"))).over(wAll))
       .select(graft.llm.SimHash.hamming(col("simhash"), col("ref_hash")).as("dist"))
       .groupBy("dist").agg(count(lit(1)).as("n"))
       .orderBy("dist")
