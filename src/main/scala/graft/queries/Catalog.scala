@@ -997,10 +997,46 @@ object Catalog {
       .orderBy("dup_id")
   }
 
+  /** Pivot (wide aggregation): event counts by ISO dow × event_type. The
+    * oracle uses portable conditional aggregation — same result, any engine.
+    */
+  val q43 = q(
+    "q43_pivot",
+    """SELECT isodow(ts) AS dow,
+      |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+      |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |FROM events GROUP BY 1 ORDER BY dow""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(Macros.isoDow(col("ts")).as("dow"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L)
+      .orderBy("dow")
+  }
+
+  /** Generator / UDTF family: explode words → frequency table (the
+    * canonical distributed wordcount; the reference has no generators, this
+    * is engine-surface completeness).
+    */
+  val q44 = q(
+    "q44_explode_wordcount",
+    """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY word""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("word")
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }
