@@ -32,10 +32,13 @@ object Macros {
   def delaySeconds(est: Column, sched: Column): Column =
     (epochSeconds(est) - epochSeconds(sched))
 
-  /** Rain intensity bin. Boundaries 0 / 0.5 / 2 / 5 mm. Reference: `common.py:221-232`. */
+  /** Rain intensity bin. Boundaries 0 / 0.5 / 2 / 5 mm. Reference: `common.py:221-232`.
+    * Exactly `mm = 0` → no_rain (a negative sensor reading bins as 'drizzle',
+    * matching the reference macro's WHEN chain).
+    */
   def rainBin(mm: Column): Column =
     when(mm.isNull, lit(null).cast("string"))
-      .when(mm <= 0.0, "no_rain")
+      .when(mm === 0.0, "no_rain")
       .when(mm < 0.5, "drizzle")
       .when(mm < 2.0, "light")
       .when(mm < 5.0, "moderate")

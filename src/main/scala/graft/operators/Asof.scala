@@ -87,4 +87,39 @@ object Asof {
 
     withPayload.drop("__ts", "__side", "__tb", "__rv", "__m", "__f")
   }
+
+  /** Tolerance-bounded AS-OF join with an additional *time-bucket* partition
+    * key — the scale shape for low-cardinality (or empty) key sets, where
+    * [[join]]'s per-key window would otherwise funnel all rows through a
+    * handful of tasks.
+    *
+    * Left rows land in bucket `floor(ts / bucketSeconds)`; right rows are
+    * replicated into their own bucket and the next one, so a left row near a
+    * bucket's start still sees the latest right row from the tail of the
+    * previous bucket. Because every match farther than `toleranceSec` in the
+    * past is nulled anyway, `toleranceSec <= bucketSeconds` makes the result
+    * EXACTLY equal to the unbucketed join — while the shuffle is hash-
+    * partitioned on (keys, bucket): parallelism grows with the time span of
+    * the data instead of collapsing to one task per key.
+    */
+  def joinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Map[String, String],
+      toleranceSec: Long,
+      bucketSeconds: Long = 86400L,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    require(toleranceSec <= bucketSeconds,
+      s"bucketed ASOF is only exact when toleranceSec ($toleranceSec) <= bucketSeconds ($bucketSeconds)")
+    def bucketOf(c: Column) = floor(c.cast("timestamp").cast("long") / bucketSeconds)
+    val lb = left.withColumn("__bucket", bucketOf(col(leftTime)))
+    val rb0 = right.withColumn("__bucket", bucketOf(col(rightTime)))
+    val rb = rb0.unionByName(rb0.withColumn("__bucket", col("__bucket") + 1))
+    join(lb, rb, keys :+ "__bucket", leftTime, rightTime, payloadCols,
+      Some(toleranceSec), rightTieBreak)
+      .drop("__bucket")
+  }
 }

@@ -284,7 +284,7 @@ object Catalog {
     "q11_value_bins",
     """SELECT
       |  CASE WHEN l_discount * 60 IS NULL THEN NULL
-      |       WHEN l_discount * 60 <= 0   THEN 'no_rain'
+      |       WHEN l_discount * 60 = 0    THEN 'no_rain'
       |       WHEN l_discount * 60 < 0.5  THEN 'drizzle'
       |       WHEN l_discount * 60 < 2    THEN 'light'
       |       WHEN l_discount * 60 < 5    THEN 'moderate'
@@ -325,13 +325,13 @@ object Catalog {
       |           FROM events)
       |SELECT column_name, n_null, floor((null_frac) * 10000 + 0.5) / 10000 AS null_frac FROM (
       |  SELECT 'value_clean' AS column_name,
-      |         sum(CAST(value_clean IS NULL AS BIGINT)) AS n_null,
+      |         CAST(sum(CAST(value_clean IS NULL AS BIGINT)) AS BIGINT) AS n_null,
       |         avg(CAST(value_clean IS NULL AS DOUBLE)) AS null_frac FROM t
       |  UNION ALL
-      |  SELECT 'user_clean', sum(CAST(user_clean IS NULL AS BIGINT)),
+      |  SELECT 'user_clean', CAST(sum(CAST(user_clean IS NULL AS BIGINT)) AS BIGINT),
       |         avg(CAST(user_clean IS NULL AS DOUBLE)) FROM t
       |  UNION ALL
-      |  SELECT 'props_clean', sum(CAST(props_clean IS NULL AS BIGINT)),
+      |  SELECT 'props_clean', CAST(sum(CAST(props_clean IS NULL AS BIGINT)) AS BIGINT),
       |         avg(CAST(props_clean IS NULL AS DOUBLE)) FROM t)
       |ORDER BY column_name""".stripMargin) { (s, d) =>
     val t = Tables.events(s, d).select(
@@ -731,13 +731,18 @@ object Catalog {
       .orderBy("bin_epoch")
   }
 
-  /** O7: fixed-size seeded random sample. Engine RNGs differ, so there is no
-    * cross-engine oracle — the driver records the weaker rows-only check.
-    * Deterministic per engine (seed 42 + orderBy before limit).
+  /** O7: fixed-size deterministic pseudo-random sample. Engine RNGs differ,
+    * so the sample key is a cryptographic hash of the row key — md5 is
+    * identical across engines, its ordering is uniform-pseudorandom, and the
+    * result is reproducible anywhere (the "seed" is the hash function). This
+    * upgrades the sample from a rows-only check to a full hash oracle.
     */
-  val q31 = qNoOracle("q31_sample_seeded") { (s, d) =>
+  val q31 = q(
+    "q31_sample_seeded",
+    """SELECT event_id, user_id, event_type FROM events
+      |ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .orderBy(rand(42), col("event_id"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       .limit(100)
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
@@ -762,7 +767,7 @@ object Catalog {
   val q33 = q(
     "q33_regex_extract",
     """SELECT regexp_extract(source, '([0-9]+)', 1) AS src_num,
-      |       count(*) AS n, sum(n_chars) AS sum_chars
+      |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .groupBy(regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"))
@@ -1003,11 +1008,11 @@ object Catalog {
   val q43 = q(
     "q43_pivot",
     """SELECT isodow(ts) AS dow,
-      |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-      |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY dow""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(Macros.isoDow(col("ts")).as("dow"))

@@ -46,11 +46,23 @@ object FeaturesEvents {
       .withColumn("used_arrival_est",
         col("depart_time_est").isNull && col("arrival_time_est").isNotNull)
       .withColumn("delay_sec", Macros.delaySeconds(col("est_ts"), col("sched_ts")))
-      .withColumn("delay_min", Macros.delayMinutes(col("est_ts"), col("sched_ts")))
+      // Reference `10:244`: delay_min = CAST(delay_sec AS DOUBLE)/60.0 —
+      // fractional minutes, NOT the minute-boundary-crossing date_diff macro
+      // (that macro is Macros.delayMinutes, used where the reference calls it).
+      .withColumn("delay_min", col("delay_sec").cast("double") / 60.0)
       .withColumn("sched_bin", Macros.floorBin10(col("sched_ts")))
 
-  /** J4: strict equi-join on the 10-minute bin. Weather is ~52k rows/station
-    * /year → broadcast; zero shuffle of the event table.
+  /** Attach the resolved station key to the event side: the mapping strategy
+    * already carries `station_id` from the J3 mapping join; explicit/dominant
+    * pin it as a literal. Every downstream weather join keys on it, so with
+    * multi-station weather each event only ever matches its own station's
+    * observations (reference `10:149-178`'s `AND w.station_id = sm.station_id`).
+    */
+  private def withStationKey(enriched: DataFrame, stationId: Option[String]): DataFrame =
+    stationId.map(id => enriched.withColumn("station_id", lit(id))).getOrElse(enriched)
+
+  /** J4: strict equi-join on (station, 10-minute bin). Weather is ~52k rows/
+    * station/year → broadcast; zero shuffle of the event table.
     */
   def strictWeatherJoin(enriched: DataFrame, weather: DataFrame, stationId: Option[String]): DataFrame = {
     val w = stationId.map(id => weather.filter(col("station_id") === id)).getOrElse(weather)
@@ -58,26 +70,34 @@ object FeaturesEvents {
       // silver carry bookkeeping columns (ym) that must not leak into gold
       .select((Seq(col("station_id").as("weather_station_id"), col("ts_utc")) ++
         WeatherIngest.measures.map(col)): _*)
-    enriched.join(broadcast(w), enriched("sched_bin") === w("ts_utc"), "left")
+    val ev = withStationKey(enriched, stationId)
+    ev.join(broadcast(w),
+      ev("sched_bin") === w("ts_utc") && ev("station_id") === w("weather_station_id"),
+      "left")
   }
 
   /** J5: AS-OF weather join — latest observation at or before the bin,
     * stale (>5 min) or missing → weather columns NULL (reference F6 deletes
     * those rows; we keep the row and null the weather, callers filter).
+    *
+    * Scale: keyed by (station_id, day bucket) via [[Asof.joinBucketed]] —
+    * exact (staleness ≤ bucket), and the union+window shuffle stays hash-
+    * partitioned however few stations there are; no single-task sort.
     */
   def asofWeatherJoin(enriched: DataFrame, weather: DataFrame, stationId: Option[String],
       staleSec: Long = 300): DataFrame = {
     val w = stationId.map(id => weather.filter(col("station_id") === id)).getOrElse(weather)
     val payload = WeatherIngest.measures.map(m => m -> m).toMap
-    Asof.join(
-      enriched.withColumn("__k", lit(1)),
-      w.withColumn("__k", lit(1)),
-      keys = Seq("__k"),
+    Asof.joinBucketed(
+      withStationKey(enriched, stationId), w,
+      keys = Seq("station_id"),
       leftTime = "sched_bin", rightTime = "ts_utc",
       payloadCols = payload,
-      toleranceSec = Some(staleSec),
+      toleranceSec = staleSec,
       rightTieBreak = Some("ts_utc")
-    ).drop("__k").withColumnRenamed("asof_ts", "weather_ts")
+    ).withColumnRenamed("asof_ts", "weather_ts")
+      .withColumn("weather_station_id",
+        when(col("weather_ts").isNotNull, col("station_id")))
   }
 
   /** Full build. `asof=false` reproduces the reference default. */

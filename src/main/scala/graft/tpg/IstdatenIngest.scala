@@ -84,7 +84,9 @@ object IstdatenIngest {
       Macros.statusRank(col("arrival_status")),
       Macros.statusRank(col("depart_status")))
     val hasEst = col("arrival_time_est").isNotNull || col("depart_time_est").isNotNull
-    val estTs = coalesce(col("depart_time_est"), col("arrival_time_est"))
+    // Reference dedupe's est_ts is arrival.combine_first(depart) — arrival
+    // FIRST (unlike the features build, which coalesces depart first).
+    val estTs = coalesce(col("arrival_time_est"), col("depart_time_est"))
     Dedupe.topOnePerKey(
       df.distinct(), // O6: exact duplicates first, as the reference does
       keys = Seq(

@@ -32,7 +32,8 @@ object TrainingRow {
   }
 
   /** @param features output of [[FeaturesEvents.build]] (needs sched_ts,
-    *                 delay_sec, line_text, stop_code, sched_bin, weather cols)
+    *                 delay_sec, line_text, stop_code, sched_bin, station_id,
+    *                 weather cols)
     * @param weather  weather_obs on the 10-minute grid (for lags)
     */
   def build(features: DataFrame, weather: DataFrame): DataFrame = {
@@ -62,8 +63,12 @@ object TrainingRow {
       .withColumn("dow", Macros.isoDow(col("sched_ts")))
       .withColumn("sin_hour", Macros.sinHour(col("hour")))
       .withColumn("cos_hour", Macros.cosHour(col("hour")))
-      // 10/20-minute weather lags joined on the bin grid
-      .join(broadcast(weatherLags), col("sched_bin") === col("lag_ts"), "left")
+      // 10/20-minute weather lags joined on (station, bin): features carry
+      // the resolved station_id from FeaturesEvents.build, so multi-station
+      // weather can't fan rows out or attach another station's lags
+      .join(broadcast(weatherLags),
+        col("sched_bin") === col("lag_ts") && col("station_id") === col("lag_station_id"),
+        "left")
       .drop("lag_ts", "lag_station_id")
   }
 }

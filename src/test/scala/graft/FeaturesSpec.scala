@@ -45,7 +45,7 @@ class FeaturesSpec extends SparkSpec {
     assert(f1.getAs[java.sql.Timestamp]("sched_ts") == ts("2024-06-01 10:04:50")) // arrival fallback
     assert(f1.getAs[Boolean]("used_arrival_sched"))
     assert(f1.getAs[Long]("delay_sec") == 100L)
-    assert(f1.getAs[Double]("delay_min") == 2.0) // boundary-crossing semantics
+    assert(math.abs(f1.getAs[Double]("delay_min") - 100.0 / 60.0) < 1e-12) // fractional minutes (10:244)
     assert(f1.getAs[java.sql.Timestamp]("sched_bin") == ts("2024-06-01 10:00:00"))
     val f3 = e(2)
     assert(f3.getAs[java.sql.Timestamp]("sched_ts") == ts("2024-06-01 10:26:00")) // depart preferred
@@ -123,7 +123,7 @@ class FeaturesSpec extends SparkSpec {
     val feats = FeaturesEvents.build(events, weather, FeaturesEvents.ExplicitStation("GVE"))
     val rows = TrainingRow.build(feats, weather).orderBy("fahrt_bezeichner").collect()
     val f1 = rows(0)
-    assert(f1.getAs[Boolean]("target_late_ge2"))
+    assert(!f1.getAs[Boolean]("target_late_ge2")) // 100 s = 1.67 min < 2 (fractional)
     assert(!f1.getAs[Boolean]("target_late_ge5"))
     assert(f1.getAs[Int]("hour") == 10)
     assert(f1.getAs[Int]("dow") == 6) // 2024-06-01 is a Saturday (ISO 6)
@@ -131,5 +131,39 @@ class FeaturesSpec extends SparkSpec {
     // f3 bin 10:20: lag10 = rain at previous grid obs (10:08 → 0.5)
     val f3 = rows(2)
     assert(f3.getAs[Double]("rain_mm_lag10") == 0.5)
+  }
+
+  // Second station on the same timestamps but shifted measures: a join that
+  // ignores station_id would fan rows out ×2 and/or attach ZRH's weather.
+  private val weather2 = weather.unionByName(
+    weather.select(
+      (lit("ZRH").as("station_id") +: weather.columns.tail.map(c =>
+        if (c == "temp_c") (col("temp_c") + 100).as("temp_c") else col(c))): _*))
+
+  private val mapping = Seq(("s1", "GVE"), ("s2", "ZRH"))
+    .toDF("stop_code", "station_id")
+
+  test("mapping strategy: multi-station weather joins per-station, no fan-out") {
+    val strict = FeaturesEvents.build(events, weather2, FeaturesEvents.MappingTable(mapping))
+      .orderBy("fahrt_bezeichner").collect()
+    assert(strict.length == 3) // no row multiplication
+    assert(strict(0).getAs[Double]("temp_c") == 20.0)  // s1 → GVE
+    assert(strict(2).getAs[Double]("temp_c") == 122.0) // s2 → ZRH (22 + 100)
+
+    val asof = FeaturesEvents.build(events, weather2, FeaturesEvents.MappingTable(mapping), asof = true)
+      .orderBy("fahrt_bezeichner").collect()
+    assert(asof.length == 3)
+    assert(asof(0).getAs[Double]("temp_c") == 20.0)    // GVE 10:00
+    assert(asof(1).getAs[Double]("temp_c") == 21.0)    // GVE 10:08, 120 s fresh
+    assert(asof(2).getAs[Double]("temp_c") == 122.0)   // ZRH 10:20
+    assert(asof(2).getAs[String]("weather_station_id") == "ZRH")
+  }
+
+  test("asof plan shuffles on hash(station, bucket), not SinglePartition") {
+    val plan = FeaturesEvents.build(events, weather,
+      FeaturesEvents.ExplicitStation("GVE"), asof = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"))
+    assert(!plan.contains("SinglePartition"))
   }
 }
