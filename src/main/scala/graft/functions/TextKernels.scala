@@ -65,6 +65,62 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping occurrence counts of each marker over the space-padded
+    * lowercase of `text` — one compiled pass, zero intermediate strings
+    * besides the padded copy. Count semantics are identical to the portable
+    * `(length(t) - length(replace(t, m, ''))) / length(m)` trick (both are
+    * left-to-right non-overlapping scans), so results match the SQL oracle
+    * bit-for-bit. Lowercasing goes through UTF8String.toLowerCase — the same
+    * code path as Spark's `lower()`.
+    */
+  def markerCounts(text: UTF8String, markers: Array[String]): ArrayData = {
+    if (text == null) return null
+    val t = " " + text.toLowerCase.toString + " "
+    val out = new Array[Any](markers.length)
+    var i = 0
+    while (i < markers.length) {
+      val m = markers(i)
+      var cnt = 0L
+      var idx = t.indexOf(m)
+      while (idx >= 0) { cnt += 1; idx = t.indexOf(m, idx + m.length) }
+      out(i) = cnt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash fingerprint of a single-space-separated text as a
+    * '0'/'1' string — one compiled pass: per word, one md5 over the word's
+    * UTF-8 bytes, 32 integer bit-votes taken straight from the first four
+    * digest bytes. Bit j's vote = ((hexNibble(j/4) >> (j%4)) & 1)*2-1,
+    * identical to the staged `conv(substring(md5hex, 1+j/4, 1))` vote math
+    * in the SQL oracle and the explode+aggregate formulation.
+    */
+  def simhash32(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    val d = md5.get()
+    var wi = 0
+    while (wi < words.length) {
+      d.reset()
+      val dig = d.digest(words(wi).getBytes("UTF-8"))
+      var j = 0
+      while (j < 32) {
+        val q = j >> 2                                     // hex nibble index
+        val b = dig(q >> 1) & 0xff
+        val nb = if ((q & 1) == 0) (b >>> 4) & 0xf else b & 0xf
+        votes(j) += (((nb >> (j & 3)) & 1) << 1) - 1
+        j += 1
+      }
+      wi += 1
+    }
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 32) { out(j) = if (votes(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
   /** MinHash signature from shingles: numHashes/4 md5 calls per shingle
     * (seed-prefixed), each yielding four 32-bit hex slices; element i of the
     * result is min over shingles of slice i%4 of md5("(i/4)|shingle").
@@ -103,6 +159,8 @@ object TextKernels {
 class TextKernelsRef extends Serializable {
   def shingles(t: UTF8String, n: Int): ArrayData = TextKernels.shingles(t, n)
   def minhashSlices(a: ArrayData, k: Int): ArrayData = TextKernels.minhashSlices(a, k)
+  def markerCounts(t: UTF8String, ms: Array[String]): ArrayData = TextKernels.markerCounts(t, ms)
+  def simhash32(t: UTF8String): UTF8String = TextKernels.simhash32(t)
 }
 
 /** Codegen-integrated expression wrapping [[TextKernels.shingles]]. */
@@ -121,6 +179,55 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = ctx.addReferenceObj("textKernels", new TextKernelsRef, classOf[TextKernelsRef].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.shingles($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen-integrated expression wrapping [[TextKernels.markerCounts]]:
+  * array<long> of per-marker occurrence counts over padded-lowercase text.
+  */
+case class MarkerCounts(child: Expression, markers: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "marker_counts"
+
+  private val markerArr = markers.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.markerCounts(input.asInstanceOf[UTF8String], markerArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", new TextKernelsRef, classOf[TextKernelsRef].getName)
+    val ms = ctx.addReferenceObj("markers", markerArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.markerCounts($c, $ms);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen-integrated expression wrapping [[TextKernels.simhash32]]. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", new TextKernelsRef, classOf[TextKernelsRef].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.simhash32($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -163,6 +270,15 @@ object TextExprs {
       "word_shingles", exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_slices", exprs => MinHashSlices(exprs(0), litInt(exprs(1))), "built-in")
+    def litStr(e: Expression): String = e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => sys.error(s"expected string literal, got $other")
+    }
+    reg.createOrReplaceTempFunction(
+      "marker_counts",
+      exprs => MarkerCounts(exprs(0), litStr(exprs(1)).split('\u0000').toSeq), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs(0)), "built-in")
   }
 
   def wordShingles(text: Column, n: Int): Column = {
@@ -175,5 +291,16 @@ object TextExprs {
     SparkSession.getActiveSession.foreach(register)
     org.apache.spark.sql.functions.call_function(
       "minhash_slices", shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhash32(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function("simhash32", text)
+  }
+
+  def markerCounts(text: Column, markers: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function(
+      "marker_counts", text, org.apache.spark.sql.functions.lit(markers.mkString("\u0000")))
   }
 }

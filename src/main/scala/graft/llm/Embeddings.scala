@@ -84,17 +84,21 @@ object Embeddings {
         x => x.getField("c")).as("centroid"))
 
   /** IVF cell assignment: nearest centroid by cosine (centroids broadcast —
-    * the corpus scans once, shuffle-free).
+    * the corpus scans once). The argmax is a `min_by` hash aggregation over
+    * (-sim, label) — partial aggregation collapses the |corpus|×|cells|
+    * candidates to |corpus| rows map-side, so nothing ×|cells| is ever
+    * shuffled or sorted (the previous row_number window shuffled and sorted
+    * the full cross product).
     */
   def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val v = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("label").asc)
     v.crossJoin(broadcast(cents))
       .withColumn("__sim", cosine(col("vec"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("vec"), col("label").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("vec"), col("label")),
+        struct((-col("__sim")).as("ns"), col("label"))).as("__best"))
+      .select(col("vec_id"), col("__best.vec").as("vec"), col("__best.label").as("cell"))
   }
 
   /** IVF approximate top-k: neighbors ranked within each vector's cell —

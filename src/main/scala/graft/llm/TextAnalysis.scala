@@ -69,8 +69,30 @@ object TextAnalysis {
   /** Argmax language with deterministic priority tie-break (catalog order);
     * all-zero scores → 'und'.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+  def langId(text: Column): Column =
+    langIdFromScores(langMarkers.map { case (l, ms) => l -> langScore(text, ms) })
+
+  /** All 12 language markers flattened in catalog order. */
+  val allLangMarkers: Seq[String] = langMarkers.flatMap(_._2)
+
+  /** One-pass compiled occurrence counts for every language marker (the
+    * scan-speed path: one `MarkerCounts` kernel call per document instead of
+    * 12 replace+length string rebuilds). Stage this as a column, then derive
+    * scores with [[langScoresFromCounts]].
+    */
+  def langMarkerCounts(text: Column): Column =
+    graft.functions.TextExprs.markerCounts(text, allLangMarkers)
+
+  /** Per-language scores from a staged [[langMarkerCounts]] array. */
+  def langScoresFromCounts(counts: Column): Seq[(String, Column)] = {
+    val offsets = langMarkers.scanLeft(0) { case (acc, (_, ms)) => acc + ms.length }
+    langMarkers.zip(offsets).map { case ((l, ms), off) =>
+      l -> ms.indices.map(k => element_at(counts, off + k + 1)).reduce(_ + _)
+    }
+  }
+
+  /** Deterministic argmax over per-language score columns. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     val pick = scores.foldLeft(when(maxScore === 0, "und")) {
       case (acc, (l, s)) => acc.when(s === maxScore, l)

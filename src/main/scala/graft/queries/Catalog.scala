@@ -44,6 +44,17 @@ object Catalog {
     */
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Deterministic total ordering of a (small) final result. Results here
+    * are answer-sized (10²–10⁴ rows), so a single round-robin shuffle to one
+    * partition + an in-partition sort is strictly cheaper than a global
+    * `orderBy`, which costs a range-bounds sampling job plus a range
+    * exchange. Ordering keys are unique per query, so the produced total
+    * order is identical. (This is a *final-presentation* operator only —
+    * intermediate sorts in the catalog stay distributed.)
+    */
+  private def ordered(cols: String*)(df: DataFrame): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+
   // ---------------------------------------------------------------- core
 
   /** A4/A5 family: filtered multi-aggregate group-by (pricing summary). */
@@ -72,7 +83,7 @@ object Catalog {
         r4(avg("l_extendedprice")).as("avg_price"),
         r4(avg((col("l_quantity") >= 25).cast("double"))).as("share_big"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(ordered("l_returnflag", "l_linestatus"))
   }
 
   /** A1/A4: exact median / quantile aggregation (DuckDB MEDIAN & QUANTILE_CONT
@@ -98,7 +109,7 @@ object Catalog {
         r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
         r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50_price"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .transform(ordered("l_returnflag"))
   }
 
   /** J1: broadcast equi-joins enriching the fact table with two dims. */
@@ -119,7 +130,7 @@ object Catalog {
       .agg(
         r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("p_brand", "s_name")
+      .transform(ordered("p_brand", "s_name"))
   }
 
   /** J2/F2: left-semi join (EXISTS). */
@@ -135,7 +146,7 @@ object Catalog {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"), r4(sum("c_acctbal")).as("sum_bal"))
-      .orderBy("c_mktsegment")
+      .transform(ordered("c_mktsegment"))
   }
 
   /** J6-family: left-anti join (NOT EXISTS). */
@@ -150,7 +161,7 @@ object Catalog {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy("c_mktsegment")
+      .transform(ordered("c_mktsegment"))
   }
 
   /** O4: top-k by ordered limit (TakeOrderedAndProject — no global sort). */
@@ -188,7 +199,7 @@ object Catalog {
       .select(
         col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
-      .orderBy("user_id", "event_type")
+      .transform(ordered("user_id", "event_type"))
   }
 
   /** C6 + A4: 10-minute floor-bin tumbling aggregation. */
@@ -208,7 +219,7 @@ object Catalog {
         count(lit(1)).as("n"),
         r4(avg("value")).as("avg_value"),
         r4(sum("value")).as("sum_value"))
-      .orderBy("bin_epoch", "event_type")
+      .transform(ordered("bin_epoch", "event_type"))
   }
 
   /** J5: AS-OF join — latest purchase by the same user at or before each
@@ -252,7 +263,7 @@ object Catalog {
         when(col("__fresh"), col("purchase_id")).as("purchase_id"),
         when(col("__fresh"), unix_micros(col("asof_ts"))).as("purchase_ts_us"),
         when(col("__fresh"), col("purchase_value")).as("purchase_value"))
-      .orderBy("event_id")
+      .transform(ordered("event_id"))
   }
 
   /** W4: lag + row-frame + range-frame (7-day) windows per key. */
@@ -276,7 +287,7 @@ object Catalog {
         lag(col("value"), 1).over(w1).as("prev_value"),
         r4(avg(col("value")).over(w1.rowsBetween(-2, 0))).as("avg3"),
         r4(sum(col("value")).over(wr)).as("sum_7d"))
-      .orderBy("user_id", "event_id")
+      .transform(ordered("user_id", "event_id"))
   }
 
   /** C2–C4: the reference's bin macros (when-chains) driving a group-by. */
@@ -311,7 +322,7 @@ object Catalog {
         Macros.windBin(col("l_quantity") / 2).as("wind_bin"),
         Macros.tempBin(col("l_quantity") - 15).as("temp_bin"))
       .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("sum_price"))
-      .orderBy("rain_bin", "wind_bin", "temp_bin")
+      .transform(ordered("rain_bin", "wind_bin", "temp_bin"))
   }
 
   /** A7: single-pass missing-value profile (nulls synthesized
@@ -340,7 +351,7 @@ object Catalog {
       nullif(col("props"), lit("""{"k": 69}""")).as("props_clean"))
     Profile.missingProfile(t, Seq("value_clean", "user_clean", "props_clean"))
       .select(col("column_name"), col("n_null"), r4(col("null_frac")).as("null_frac"))
-      .orderBy("column_name")
+      .transform(ordered("column_name"))
   }
 
   /** A8 + C15: day-of-week × hour heatmap aggregate (ISO dow on both sides). */
@@ -354,7 +365,7 @@ object Catalog {
     Tables.events(s, d)
       .groupBy(Macros.isoDow(col("ts")).as("dow"), hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
-      .orderBy("dow", "hr")
+      .transform(ordered("dow", "hr"))
   }
 
   /** C1/C5: DuckDB date_diff('minute') boundary-crossing semantics + epoch
@@ -380,7 +391,7 @@ object Catalog {
         r4(avg(delaySec.cast("double"))).as("avg_delay_sec"),
         max(delayMin.cast("long")).as("max_delay_min"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .transform(ordered("l_returnflag"))
   }
 
   /** S10/S11 semantics as a query: delete+insert upsert = anti-join ∪ incoming. */
@@ -406,7 +417,7 @@ object Catalog {
         lit("UPDATED").as("o_orderstatus"),
         (col("o_totalprice") * 1.1).as("o_totalprice"))
     Merge.upsertByKey(existing, incoming, Seq("o_orderkey"))
-      .orderBy("o_orderkey")
+      .transform(ordered("o_orderkey"))
   }
 
   /** O6: exact distinct. */
@@ -420,7 +431,7 @@ object Catalog {
         col("l_returnflag"), col("l_linestatus"),
         Macros.monthKey(col("l_shipdate")).as("ship_month"))
       .distinct()
-      .orderBy("l_returnflag", "l_linestatus", "ship_month")
+      .transform(ordered("l_returnflag", "l_linestatus", "ship_month"))
   }
 
   /** J2: cascading semi-join prune (the reference's GTFS shape `01:178-223`). */
@@ -441,7 +452,7 @@ object Catalog {
       .join(goodOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
-      .orderBy("l_returnflag")
+      .transform(ordered("l_returnflag"))
   }
 
   /** C14 + C16: composite dot-key + cyclic hour encodings. */
@@ -462,7 +473,7 @@ object Catalog {
         r4(Macros.sinHour(hour(col("l_shipdate")))).as("sin_hour"),
         r4(Macros.cosHour(hour(col("l_shipdate")))).as("cos_hour"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("flag_key", "hr")
+      .transform(ordered("flag_key", "hr"))
   }
 
   // ------------------------------------------- LLM-pipeline operators
@@ -476,7 +487,7 @@ object Catalog {
     Tables.events(s, d)
       .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
-      .orderBy("k")
+      .transform(ordered("k"))
   }
 
   /** Exact dedup via content hash (synthetic duplicate batch unioned in so
@@ -496,7 +507,7 @@ object Catalog {
     docs.unionByName(dupBatch)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("text_hash")
+      .transform(ordered("text_hash"))
   }
 
   /** Token counting: whitespace + BPE-ish regex. */
@@ -512,7 +523,7 @@ object Catalog {
       tokenCountWs(col("text")).as("n_ws_tokens"),
       tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"),
       length(col("text")).as("n_chars"))
-      .orderBy("doc_id")
+      .transform(ordered("doc_id"))
   }
 
   /** Quality scoring: word stats, stopword density, coarse quality bin. */
@@ -537,7 +548,7 @@ object Catalog {
       r4(avgWordLen(col("text"))).as("avg_word_len"),
       r4(stopwordRatio(col("text"))).as("stopword_ratio"),
       qualityBin(col("text")).as("quality_bin"))
-      .orderBy("doc_id")
+      .transform(ordered("doc_id"))
   }
 
   /** Marker-based language ID (deterministic argmax with priority ties). */
@@ -566,12 +577,17 @@ object Catalog {
       |       ELSE 'es' END AS lang_pred
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.llm.TextAnalysis._
-    val t = col("text")
-    Tables.documents(s, d).select(
+    // Counts staged as an attribute (one compiled kernel pass/doc), scores
+    // staged next (so the argmax reads attributes, not re-derived subtrees).
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), langMarkerCounts(col("text")).as("__mc"))
+    val scored = counts.select(
+      (col("doc_id") +: langScoresFromCounts(col("__mc")).map { case (l, c) => c.as(s"s_$l") }): _*)
+    scored.select(
       (Seq(col("doc_id")) ++
-        langMarkers.map { case (l, ms) => langScore(t, ms).as(s"s_$l") } :+
-        langId(t).as("lang_pred")): _*)
-      .orderBy("doc_id")
+        langMarkers.map { case (l, _) => col(s"s_$l") } :+
+        langIdFromScores(langMarkers.map { case (l, _) => l -> col(s"s_$l") }).as("lang_pred")): _*)
+      .transform(ordered("doc_id"))
   }
 
   /** MinHash + LSH near-dup candidates with exact-Jaccard verification
@@ -605,7 +621,7 @@ object Catalog {
     graft.llm.MinHashLsh
       .nearDupPairs(Tables.documents(s, d), "doc_id", "text")
       .select(col("a"), col("b"), col("n_bands"), r4(col("jaccard")).as("jaccard"))
-      .orderBy("a", "b")
+      .transform(ordered("a", "b"))
   }
 
   /** SimHash 32-bit fingerprints (± vote per md5-derived bit, sign → bit). */
@@ -618,9 +634,10 @@ object Catalog {
       |         GROUP BY doc_id, g.j)
       |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    graft.llm.SimHash.simhash32Agg(Tables.documents(s, d), "doc_id", "text")
-      .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.llm.SimHash.simhash32Kernel(col("text")).as("simhash"))
+      .transform(ordered("doc_id"))
   }
 
   /** Brute-force exact cosine top-k (correctness baseline for ANN). */
@@ -638,7 +655,7 @@ object Catalog {
     graft.llm.Embeddings
       .cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
       .select(col("qid"), col("cid"), col("rank"), r4(col("sim")).as("sim"))
-      .orderBy("qid", "rank")
+      .transform(ordered("qid", "rank"))
   }
 
   /** LSH-bucketed approximate nearest neighbors (the 100 TB scale path:
@@ -665,7 +682,7 @@ object Catalog {
       graft.llm.Embeddings
         .annTopK(Tables.embeddings(s, d), planes, 3)
         .select(col("a"), col("b"), col("bucket"), col("rank"), r4(col("sim")).as("sim"))
-        .orderBy("a", "rank")
+        .transform(ordered("a", "rank"))
     }
   }
 
@@ -685,7 +702,7 @@ object Catalog {
       graft.llm.Multimodal.fromDocuments(Tables.documents(s, d)))
       .withColumn("fake_width", lit(64) + (col("n_bytes") % 1216))
       .withColumn("fake_height", lit(64) + ((col("n_bytes") * 7) % 656))
-      .orderBy("media_id")
+      .transform(ordered("media_id"))
   }
 
   /** Winnowing-style document fingerprint (min-md5 of 5-gram shingles) with
@@ -711,7 +728,7 @@ object Catalog {
           .otherwise(array().cast("array<string>"))))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-      .orderBy("fingerprint")
+      .transform(ordered("fingerprint"))
   }
 
   /** C6 via the native `window()` tumbling operator (vs q08's manual floor —
@@ -728,7 +745,7 @@ object Catalog {
       .select(
         col("win.start").cast("long").as("bin_epoch"),
         col("n"), col("sum_value"))
-      .orderBy("bin_epoch")
+      .transform(ordered("bin_epoch"))
   }
 
   /** O7: fixed-size deterministic pseudo-random sample. Engine RNGs differ,
@@ -772,7 +789,7 @@ object Catalog {
     Tables.documents(s, d)
       .groupBy(regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"))
       .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
-      .orderBy("src_num")
+      .transform(ordered("src_num"))
   }
 
   /** F1 + A6: case-insensitive substring filter (the reference's operator
@@ -791,7 +808,7 @@ object Catalog {
       .agg(count(lit(1)).as("n"),
         min("p_retailprice").as("min_price"),
         max("p_retailprice").as("max_price"))
-      .orderBy("p_brand")
+      .transform(ordered("p_brand"))
   }
 
   /** J4: strict equi-join on a computed 10-minute bin (the reference's
@@ -818,7 +835,7 @@ object Catalog {
       .withColumn("bin_epoch", Macros.floorBinEpoch(col("ts"), 600))
       .join(broadcast(binStats), Seq("bin_epoch"), "left")
       .select(col("event_id"), col("bin_epoch"), col("purchase_avg"), col("n_purchases"))
-      .orderBy("event_id")
+      .transform(ordered("event_id"))
   }
 
   /** SimHash Hamming-distance histogram against a reference document —
@@ -839,16 +856,19 @@ object Catalog {
       |             len(list_filter(generate_series(1, 32), i -> substr(s.simhash, i, 1) <> substr(r.ref_hash, i, 1))) AS dist
       |      FROM sh s, ref r)
       |SELECT dist, count(*) AS n FROM d GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
-    // single computation of the fingerprint frame: the reference hash is
-    // pulled out with an unpartitioned window (tiny frame — one short row
-    // per doc) instead of a self-join that would recompute the aggregation
-    val sh = graft.llm.SimHash.simhash32Agg(Tables.documents(s, d), "doc_id", "text")
-    val wAll = Window.partitionBy(lit(1))
-    sh.withColumn("ref_hash",
-        max(when(col("id") === 0, col("simhash"))).over(wAll))
+    // The one-row reference frame is broadcast: its branch recomputes the
+    // fingerprint, but the doc_id=0 filter pushes to the scan, so the
+    // recomputation reads a single document. (The previous unpartitioned-
+    // window formulation computed the frame once but funneled every row
+    // through one task — the wrong trade at scale.)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        graft.llm.SimHash.simhash32Kernel(col("text")).as("simhash"))
+    val ref = sh.filter(col("id") === 0).select(col("simhash").as("ref_hash"))
+    sh.crossJoin(broadcast(ref))
       .select(graft.llm.SimHash.hamming(col("simhash"), col("ref_hash")).as("dist"))
       .groupBy("dist").agg(count(lit(1)).as("n"))
-      .orderBy("dist")
+      .transform(ordered("dist"))
   }
 
   // ------------------------------ engine completeness beyond the reference
@@ -876,7 +896,7 @@ object Catalog {
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("status"),
         col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
-      .orderBy("flag", "status")
+      .transform(ordered("flag", "status"))
   }
 
   /** Set operations: INTERSECT / EXCEPT over key sets. */
@@ -898,7 +918,7 @@ object Catalog {
       ("rich_non_buyers", rich.except(buyers)))
     rows.map { case (label, df) =>
       df.agg(count(lit(1)).as("n")).select(lit(label).as("label"), col("n"))
-    }.reduce(_ unionByName _).orderBy("label")
+    }.reduce(_ unionByName _).transform(ordered("label"))
   }
 
   /** Exact distinct-count per group (shuffle-expanding aggregate — the
@@ -916,7 +936,7 @@ object Catalog {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("user_id") % 10).as("n_buckets"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .transform(ordered("event_type"))
   }
 
   /** IVF coarse quantizer: per-label centroid components (elementwise means
@@ -934,7 +954,7 @@ object Catalog {
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(r4(avg(col("v"))).as("c"))
-      .orderBy("label", "dim")
+      .transform(ordered("label", "dim"))
   }
 
   /** IVF approximate nearest neighbors: assign each vector to its nearest
@@ -966,7 +986,7 @@ object Catalog {
     graft.llm.Embeddings
       .ivfTopK(emb, graft.llm.Embeddings.centroids(emb), 3)
       .select(col("a"), col("b"), col("cell"), col("rank"), r4(col("sim")).as("sim"))
-      .orderBy("a", "rank")
+      .transform(ordered("a", "rank"))
   }
 
   /** Embedding-cosine near-duplicate dedup: a vector is a duplicate when
@@ -999,7 +1019,7 @@ object Catalog {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dup_id"), col("kept_id"), r4(col("sim")).as("sim"))
-      .orderBy("dup_id")
+      .transform(ordered("dup_id"))
   }
 
   /** Pivot (wide aggregation): event counts by ISO dow × event_type. The
@@ -1019,7 +1039,7 @@ object Catalog {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(coalesce(count(lit(1)), lit(0L)))
       .na.fill(0L)
-      .orderBy("dow")
+      .transform(ordered("dow"))
   }
 
   /** Generator / UDTF family: explode words → frequency table (the
@@ -1035,7 +1055,7 @@ object Catalog {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
-      .orderBy("word")
+      .transform(ordered("word"))
   }
 
   /** All registered queries, in catalog order. */

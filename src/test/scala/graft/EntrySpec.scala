@@ -16,7 +16,8 @@ class EntrySpec extends SparkSpec {
     // every oracle belongs to a query; names are unique in the catalog
     assert(os.keySet.subsetOf(qs.keySet))
     assert(queries.Catalog.all.map(_.name).distinct.size == queries.Catalog.all.size)
-    // only the deliberately oracle-free query is rows-only
-    assert((qs.keySet -- os.keySet) == Set("q31_sample_seeded"))
+    // every query carries a full cross-engine oracle (q31's seeded sample
+    // became hash-checkable via md5-order sampling)
+    assert((qs.keySet -- os.keySet).isEmpty)
   }
 }

@@ -53,6 +53,29 @@ class LlmSpec extends SparkSpec {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L))) // near-dup closer than unrelated
   }
 
+  test("simhash: compiled kernel ≡ interpreted expression ≡ explode+agg") {
+    val viaExpr = docs.select($"doc_id", SimHash.simhash32("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaKernel = docs.select($"doc_id", SimHash.simhash32Kernel($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaAgg = SimHash.simhash32Agg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaKernel == viaExpr)
+    assert(viaKernel == viaAgg)
+  }
+
+  test("marker counts kernel ≡ replace-length occurrences") {
+    val t = TextAnalysis
+    val markers = t.allLangMarkers
+    val viaKernel = docs.select($"doc_id", t.langMarkerCounts($"text").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val viaReplace = docs.select(($"doc_id" +: markers.zipWithIndex.map {
+      case (m, i) => t.occurrences(padded, m).as(s"m$i") }): _*)
+      .collect().map(r => r.getLong(0) -> markers.indices.map(i => r.getLong(i + 1))).toMap
+    assert(viaKernel.view.mapValues(_.toSeq).toMap == viaReplace.view.mapValues(_.toSeq).toMap)
+  }
+
   test("embeddings: cosine correctness and top-k ordering") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
