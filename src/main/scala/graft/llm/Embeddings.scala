@@ -83,31 +83,58 @@ object Embeddings {
         array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("centroid"))
 
-  /** IVF cell assignment: nearest centroid by cosine (centroids broadcast —
-    * the corpus scans once). The argmax is a `min_by` hash aggregation over
-    * (-sim, label) — partial aggregation collapses the |corpus|×|cells|
-    * candidates to |corpus| rows map-side, so nothing ×|cells| is ever
-    * shuffled or sorted (the previous row_number window shuffled and sorted
-    * the full cross product).
+  /** A trained coarse quantizer: (cell label, centroid vector) pairs — a
+    * tiny model artifact that ships with the plan, like any production IVF
+    * index's quantizer.
     */
-  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  type Quantizer = IndexedSeq[(Any, Seq[Double])]
+
+  /** Train (materialize) the quantizer from a centroid frame. One small
+    * collect of k rows — the quantizer is by definition driver-sized.
+    */
+  def trainQuantizer(cents: DataFrame): Quantizer =
+    cents.collect()
+      .map(r => (r.get(r.fieldIndex("label")), r.getSeq[Double](r.fieldIndex("centroid"))))
+      .toIndexedSeq
+
+  /** Memoized quantizer per dataset key: centroids are trained once per
+    * corpus and reused by every query in the session (q41 ANN, q42 dedup) —
+    * the model-registry pattern, and one less aggregation job per query.
+    */
+  private val quantizers =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantizer]()
+  def quantizerFor(key: String, train: => DataFrame): Quantizer =
+    quantizers.computeIfAbsent(key, _ => trainQuantizer(train))
+
+  /** IVF cell assignment: nearest centroid by cosine. The quantizer is
+    * inlined as literal vectors, so assignment is a pure scan-time argmax
+    * (`array_min` over (-sim, label) structs — highest sim, lowest label on
+    * ties) with no join, no aggregation, and no shuffle of any kind.
+    * (Earlier formulations — crossJoin×cells + window, then min_by
+    * aggregation — shuffled |corpus| rows just to argmax.)
+    */
+  def ivfAssign(corpus: DataFrame, quant: Quantizer): DataFrame = {
     val v = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("__sim", cosine(col("vec"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(
-        struct(col("vec"), col("label")),
-        struct((-col("__sim")).as("ns"), col("label"))).as("__best"))
-      .select(col("vec_id"), col("__best.vec").as("vec"), col("__best.label").as("cell"))
+    val candidates = quant.map { case (label, c) =>
+      struct((-cosine(col("vec"), typedLit(c))).as("ns"), lit(label).as("label"))
+    }
+    v.withColumn("__best", array_min(array(candidates: _*)))
+      .select(col("vec_id"), col("vec"), col("__best.label").as("cell"))
   }
+
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(corpus, trainQuantizer(cents))
 
   /** IVF approximate top-k: neighbors ranked within each vector's cell —
     * the alternative scale path to [[annTopK]]'s hyperplane LSH. The join is
     * hash-partitioned on the cell id; candidate volume = cell size, tuned by
     * the quantizer's cell count.
     */
-  def ivfTopK(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, cents)
+  def ivfTopK(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    ivfTopK(corpus, trainQuantizer(cents), k)
+
+  def ivfTopK(corpus: DataFrame, quant: Quantizer, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, quant)
     val l = assigned.select(col("vec_id").as("a"), col("vec").as("va"), col("cell"))
     val r = assigned.select(col("vec_id").as("b"), col("vec").as("vb"), col("cell"))
     val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
@@ -117,6 +144,31 @@ object Embeddings {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("a"), col("b"), col("cell"), col("rank"), col("sim"))
+  }
+
+  /** Embedding near-duplicate dedup inside IVF cells: a vector is a
+    * duplicate when some lower-id vector *in its cell* reaches the cosine
+    * threshold; it pairs with its best keeper. Candidates come from the
+    * cell equi-join — shuffle is hash-partitioned on the cell id and pair
+    * volume is |cell|² per cell, not |corpus|² (the all-pairs exactness
+    * baseline lives in the ScalaTest oracle only; at 10⁹ vectors it is not
+    * runnable, while this shape is).
+    */
+  def dedupInCells(corpus: DataFrame, cents: DataFrame, threshold: Double): DataFrame =
+    dedupInCells(corpus, trainQuantizer(cents), threshold)
+
+  def dedupInCells(corpus: DataFrame, quant: Quantizer, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, quant)
+    val l = assigned.select(col("vec_id").as("kept_id"), col("vec").as("va"), col("cell"))
+    val r = assigned.select(col("vec_id").as("dup_id"), col("vec").as("vb"), col("cell"))
+    val w = Window.partitionBy(col("dup_id")).orderBy(col("sim").desc, col("kept_id").asc)
+    l.join(r, Seq("cell"))
+      .filter(col("kept_id") < col("dup_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("kept_id"), col("cell"), col("sim"))
   }
 
   /** b-bit LSH bucket string ('1' where dot(v, plane) > 0). */

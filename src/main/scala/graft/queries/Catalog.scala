@@ -983,41 +983,47 @@ object Catalog {
       |SELECT a, b, cell, rank, floor((sim) * 10000 + 0.5) / 10000 AS sim
       |FROM r WHERE rank <= 3 ORDER BY a, rank""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    val quant = graft.llm.Embeddings.quantizerFor(d, graft.llm.Embeddings.centroids(emb))
     graft.llm.Embeddings
-      .ivfTopK(emb, graft.llm.Embeddings.centroids(emb), 3)
+      .ivfTopK(emb, quant, 3)
       .select(col("a"), col("b"), col("cell"), col("rank"), r4(col("sim")).as("sim"))
       .transform(ordered("a", "rank"))
   }
 
-  /** Embedding-cosine near-duplicate dedup: a vector is a duplicate when
-    * some lower-id vector is within the similarity threshold; it is paired
-    * with its best keeper. All-pairs form = the exactness baseline (the
-    * scale path runs the same predicate inside q41's IVF cells or q27's
-    * LSH buckets).
+  /** Embedding-cosine near-duplicate dedup, candidates from IVF cells: a
+    * vector is a duplicate when some lower-id vector in its cell reaches the
+    * threshold; it pairs with its best keeper. The cell equi-join is the
+    * scale path (hash-partitioned on cell id, |cell|² pair volume) — the
+    * all-pairs exactness baseline lives in LlmSpec only, where it proves the
+    * in-cell result equals brute force restricted to co-assigned pairs.
     */
   val q42 = q(
     "q42_embedding_dedup",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      |p AS (SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
-      |             list_cosine_similarity(a.vec, b.vec) AS sim
-      |      FROM v a JOIN v b ON a.vec_id < b.vec_id
-      |      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35),
+    """WITH cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+      |    SELECT label, g.i AS dim, avg(embedding[g.i]::DOUBLE) AS c
+      |    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY label),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |asn AS (SELECT vec_id, vec, label AS cell,
+      |        row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY list_cosine_similarity(vec, centroid) DESC, label) AS rn
+      |        FROM v, cent),
+      |a2 AS (SELECT vec_id, vec, cell FROM asn WHERE rn = 1),
+      |p AS (SELECT x.vec_id AS kept_id, y.vec_id AS dup_id,
+      |             list_cosine_similarity(x.vec, y.vec) AS sim
+      |      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |      WHERE list_cosine_similarity(x.vec, y.vec) >= 0.35),
       |r AS (SELECT dup_id, kept_id, sim,
       |             row_number() OVER (PARTITION BY dup_id
       |                                ORDER BY sim DESC, kept_id) AS rn
       |      FROM p)
       |SELECT dup_id, kept_id, floor((sim) * 10000 + 0.5) / 10000 AS sim
       |FROM r WHERE rn = 1 ORDER BY dup_id""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val l = v.select(col("vec_id").as("kept_id"), col("vec").as("va"))
-    val r = v.select(col("vec_id").as("dup_id"), col("vec").as("vb"))
-    val w = Window.partitionBy(col("dup_id")).orderBy(col("sim").desc, col("kept_id").asc)
-    l.join(r, col("kept_id") < col("dup_id"))
-      .withColumn("sim", graft.llm.Embeddings.cosine(col("va"), col("vb")))
-      .filter(col("sim") >= 0.35)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val emb = Tables.embeddings(s, d)
+    val quant = graft.llm.Embeddings.quantizerFor(d, graft.llm.Embeddings.centroids(emb))
+    graft.llm.Embeddings
+      .dedupInCells(emb, quant, 0.35)
       .select(col("dup_id"), col("kept_id"), r4(col("sim")).as("sim"))
       .transform(ordered("dup_id"))
   }

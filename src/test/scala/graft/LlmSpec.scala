@@ -122,6 +122,40 @@ class LlmSpec extends SparkSpec {
     assert(topk == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))) // within-cell only
   }
 
+  test("in-cell dedup ≡ all-pairs baseline on co-assigned pairs; no BNLJ") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.98f, 0.02f, 0.0f, 0.0f), 0),  // near-dup of 0, same cell
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(0.02f, 0.98f, 0.0f, 0.0f), 1),  // near-dup of 2, same cell
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0))   // anti-parallel: no dup
+      .toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.centroids(vecs)
+    val bucketed = Embeddings.dedupInCells(vecs, cents, 0.9)
+      .collect().map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id"))).toSet
+    // all-pairs exactness baseline (test-only: this join is quadratic),
+    // restricted to pairs the quantizer co-assigns
+    val assigned = Embeddings.ivfAssign(vecs, cents)
+    val l = assigned.select(col("vec_id").as("kept_id"), col("vec").as("va"), col("cell").as("ca"))
+    val r = assigned.select(col("vec_id").as("dup_id"), col("vec").as("vb"), col("cell").as("cb"))
+    val w = Window.partitionBy(col("dup_id")).orderBy(col("sim").desc, col("kept_id").asc)
+    val brute = l.join(r, col("kept_id") < col("dup_id"))
+      .filter(col("ca") === col("cb"))
+      .withColumn("sim", Embeddings.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.9)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id"))).toSet
+    assert(bucketed == brute)
+    assert(bucketed == Set((1L, 0L), (3L, 2L)))
+    // the production plan must candidate-generate via the cell equi-join,
+    // never a nested-loop cross product
+    val plan = Embeddings.dedupInCells(vecs, cents, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("multimodal: envelope metadata + batched stub decode") {
     val media = Multimodal.fromDocuments(docs.withColumn("doc_id", $"doc_id"))
     val text0 = docs.filter($"doc_id" === 0).collect()(0).getString(1)
