@@ -1,8 +1,5 @@
 package graft.tpg
 
-import java.io.{File, FileOutputStream}
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,23 +16,11 @@ import org.apache.spark.sql.functions._
 object GtfsIngest {
 
   /** S1/S2: extract wanted members of a GTFS ZIP to a temp dir, returning
-    * member → local path. Uses commons-compress (Deflate64-capable).
+    * member → local path. Uses commons-compress (Deflate64-capable) via
+    * [[Archives.extractMembers]].
     */
-  def extractMembers(zipPath: String, members: Seq[String]): Map[String, String] = {
-    import org.apache.commons.compress.archivers.zip.ZipFile
-    val tmp = Files.createTempDirectory("gtfs_").toFile
-    val zf = ZipFile.builder().setFile(new File(zipPath)).get()
-    try {
-      members.flatMap { m =>
-        Option(zf.getEntry(m)).map { e =>
-          val out = new File(tmp, m)
-          val os = new FileOutputStream(out)
-          try zf.getInputStream(e).transferTo(os) finally os.close()
-          m -> out.getAbsolutePath
-        }
-      }.toMap
-    } finally zf.close()
-  }
+  def extractMembers(zipPath: String, members: Seq[String]): Map[String, String] =
+    Archives.extractMembers(zipPath, members.toSet.contains).toMap
 
   /** P1: fail on missing required columns; add optional ones as NULL. */
   def ensureColumns(df: DataFrame, required: Seq[String], optional: Seq[String]): DataFrame = {

@@ -20,15 +20,42 @@ import graft.operators.Dedupe
   */
 object IstdatenIngest {
 
-  /** S4: semicolon CSV, all columns as string, UTF-8 → Latin-1 retry. */
+  /** S2: archive members that count as IstDaten CSVs (reference
+    * `02:113-179` enumerates `*istdaten*.csv` case-insensitively, with a
+    * fallback to any CSV member when the pattern matches nothing).
+    */
+  private val istdatenMember = "(?i).*istdaten.*\\.csv$".r
+  def istdatenCsvMembers(zipPath: String): Seq[String] = {
+    val csvs = Archives.listMembers(zipPath).filter(_.toLowerCase.endsWith(".csv"))
+    val matching = csvs.filter(m => istdatenMember.pattern.matcher(m).matches)
+    if (matching.nonEmpty) matching else csvs
+  }
+
+  /** S2/S3/S4: accept plain CSV paths and/or ZIP archives. Archives have
+    * their IstDaten members extracted on the driver (commons-compress,
+    * Deflate64-capable — the published opentransportdata ZIPs need it); each
+    * resulting file is charset-probed and read with UTF-8 or ISO-8859-1
+    * accordingly — the per-file retry semantics of the reference
+    * (`02:184-207`), established up front because Spark's reader substitutes
+    * U+FFFD instead of throwing. The extraction is driver-side but the data
+    * volume lives in the CSV scans, which stay fully distributed.
+    */
   def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    def read(encoding: String) = spark.read
+    val csvPaths = paths.flatMap { p =>
+      if (p.toLowerCase.endsWith(".zip"))
+        Archives.extractMembers(p, istdatenCsvMembers(p).toSet.contains).map(_._2)
+      else Seq(p)
+    }
+    require(csvPaths.nonEmpty, "no IstDaten CSV inputs found")
+    val (utf8, latin1) = csvPaths.partition(Archives.isValidUtf8(_))
+    def read(encoding: String, ps: Seq[String]) = spark.read
       .option("header", "true")
       .option("sep", ";")
       .option("encoding", encoding)
-      .csv(paths: _*)
-    try { val df = read("UTF-8"); df.schema; df }
-    catch { case _: Exception => read("ISO-8859-1") }
+      .csv(ps: _*)
+    Seq("UTF-8" -> utf8, "ISO-8859-1" -> latin1)
+      .collect { case (enc, ps) if ps.nonEmpty => read(enc, ps) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** C9: day-first timestamp, seconds optional (`dd.MM.yyyy HH:mm[:ss]`). */

@@ -61,6 +61,58 @@ class TpgPipelineSpec extends SparkSpec {
     assert(!r2.getAs[Boolean]("is_additional"))              // "0" → false
   }
 
+  private val istHeader =
+    "BETRIEBSTAG;FAHRT_BEZEICHNER;BETREIBER_ABK;PRODUKT_ID;LINIEN_TEXT;HALTESTELLEN_NAME;BPUIC;" +
+      "ANKUNFTSZEIT;AN_PROGNOSE;AN_PROGNOSE_STATUS;ABFAHRTSZEIT;AB_PROGNOSE;AB_PROGNOSE_STATUS;" +
+      "DURCHFAHRT_TF;ZUSATZFAHRT_TF;FAELLT_AUS_TF"
+
+  private def istRow(fahrt: String, stop: String) =
+    s"01.06.2024;$fahrt;TPG;Bus;12;$stop;8587057;01.06.2024 10:00:00;01.06.2024 10:02:00;REAL;" +
+      "01.06.2024 10:01:00;01.06.2024 10:03:00;REAL;0;0;0"
+
+  test("istdaten ZIP ingest: regex member listing, byte-stream extraction") {
+    val zip = File.createTempFile("istdaten", ".zip")
+    zip.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    def member(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    member("readme.txt", "not a csv")
+    member("2024-06-01_IstDaten.csv", istHeader + "\n" + istRow("85:889:1", "Bel-Air") + "\n")
+    member("notes.csv", "a;b\n1;2\n") // CSV but not an IstDaten member → excluded
+    member("subdir/2024-06-02_istdaten.csv",
+      istHeader + "\n" + istRow("85:889:2", "Stand") + "\n")
+    zos.close()
+
+    assert(IstdatenIngest.istdatenCsvMembers(zip.getAbsolutePath).toSet ==
+      Set("2024-06-01_IstDaten.csv", "subdir/2024-06-02_istdaten.csv"))
+    val got = IstdatenIngest.ingest(spark, Seq(zip.getAbsolutePath))
+      .orderBy("fahrt_bezeichner").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[String]("stop_name")).sameElements(Array("Bel-Air", "Stand")))
+  }
+
+  test("encoding fallback: a Latin-1 file's accents survive next to UTF-8 files") {
+    // same content, two encodings: the probe must route each file to the
+    // right charset so 'Genève'/'Châtelaine' survive byte-identically
+    val utf8Csv = istHeader + "\n" + istRow("85:889:1", "Genève, Bel-Air") + "\n"
+    val latin1Csv = istHeader + "\n" + istRow("85:889:2", "Châtelaine") + "\n"
+    val utf8Path = writeTemp("ist_utf8", utf8Csv)
+    val f = File.createTempFile("ist_latin1", ".csv")
+    f.deleteOnExit()
+    Files.write(f.toPath, latin1Csv.getBytes("ISO-8859-1"))
+
+    assert(Archives.isValidUtf8(utf8Path))
+    assert(!Archives.isValidUtf8(f.getAbsolutePath))
+    val got = IstdatenIngest.ingest(spark, Seq(utf8Path, f.getAbsolutePath))
+      .orderBy("fahrt_bezeichner").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("stop_name") == "Genève, Bel-Air")
+    assert(got(1).getAs[String]("stop_name") == "Châtelaine")
+  }
+
   test("gtfs ingest: member extraction, operator filter, semi-join cascade") {
     val zip = File.createTempFile("gtfs", ".zip")
     zip.deleteOnExit()
