@@ -16,10 +16,17 @@ object Repeat {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("SPARK_GRAFT_AQE").map(_.trim).filter(_.nonEmpty).getOrElse("false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // mirror Bench's buffer-pool condition
+    Tables.names.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else Tables.load(spark, sfDir, t)
+      df.cache().count()
+    }
     val q = queries.Catalog.all.find(_.name == name).getOrElse(sys.error(s"no query $name"))
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()

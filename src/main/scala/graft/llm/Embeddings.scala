@@ -61,6 +61,8 @@ object Embeddings {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      // vectors pruned before the ranking shuffle (see ivfTopK)
+      .select(col("qid"), col("cid"), col("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -141,6 +143,9 @@ object Embeddings {
     l.join(r, Seq("cell"))
       .filter(col("a") =!= col("b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
+      // prune the vectors BEFORE the ranking shuffle: the window only needs
+      // (a, b, cell, sim) ~40 bytes/row, not two 64-dim arrays ~1 KB/row
+      .select(col("a"), col("b"), col("cell"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("a"), col("b"), col("cell"), col("rank"), col("sim"))
@@ -166,6 +171,8 @@ object Embeddings {
       .filter(col("kept_id") < col("dup_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
+      // vectors pruned before the ranking shuffle (see ivfTopK)
+      .select(col("dup_id"), col("kept_id"), col("cell"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dup_id"), col("kept_id"), col("cell"), col("sim"))
@@ -189,6 +196,8 @@ object Embeddings {
     l.join(r, Seq("bucket"))
       .filter(col("a") =!= col("b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
+      // vectors pruned before the ranking shuffle (see ivfTopK)
+      .select(col("a"), col("b"), col("bucket"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("a"), col("b"), col("bucket"), col("rank"), col("sim"))
