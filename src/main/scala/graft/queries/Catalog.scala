@@ -99,16 +99,20 @@ object Catalog {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    // Built-in exact percentile (ObjectHashAggregate): partial aggregation
-    // keeps per-partition buffers parallel. A window-sort reformulation was
-    // measured slower here — partitionBy on 3 groups degenerates to 3 tasks.
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
-        r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
-        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50_price"),
-        count(lit(1)).as("n"))
+    // Distributed exact quantiles (see operators.Quantiles): codegen hash
+    // aggregate over (group, value) counts + a distinct-value cumulative
+    // window — same results as the built-in `percentile`
+    // (ObjectHashAggregate), which buffered every value of every group.
+    val li = Tables.lineitem(s, d)
+    val qty = graft.operators.Quantiles.quantileCont(
+      li, "l_returnflag", "l_quantity", Seq(0.5 -> "p50_qty", 0.9 -> "p90_qty"))
+    val price = graft.operators.Quantiles.quantileCont(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "p50_price"))
+    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    qty.join(price, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        r4(col("p50_qty")).as("p50_qty"), r4(col("p90_qty")).as("p90_qty"),
+        r4(col("p50_price")).as("p50_price"), col("n"))
       .transform(ordered("l_returnflag"))
   }
 

@@ -1,10 +1,31 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Asof, Dedupe, Merge}
+import graft.operators.{Asof, Dedupe, Merge, Quantiles}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("quantileCont ≡ built-in exact percentile (ties, dups, interpolation)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map { i =>
+      val g = "g" + (i % 3)
+      // duplicates + ties on purpose: values drawn from a small grid
+      val v = math.floor(rnd.nextDouble() * 40) / 4.0
+      (g, v)
+    }.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val viaOp = Quantiles.quantileCont(df, "g", "v", ps.map(p => p -> s"q$p"))
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val viaBuiltin = df.groupBy($"g")
+      .agg(ps.map(p => percentile($"v", lit(p)).as(s"q$p")).head,
+        ps.map(p => percentile($"v", lit(p)).as(s"q$p")).tail: _*)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(viaOp.keySet == viaBuiltin.keySet)
+    viaOp.keySet.foreach { g =>
+      viaOp(g).zip(viaBuiltin(g)).foreach { case (a, b) => assert(a == b, s"$g: $a != $b") }
+    }
+  }
 
   test("topOnePerKey keeps the priority maximum, deterministically") {
     val df = Seq(
