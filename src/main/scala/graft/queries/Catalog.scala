@@ -99,20 +99,19 @@ object Catalog {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    // Distributed exact quantiles (see operators.Quantiles): codegen hash
-    // aggregate over (group, value) counts + a distinct-value cumulative
-    // window — same results as the built-in `percentile`
-    // (ObjectHashAggregate), which buffered every value of every group.
-    val li = Tables.lineitem(s, d)
-    val qty = graft.operators.Quantiles.quantileCont(
-      li, "l_returnflag", "l_quantity", Seq(0.5 -> "p50_qty", 0.9 -> "p90_qty"))
-    val price = graft.operators.Quantiles.quantileCont(
-      li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "p50_price"))
-    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    qty.join(price, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
-      .select(col("l_returnflag"),
-        r4(col("p50_qty")).as("p50_qty"), r4(col("p90_qty")).as("p90_qty"),
-        r4(col("p50_price")).as("p50_price"), col("n"))
+    // Built-in exact percentile (ObjectHashAggregate): the fastest exact
+    // form at this group count/size — single pass, partial aggregation.
+    // When a group's value multiset outgrows executor memory, switch to
+    // operators.Quantiles.quantileCont (distinct-value counts + cumulative
+    // window; memory bounded by distinct values, proven bit-equal in
+    // OperatorsSpec) — the 10⁹-rows-per-group form of the same answer.
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
+        r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
+        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50_price"),
+        count(lit(1)).as("n"))
       .transform(ordered("l_returnflag"))
   }
 
