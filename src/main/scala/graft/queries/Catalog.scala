@@ -1067,10 +1067,69 @@ object Catalog {
       .transform(ordered("word"))
   }
 
+  /** Session windows (gap-based): per-user sessions close after 30 idle
+    * minutes. Spark's `session_window` merges events whose windows overlap
+    * (same session iff gap < 30 min, strict); the oracle is the equivalent
+    * gaps-and-islands formulation — break on gap ≥ 30 min, session key =
+    * running break count. The same `session_window` call is the streaming
+    * form (see streaming/Streaming) — batch and stream share semantics.
+    */
+  val q45 = q(
+    "q45_session_window",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |       count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+      .transform(ordered("user_id", "session_start_us"))
+  }
+
+  /** GROUPING SETS / CUBE family (q37 covers ROLLUP): full cube over two
+    * dims with grouping flags — subtotal rows distinguishable from NULL keys.
+    */
+  val q46 = q(
+    "q46_cube",
+    """SELECT coalesce(l_returnflag, '(all)') AS flag,
+      |       coalesce(l_linestatus, '(all)') AS status,
+      |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+      |       count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status, g_flag, g_status""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        r4(sum("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_price"))
+      .transform(ordered("flag", "status", "g_flag", "g_status"))
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
+    q45, q46)
 }
