@@ -46,4 +46,23 @@ object Streaming {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Gap-based session aggregation (the streaming form of q45): sessions
+    * close after `gap` idle time; watermark bounds session state. Same
+    * `session_window` call as the batch catalog query — unified semantics.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap).as("session") +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select((col("session.start").as("session_start") +:
+        col("session.end").as("session_end") +:
+        keyCols.map(col) :+ col("n") :+ col("sum_value")): _*)
 }

@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.toString).sameElements(got.map(_.toString)))
   }
 
+  test("streaming session windows merge on gap<30min, split on gap>=30min") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      ev("2024-06-01 10:00:00", "a", 1.0),
+      ev("2024-06-01 10:20:00", "a", 2.0),  // 20 min gap → same session
+      ev("2024-06-01 11:00:00", "a", 4.0),  // 40 min gap → new session
+      ev("2024-06-01 10:00:00", "b", 8.0))
+    val q = Streaming.sessionAgg(mem.toDF(), "ts", Seq("k"), "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").orderBy("k", "session_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n") == 2L && got(0).getAs[Double]("sum_value") == 3.0)
+    assert(got(1).getAs[Long]("n") == 1L && got(1).getAs[Double]("sum_value") == 4.0)
+    assert(got(2).getAs[String]("k") == "b")
+    // batch DF through the identical transform agrees (unified semantics)
+    val batch = Streaming.sessionAgg(
+      Seq(ev("2024-06-01 10:00:00", "a", 1.0), ev("2024-06-01 10:20:00", "a", 2.0),
+        ev("2024-06-01 11:00:00", "a", 4.0), ev("2024-06-01 10:00:00", "b", 8.0)).toDF(),
+      "ts", Seq("k"), "v").orderBy("k", "session_start").collect()
+    assert(batch.map(_.toString).sameElements(got.map(_.toString)))
+  }
+
   test("streaming dedupe drops repeated business keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
