@@ -1125,11 +1125,36 @@ object Catalog {
       .transform(ordered("flag", "status", "g_flag", "g_status"))
   }
 
+  /** Statistical aggregate family: sample stddev/variance, correlation and
+    * covariance (Welford-style one-pass in both engines; 4-decimal rounding
+    * absorbs accumulation-order ulps).
+    */
+  val q47 = q(
+    "q47_numeric_stats",
+    """SELECT l_returnflag,
+      |       floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000  AS sd_qty,
+      |       floor((var_samp(l_extendedprice)) * 10000 + 0.5) / 10000 AS var_price,
+      |       floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qty_price,
+      |       floor((covar_samp(l_quantity, l_discount)) * 10000 + 0.5) / 10000 AS cov_qty_disc,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_extendedprice"))).as("var_price"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"),
+        count(lit(1)).as("n"))
+      .transform(ordered("l_returnflag"))
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46)
+    q45, q46, q47)
 }
