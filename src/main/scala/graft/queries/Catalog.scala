@@ -1060,10 +1060,15 @@ object Catalog {
     """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY word""".stripMargin) { (s, d) =>
+    // two-phase: (word, doc) partial counts first, so the count-distinct
+    // needs no Expand duplication of the exploded rows — the shuffle
+    // carries one row per (word, doc) with map-side combine
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_docs"))
       .transform(ordered("word"))
   }
 

@@ -46,6 +46,23 @@ class PropertySpec extends SparkSpec {
       .filter($"p" < 100).count() == 0)
   }
 
+  test("bucketed asof ≡ unbucketed asof whenever tolerance ≤ bucket width") {
+    val left = df.select($"k", timestamp_seconds($"ts").as("ts"), $"id")
+    val right = df.filter($"p" >= 3)
+      .select($"k", timestamp_seconds($"ts" - 10).as("ts"), $"id".as("rid"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"asof_ts".cast("long"), $"matched_rid")
+        .collect().map(_.toString).sorted.toSeq
+    for (tol <- Seq(60L, 600L, 3600L)) {
+      val plain = Asof.join(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "matched_rid"), toleranceSec = Some(tol), rightTieBreak = Some("rid"))
+      val bucketed = Asof.joinBucketed(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "matched_rid"), toleranceSec = tol, bucketSeconds = tol,
+        rightTieBreak = Some("rid"))
+      assert(norm(bucketed) == norm(plain), s"tolerance $tol diverged")
+    }
+  }
+
   test("asof join preserves left row count exactly (left-join law)") {
     val left = df.select($"k", timestamp_seconds($"ts").as("ts"), $"id")
     val right = df.filter($"p" >= 3)
