@@ -42,6 +42,16 @@ object Multimodal {
       val frames = if (n % 3 == 0) 1 else 1 + (n % 30)
       (w, h, frames)
     }
+
+    /** ??? — real resample unavailable; deterministic fake preserving the
+      * real contract (output bytes ∝ target area, content-derived).
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(1, (w * h) / 64))
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+      out
+    }
   }
 
   /** Build a media table from the documents corpus (text bytes stand in for
@@ -65,6 +75,67 @@ object Multimodal {
       octet_length(col("content")).as("n_bytes"),
       sha2(col("content"), 256).as("content_sha"),
       hex(substring(col("content"), 1, 16)).as("head16"))
+
+  /** One sampled frame of a media payload. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling (video → every-Nth-frame rows): the flatMap shape a
+    * real extractor has — one input row fans out to its sampled frames,
+    * decoder context per partition, per-task memory bounded by
+    * `maxPartitionBytes` on the input side and the sampling rate on the
+    * output side. Frame bytes themselves come from the stub decoder.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyN: Int = 10): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (_, _, frames) = FakeDecoder.decodeImage(r.content)
+          (0 until frames by everyN).iterator.map { i =>
+            val len = math.max(1, r.content.length)
+            val start = (i * 17) % len
+            val end = math.min(len, start + 32)
+            Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.content, start, end))
+          }
+        }
+      }
+  }
+
+  /** Batched resize pass (bytes → bytes at target dimensions). */
+  case class Resized(media_id: Long, width: Int, height: Int, content: Array[Byte])
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(r =>
+        Resized(r.media_id, w, h, FakeDecoder.resize(r.content, w, h))))
+  }
+
+  /** Feature extraction (the CLIP-encoder slot): a fixed-width float vector
+    * per media row, model session per partition. The stub derives 16
+    * deterministic floats in [-1, 1] from the content digest — identical
+    * payloads get identical vectors, so the output composes directly with
+    * the embedding operators (`Embeddings.lshBucket` / `annTopK` /
+    * `dedupInCells`): decode → embed → ANN dedup is one pipeline.
+    */
+  case class MediaFeatures(media_id: Long, embedding: Array[Float])
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition model session would be initialized here
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          digest.reset()
+          val d = digest.digest(r.content)
+          val vec = Array.tabulate(16)(i =>
+            ((((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)) - 32768) / 32768.0f)
+          MediaFeatures(r.media_id, vec)
+        }
+      }
+  }
 
   /** Batched decode pass: mapPartitions over the typed Dataset so decoder
     * state is per-partition, not per-row.

@@ -156,6 +156,24 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("multimodal: frame sampling, resize, features feeding ANN dedup") {
+    val media = Multimodal.fromDocuments(docs)
+    // frame sampling fans one row out per sampled frame, deterministically
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 5).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_bytes.nonEmpty))
+    assert(frames.map(f => (f.media_id, f.frame_idx)).distinct.length == frames.length)
+    // resize emits target-area-proportional payloads
+    val resized = Multimodal.resizeImages(spark, media, 128, 64).collect()
+    assert(resized.forall(r => r.content.length == 128 * 64 / 64))
+    // identical payloads → identical feature vectors → ANN finds the pair
+    val feats = Multimodal.extractFeatures(spark, media)
+      .toDF().withColumnRenamed("media_id", "vec_id")
+    val planes = Embeddings.hyperplanes(4, 16)
+    val pairs = Embeddings.annTopK(feats, planes, 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((3L, 0L))) // exact dups collide
+  }
+
   test("multimodal: envelope metadata + batched stub decode") {
     val media = Multimodal.fromDocuments(docs.withColumn("doc_id", $"doc_id"))
     val text0 = docs.filter($"doc_id" === 0).collect()(0).getString(1)
