@@ -99,19 +99,26 @@ object Catalog {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    // Built-in exact percentile (ObjectHashAggregate): the fastest exact
-    // form at this group count/size — single pass, partial aggregation.
-    // When a group's value multiset outgrows executor memory, switch to
-    // operators.Quantiles.quantileCont (distinct-value counts + cumulative
-    // window; memory bounded by distinct values, proven bit-equal in
-    // OperatorsSpec) — the 10⁹-rows-per-group form of the same answer.
+    // Native exact percentile (functions.PercentileArray): same single-pass
+    // shape as the built-in (ObjectHashAggregate, proven bit-equal in
+    // OperatorsSpec) but the per-row path is a primitive open-addressing
+    // count map — no boxed keys. One aggregate call per column computes all
+    // its percentiles. When a group's value multiset outgrows executor
+    // memory, switch to operators.Quantiles.quantileCont (shuffle-based,
+    // memory bounded by distinct values) — the 10⁹-rows-per-group form.
+    graft.functions.NativeAgg // ensure registration on this session
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        r4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
-        r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
-        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50_price"),
+        graft.functions.NativeAgg.percentileArray(col("l_quantity"), Seq(0.5, 0.9)).as("__pq"),
+        graft.functions.NativeAgg.percentileArray(col("l_extendedprice"), Seq(0.5)).as("__pp"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        r4(element_at(col("__pq"), 1)).as("p50_qty"),
+        r4(element_at(col("__pq"), 2)).as("p90_qty"),
+        r4(element_at(col("__pp"), 1)).as("p50_price"),
+        col("n"))
       .transform(ordered("l_returnflag"))
   }
 

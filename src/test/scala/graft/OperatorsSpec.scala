@@ -42,6 +42,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(2) == "a")
   }
 
+  test("native percentile_array ≡ built-in percentile (incl. null groups)") {
+    val rnd = new scala.util.Random(11)
+    val df = ((1 to 5000).map { i =>
+      val g = "g" + (i % 4)
+      val v: java.lang.Double =
+        if (i % 17 == 0) null else math.floor(rnd.nextDouble() * 80) / 8.0
+      (g, v)
+    } :+ (("gnull", null: java.lang.Double))).toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val native = df.groupBy($"g")
+      .agg(graft.functions.NativeAgg.percentileArray($"v", ps).as("pa"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Double](1)).map(_.toSeq)).toMap
+    val builtin = df.groupBy($"g")
+      .agg(ps.map(p => percentile($"v", lit(p)).as(s"p$p")).head,
+        ps.map(p => percentile($"v", lit(p)).as(s"p$p")).tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(ps.indices.map(i => r.getDouble(i + 1)).toSeq))).toMap
+    assert(native.keySet == builtin.keySet)
+    native.keySet.foreach(g => assert(native(g) == builtin(g), s"group $g"))
+    assert(native("gnull").isEmpty) // all-NULL group → NULL, like the built-in
+  }
+
   test("medianDedupe: exact per-column median, NULLs skipped") {
     val df = Seq(
       ("s", "t", Some(20.0), Some(0.0)),
