@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
 
@@ -49,5 +50,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_slices"),
       info("minhash_slices", "minhash_slices(shingles, k) - k-element MinHash signature"),
       (exprs: Seq[Expression]) => MinHashSlices(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(text) - 32-bit SimHash fingerprint as a '0'/'1' string"),
+      (exprs: Seq[Expression]) => SimHash32(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("marker_counts"),
+      info("marker_counts", "marker_counts(text, markers) - per-marker occurrence counts (NUL-joined markers)"),
+      (exprs: Seq[Expression]) => MarkerCounts(exprs(0), litStr(exprs(1)).split('\u0000').toSeq)))
+    ext.injectFunction((
+      FunctionIdentifier("percentile_array"),
+      info("percentile_array", "percentile_array(col, 'p1,p2') - exact interpolated percentiles as array<double>"),
+      (exprs: Seq[Expression]) => PercentileArray(
+        Cast(exprs(0), DoubleType),
+        litStr(exprs(1)).split(',').toSeq.map(_.trim.toDouble))))
+  }
+
+  private def litStr(e: Expression): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => sys.error(s"expected string literal argument, got $other")
   }
 }

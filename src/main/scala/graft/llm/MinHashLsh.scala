@@ -69,8 +69,27 @@ object MinHashLsh {
   }
 
   /** Exact Jaccard over distinct shingle sets, candidates only. */
-  def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame = {
-    val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sset"))
+  def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    jaccardOnSets(pairs, sigs.select(col("id"), array_distinct(col("shingles")).as("sset")))
+
+  /** Exact Jaccard where the shingle sets are rebuilt *behind a semi-join
+    * on the candidate ids*: the expensive array materialization happens for
+    * colliding documents only — at healthy LSH tuning a small fraction of
+    * the corpus — instead of twice over every document.
+    */
+  def jaccardVerifyDocs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame = {
+    val candIds = pairs.select(col("a").as("cid"))
+      .union(pairs.select(col("b").as("cid"))).distinct()
+    val sets = docs
+      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(
+          graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize)).as("sset"))
+    jaccardOnSets(pairs, sets)
+  }
+
+  private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
@@ -78,7 +97,6 @@ object MinHashLsh {
         size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
           size(array_union(col("sa"), col("sb"))))
       .drop("sa", "sb")
-  }
 
   /** End-to-end: docs → verified candidate pairs.
     *
@@ -93,6 +111,6 @@ object MinHashLsh {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, cfg)
-    jaccardVerify(candidatePairs(bandKeys(sigs, cfg)), sigs)
+    jaccardVerifyDocs(candidatePairs(bandKeys(sigs, cfg)), docs, idCol, textCol, cfg)
   }
 }
