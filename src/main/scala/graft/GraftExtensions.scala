@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litStr(e: Expression): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString
+    case f if f.foldable && f.dataType == StringType =>
+      f.eval().asInstanceOf[UTF8String].toString
     case other => sys.error(s"expected string literal argument, got $other")
   }
 }

@@ -272,6 +272,8 @@ object TextExprs {
       "minhash_slices", exprs => MinHashSlices(exprs(0), litInt(exprs(1))), "built-in")
     def litStr(e: Expression): String = e match {
       case Literal(v: UTF8String, StringType) => v.toString
+      case f if f.foldable && f.dataType == StringType =>
+        f.eval().asInstanceOf[UTF8String].toString
       case other => sys.error(s"expected string literal, got $other")
     }
     reg.createOrReplaceTempFunction(

@@ -1162,11 +1162,41 @@ object Catalog {
       .transform(ordered("l_returnflag"))
   }
 
+  /** Blocked fuzzy matching by edit distance (record-linkage / near-dup on
+    * short strings): candidate pairs come from a (brand, size) blocking
+    * equi-join — never all-pairs — and levenshtein verifies. The same
+    * block-then-verify shape as MinHash-LSH, on attribute blocking.
+    */
+  val q48 = q(
+    "q48_fuzzy_blocked",
+    """SELECT p1.p_brand AS brand, count(*) AS n_close,
+      |       min(levenshtein(p1.p_name, p2.p_name)) AS min_d,
+      |       floor((avg(levenshtein(p1.p_name, p2.p_name))) * 10000 + 0.5) / 10000 AS avg_d
+      |FROM part p1 JOIN part p2
+      |  ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size
+      | AND p1.p_partkey < p2.p_partkey
+      |WHERE levenshtein(p1.p_name, p2.p_name) <= 15
+      |GROUP BY 1 ORDER BY brand""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val l = part.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("k1"), col("p_name").as("n1"))
+    val r = part.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("k2"), col("p_name").as("n2"))
+    l.join(r, Seq("p_brand", "p_size"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("d", levenshtein(col("n1"), col("n2")))
+      .filter(col("d") <= 15)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_d"),
+        r4(avg(col("d"))).as("avg_d"))
+      .transform(ordered("brand"))
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47)
+    q45, q46, q47, q48)
 }

@@ -38,6 +38,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
       assert(row.getSeq[String](4).length == 8)
       assert(row.getSeq[String](4).forall(_.length == 8))
+      val row2 = spark.sql(
+        """SELECT simhash32('the quick fox') AS sh,
+          |       marker_counts('the quick the fox', concat(' the ', chr(0), ' a ')) AS mc
+          |""".stripMargin).collect()(0)
+      assert(row2.getAs[String]("sh").length == 32)
+      assert(row2.getAs[String]("sh").forall(c => c == '0' || c == '1'))
+      assert(row2.getSeq[Long](1) == Seq(2L, 0L))
+      val agg = spark.sql(
+        """SELECT g, percentile_array(v, '0.5,1.0') AS p FROM VALUES
+          |  ('a', 1.0d), ('a', 2.0d), ('a', 3.0d), ('b', 10.0d) t(g, v)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(agg(0).getSeq[Double](1) == Seq(2.0, 3.0))
+      assert(agg(1).getSeq[Double](1) == Seq(10.0, 10.0))
     } finally {
       // hand the shared session back without stopping the SparkContext
       SparkSession.clearDefaultSession()

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan assertions locking the scale claims in SCALE.md: filters
+  * reach the parquet scan, projections prune the read schema, dims
+  * broadcast, and ranking shuffles carry no vector payloads. These are the
+  * properties that decide 100 TB behavior — asserting them keeps plan
+  * regressions from slipping in silently.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    queries.Catalog.all.find(_.name == name)
+      .getOrElse(sys.error(s"no query $name"))
+      .run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate pushed to the scan; unused columns pruned") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("l_returnflag"))
+    assert(!p.contains("l_comment")) // 16-column table, 6 read
+    assert(!p.contains("l_partkey"))
+  }
+
+  test("q03: both dims broadcast; fact table never exchange-partitioned for the joins") {
+    val p = planOf("q03_join_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q42: candidate generation is a cell equi-join, not a nested loop") {
+    val p = planOf("q42_embedding_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("q41: ranking shuffle carries no embedding arrays") {
+    val p = planOf("q41_ivf_ann")
+    // the window's exchange partitions by the left id only after vectors
+    // were projected away; its input attribute set must not include vectors
+    val windowSection = p.substring(p.indexOf("Window"))
+    assert(!windowSection.substring(0, windowSection.indexOf("Project")).contains("va#"))
+  }
+}
