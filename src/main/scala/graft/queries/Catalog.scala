@@ -1192,11 +1192,46 @@ object Catalog {
       .transform(ordered("brand"))
   }
 
+  /** Ranking-window family: rank / dense_rank (tie semantics exercised on a
+    * ties-bearing ordering — the VALUES are deterministic under ties),
+    * percent_rank / cume_dist, and ntile + nth_value on a tie-free total
+    * ordering (their assignment depends on row order, so the ordering must
+    * be unique for cross-engine determinism).
+    */
+  val q49 = q(
+    "q49_rank_family",
+    """SELECT event_id, user_id,
+      |       rank()         OVER wv AS rnk,
+      |       dense_rank()   OVER wv AS drnk,
+      |       floor((percent_rank() OVER wv) * 10000 + 0.5) / 10000 AS prnk,
+      |       floor((cume_dist()    OVER wv) * 10000 + 0.5) / 10000 AS cdist,
+      |       ntile(4)       OVER wu AS quartile,
+      |       nth_value(event_id, 2) OVER (wu ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                       AND UNBOUNDED FOLLOWING) AS second_event
+      |FROM events
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+      |       wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wuFull = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        rank().over(wv).as("rnk"),
+        dense_rank().over(wv).as("drnk"),
+        r4(percent_rank().over(wv)).as("prnk"),
+        r4(cume_dist().over(wv)).as("cdist"),
+        ntile(4).over(wu).as("quartile"),
+        nth_value(col("event_id"), 2).over(wuFull).as("second_event"))
+      .transform(ordered("user_id", "event_id"))
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48)
+    q45, q46, q47, q48, q49)
 }
