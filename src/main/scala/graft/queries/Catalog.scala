@@ -1227,11 +1227,29 @@ object Catalog {
       .transform(ordered("user_id", "event_id"))
   }
 
+  /** Collection-aggregate family: per-key distinct-set collection with a
+    * deterministic (sorted, joined) string form — array-valued outputs are
+    * canonicalized to strings so the cross-engine compare stays exact.
+    */
+  val q50 = q(
+    "q50_collect_set",
+    """SELECT user_id,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |       count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+      .transform(ordered("user_id"))
+  }
+
   /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49)
+    q45, q46, q47, q48, q49, q50)
 }
