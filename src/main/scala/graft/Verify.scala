@@ -16,6 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous dump FIRST: if this query fails, a stale
+      // (previously correct) result must not survive to be compared as
+      // if fresh — a failed query should read as missing, not green
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
