@@ -1187,7 +1187,7 @@ object Catalog {
       .withColumn("d", levenshtein(col("n1"), col("n2")))
       .filter(col("d") <= 15)
       .groupBy(col("p_brand").as("brand"))
-      .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_d"),
+      .agg(count(lit(1)).as("n_close"), min(col("d")).cast("long").as("min_d"),
         r4(avg(col("d"))).as("avg_d"))
       .transform(ordered("brand"))
   }
@@ -1218,11 +1218,11 @@ object Catalog {
     Tables.events(s, d)
       .select(
         col("event_id"), col("user_id"),
-        rank().over(wv).as("rnk"),
-        dense_rank().over(wv).as("drnk"),
+        rank().over(wv).cast("long").as("rnk"),
+        dense_rank().over(wv).cast("long").as("drnk"),
         r4(percent_rank().over(wv)).as("prnk"),
         r4(cume_dist().over(wv)).as("cdist"),
-        ntile(4).over(wu).as("quartile"),
+        ntile(4).over(wu).cast("long").as("quartile"),
         nth_value(col("event_id"), 2).over(wuFull).as("second_event"))
       .transform(ordered("user_id", "event_id"))
   }
