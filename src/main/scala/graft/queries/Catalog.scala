@@ -1080,18 +1080,19 @@ object Catalog {
   }
 
   /** Session windows (gap-based): per-user sessions close after 30 idle
-    * minutes. Spark's `session_window` merges events whose windows overlap
-    * (same session iff gap < 30 min, strict); the oracle is the equivalent
-    * gaps-and-islands formulation — break on gap ≥ 30 min, session key =
-    * running break count. The same `session_window` call is the streaming
-    * form (see streaming/Streaming) — batch and stream share semantics.
+    * minutes. Spark's `session_window` merges an event into the previous
+    * session when its gap is ≤ the threshold — INCLUSIVE at exactly the
+    * gap duration (verified empirically in StreamingSpec's boundary test) —
+    * so the gaps-and-islands oracle breaks strictly on gap > 30 min,
+    * session key = running break count. The same `session_window` call is
+    * the streaming form (see streaming/Streaming) — shared semantics.
     */
   val q45 = q(
     "q45_session_window",
     """WITH o AS (
       |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.toString).sameElements(got.map(_.toString)))
   }
 
-  test("streaming session windows merge on gap<30min, split on gap>=30min") {
+  test("streaming session windows merge on gap≤30min, split beyond") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
     mem.addData(
@@ -60,6 +60,20 @@ class StreamingSpec extends SparkSpec {
         ev("2024-06-01 11:00:00", "a", 4.0), ev("2024-06-01 10:00:00", "b", 8.0)).toDF(),
       "ts", Seq("k"), "v").orderBy("k", "session_start").collect()
     assert(batch.map(_.toString).sameElements(got.map(_.toString)))
+  }
+
+  test("session gap boundary: exactly 30 min merges (inclusive), 30:01 splits") {
+    // guards the q45 oracle alignment: Spark merges an event whose gap is
+    // <= gapDuration (inclusive at exactly the gap), so the islands oracle
+    // must break strictly on gap > threshold
+    val exact = Seq(
+      ev("2024-06-01 10:00:00", "a", 1.0),
+      ev("2024-06-01 10:30:00", "a", 2.0)).toDF() // gap == 30:00
+    val over = Seq(
+      ev("2024-06-01 10:00:00", "a", 1.0),
+      ev("2024-06-01 10:30:01", "a", 2.0)).toDF() // gap == 30:01
+    assert(Streaming.sessionAgg(exact, "ts", Seq("k"), "v").count() == 1)
+    assert(Streaming.sessionAgg(over, "ts", Seq("k"), "v").count() == 2)
   }
 
   test("streaming dedupe drops repeated business keys") {

@@ -113,6 +113,22 @@ class TpgPipelineSpec extends SparkSpec {
     assert(got(1).getAs[String]("stop_name") == "Châtelaine")
   }
 
+  test("utf8 probe: multi-byte char straddling the probe boundary is not invalid") {
+    // 'é' = 0xC3 0xA9: place it so the probe window ends between its bytes —
+    // a REPORT decoder must treat the truncated tail as underflow, not error
+    val f = File.createTempFile("probe", ".csv")
+    f.deleteOnExit()
+    val bytes = ("a" * 15).getBytes("UTF-8") ++ "é".getBytes("UTF-8") ++ "tail".getBytes("UTF-8")
+    Files.write(f.toPath, bytes)
+    assert(Archives.isValidUtf8(f.getAbsolutePath, probeBytes = 16)) // cuts é in half
+    assert(Archives.isValidUtf8(f.getAbsolutePath))                  // whole file valid
+    // a genuinely malformed byte inside the window is still caught
+    val bad = File.createTempFile("probe_bad", ".csv")
+    bad.deleteOnExit()
+    Files.write(bad.toPath, ("x" * 8).getBytes("UTF-8") ++ Array(0xE9.toByte) ++ "y".getBytes("UTF-8"))
+    assert(!Archives.isValidUtf8(bad.getAbsolutePath))
+  }
+
   test("gtfs ingest: member extraction, operator filter, semi-join cascade") {
     val zip = File.createTempFile("gtfs", ".zip")
     zip.deleteOnExit()
