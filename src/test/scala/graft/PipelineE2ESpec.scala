@@ -60,6 +60,16 @@ class PipelineE2ESpec extends SparkSpec {
     assert(f.filter(col("fahrt_bezeichner") === "85:889:1")
       .collect()(0).getAs[Double]("temp_c") == 20.0)
 
+    // gold, AS-OF flavor: bucketed station-keyed join end-to-end through parquet
+    val featsAsof = FeaturesEvents.build(istRerun, weather,
+      FeaturesEvents.DominantStation, asof = true)
+    FeaturesEvents.write(featsAsof, s"$dir/features_asof")
+    val fa = spark.read.parquet(s"$dir/features_asof")
+    assert(fa.count() == 3)
+    // Stand event bin 10:10 → latest obs ≤ 10:10 is the 10:10 reading (fresh)
+    assert(fa.filter(col("fahrt_bezeichner") === "85:889:3")
+      .collect()(0).getAs[Double]("temp_c") == 19.5)
+
     // stop×line aggregate
     val agg = FeaturesByStopLine.build(f)
     assert(agg.count() == 2) // (12, Bel-Air, 10:00) ×2 trips + (14, Stand, 10:10)
