@@ -77,31 +77,45 @@ object Bench {
       Thread.sleep(1000)
     }
 
-    // Per-query time = min over N executions (default 2): the steady-state
-    // cost with single-run scheduler/GC noise removed — the standard
-    // repeated-measurement benchmark convention.
-    val runsPer = env("SPARK_GRAFT_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
+    // Per-query time = min over N executions (default 3): the steady-state
+    // cost with single-run scheduler/GC/machine-load noise removed — the
+    // standard repeated-measurement benchmark convention. A failed build or
+    // execution is NOT timed: the query lands in `errors` instead of the
+    // results map, and the bench exits nonzero, so a broken query can never
+    // masquerade as a fast one.
+    val runsPer = env("SPARK_GRAFT_RUNS", "3").toInt
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def fail(name: String, stage: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')
+      errors.getOrElseUpdate(name, s"$stage: $msg")
+      System.err.println(s"[bench] $name failed ($stage): $msg")
+    }
+    val results = selected.flatMap { case (name, fn) =>
       // one Dataset per query: analysis happens once (first timed action);
       // later runs measure optimization + execution, like any engine serving
       // a prepared statement
       val df = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed to build: ${e.getMessage}"); None
+        fail(name, "build", e); None
       }
-      val times = (1 to runsPer).map { _ =>
-        val t0 = System.nanoTime()
-        try df.foreach(_.write.format("noop").mode("overwrite").save())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = df.toSeq.flatMap { d =>
+        (1 to runsPer).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            d.write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable => fail(name, "exec", e); None }
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.nonEmpty) Some(name -> times.min) else None
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

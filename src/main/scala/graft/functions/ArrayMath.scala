@@ -124,12 +124,12 @@ object ArrayMath {
   }
 
   def dot(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("array_math")(register)
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
   }
 
   def cosine(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("array_math")(register)
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
   }
 }

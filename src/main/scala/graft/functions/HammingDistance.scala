@@ -71,7 +71,7 @@ object HammingDistance {
     * Column ↔ Expression bridge in Spark 4 is the function registry).
     */
   def hamming(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("hamming_distance")(register)
     org.apache.spark.sql.functions.call_function("hamming_distance", a, b)
   }
 }

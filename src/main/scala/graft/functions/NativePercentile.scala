@@ -23,10 +23,16 @@ final class DoubleCounts(initialCapacity: Int = 1 << 10) extends Serializable {
   private var used = 0
 
   private def slot(k: Double): Int = {
+    // Hash AND probe on doubleToLongBits so they agree: primitive `!=`
+    // would conflate -0.0 with 0.0 (hashed to different slots → probe-order-
+    // dependent merging) and never match NaN (a fresh slot per NaN input).
+    // Bits equality = boxed java.lang.Double.equals — -0.0/0.0 distinct, all
+    // NaNs one key — matching the built-in Percentile's boxed-key map.
     val h = java.lang.Double.doubleToLongBits(k)
     var x = h ^ (h >>> 33); x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
     var i = x.toInt & (cap - 1)
-    while (cnts(i) != 0 && keys(i) != k) i = (i + 1) & (cap - 1)
+    while (cnts(i) != 0 && java.lang.Double.doubleToLongBits(keys(i)) != h)
+      i = (i + 1) & (cap - 1)
     i
   }
 
@@ -188,7 +194,7 @@ object NativeAgg {
   }
 
   def percentileArray(c: Column, ps: Seq[Double]): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("percentile_array")(register)
     org.apache.spark.sql.functions.call_function(
       "percentile_array", c, org.apache.spark.sql.functions.lit(ps.mkString(",")))
   }

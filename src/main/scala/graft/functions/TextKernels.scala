@@ -284,24 +284,24 @@ object TextExprs {
   }
 
   def wordShingles(text: Column, n: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("text_exprs")(register)
     org.apache.spark.sql.functions.call_function(
       "word_shingles", text, org.apache.spark.sql.functions.lit(n))
   }
 
   def minhashSlices(shingles: Column, numHashes: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("text_exprs")(register)
     org.apache.spark.sql.functions.call_function(
       "minhash_slices", shingles, org.apache.spark.sql.functions.lit(numHashes))
   }
 
   def simhash32(text: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("text_exprs")(register)
     org.apache.spark.sql.functions.call_function("simhash32", text)
   }
 
   def markerCounts(text: Column, markers: Seq[String]): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    RegisterOnce("text_exprs")(register)
     org.apache.spark.sql.functions.call_function(
       "marker_counts", text, org.apache.spark.sql.functions.lit(markers.mkString("\u0000")))
   }

@@ -99,14 +99,45 @@ object Embeddings {
       .map(r => (r.get(r.fieldIndex("label")), r.getSeq[Double](r.fieldIndex("centroid"))))
       .toIndexedSeq
 
-  /** Memoized quantizer per dataset key: centroids are trained once per
-    * corpus and reused by every query in the session (q41 ANN, q42 dedup) —
-    * the model-registry pattern, and one less aggregation job per query.
+  /** Memoized quantizer per dataset: centroids are trained once per corpus
+    * and reused by every query in the session (q41 ANN, q42 dedup) — the
+    * model-registry pattern, and one less aggregation job per query.
+    *
+    * The cache key is the dataset path PLUS a content fingerprint (recursive
+    * file listing: path, length, mtime), so regenerating the data under the
+    * same path retrains instead of silently serving stale centroids. Note
+    * the bench-methodology asymmetry this creates intentionally: a resident
+    * engine amortizes quantizer training across queries, while the DuckDB
+    * oracle query re-derives centroids on every execution.
     */
   private val quantizers =
     new java.util.concurrent.ConcurrentHashMap[String, Quantizer]()
-  def quantizerFor(key: String, train: => DataFrame): Quantizer =
-    quantizers.computeIfAbsent(key, _ => trainQuantizer(train))
+
+  /** Content fingerprint of a dataset path: md5 over the sorted recursive
+    * (file path, length, modification time) listing via the Hadoop
+    * FileSystem of the active session (works for local and cluster stores).
+    * Falls back to the bare path when listing fails (no active session).
+    */
+  def datasetFingerprint(path: String): String = try {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      lines += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    md5hex(lines.sorted.mkString("\n"))
+  } catch { case scala.util.control.NonFatal(_) => "nofp" }
+
+  def quantizerFor(datasetPath: String, train: => DataFrame): Quantizer =
+    quantizers.computeIfAbsent(
+      s"$datasetPath#${datasetFingerprint(datasetPath)}",
+      _ => trainQuantizer(train))
+
+  /** Drop all memoized quantizers (explicit invalidation hook). */
+  def invalidateQuantizers(): Unit = quantizers.clear()
 
   /** IVF cell assignment: nearest centroid by cosine. The quantizer is
     * inlined as literal vectors, so assignment is a pure scan-time argmax

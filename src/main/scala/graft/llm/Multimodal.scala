@@ -35,7 +35,7 @@ object Multimodal {
     */
   object FakeDecoder {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
-      // ??? — real decode unavailable in this environment; deterministic fake:
+      // STUB: real decode unavailable in this environment; deterministic fake:
       val n = bytes.length
       val w = 64 + (n % 1216)
       val h = 64 + ((n * 7) % 656)
@@ -43,13 +43,17 @@ object Multimodal {
       (w, h, frames)
     }
 
-    /** ??? — real resample unavailable; deterministic fake preserving the
-      * real contract (output bytes ∝ target area, content-derived).
+    /** STUB resample (real one unavailable in this environment):
+      * deterministic fake preserving the real contract — output size ∝
+      * target area, content-derived bytes. Empty input yields the
+      * zero-filled output (a real resampler emits a black canvas).
       */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](math.max(1, (w * h) / 64))
-      var i = 0
-      while (i < out.length) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+      }
       out
     }
   }

@@ -55,6 +55,15 @@ object Catalog {
   private def ordered(cols: String*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.map(col): _*)
 
+  /** Deterministic total ordering of a *row-per-input* result (q10, q49:
+    * one output row per event). `ordered()`'s single-partition funnel would
+    * push the whole table through one task at scale; a distributed range
+    * sort keeps every stage parallel and produces the same total order
+    * (ordering keys are unique per query).
+    */
+  private def orderedWide(cols: String*)(df: DataFrame): DataFrame =
+    df.orderBy(cols.map(col): _*)
+
   // ---------------------------------------------------------------- core
 
   /** A4/A5 family: filtered multi-aggregate group-by (pricing summary). */
@@ -297,7 +306,7 @@ object Catalog {
         lag(col("value"), 1).over(w1).as("prev_value"),
         r4(avg(col("value")).over(w1.rowsBetween(-2, 0))).as("avg3"),
         r4(sum(col("value")).over(wr)).as("sum_7d"))
-      .transform(ordered("user_id", "event_id"))
+      .transform(orderedWide("user_id", "event_id"))
   }
 
   /** C2–C4: the reference's bin macros (when-chains) driving a group-by. */
@@ -909,7 +918,17 @@ object Catalog {
       .transform(ordered("flag", "status"))
   }
 
-  /** Set operations: INTERSECT / EXCEPT over key sets. */
+  /** Set operations: INTERSECT / EXCEPT / UNION counts over key sets.
+    *
+    * The oracle states the query with the set operators; the Spark plan
+    * computes all three counts in ONE pass — union the sides with
+    * membership flags, groupBy key (which subsumes both DISTINCTs), then a
+    * single final aggregate: |A∩B| = Σ a·b, |B∖A| = Σ b·(1−a), |A∪B| =
+    * count(*). The literal `.intersect`/`.except` formulation runs six
+    * shuffles and three jobs for the same three numbers (OperatorsSpec
+    * proves the two agree); at 10⁹ keys this form does one shuffle of the
+    * flagged union and a scalar reduce.
+    */
   val q38 = q(
     "q38_set_ops",
     """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
@@ -920,15 +939,21 @@ object Catalog {
       |UNION ALL
       |SELECT 'all_keys', count(*) FROM (SELECT k FROM buyers UNION SELECT k FROM rich)
       |ORDER BY label""".stripMargin) { (s, d) =>
-    val buyers = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
-    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
-    val rows = Seq(
-      ("all_keys", buyers.union(rich).distinct()),
-      ("rich_buyers", buyers.intersect(rich)),
-      ("rich_non_buyers", rich.except(buyers)))
-    rows.map { case (label, df) =>
-      df.agg(count(lit(1)).as("n")).select(lit(label).as("label"), col("n"))
-    }.reduce(_ unionByName _).transform(ordered("label"))
+    val buyers = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), lit(1).as("a"), lit(0).as("b"))
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"), lit(0).as("a"), lit(1).as("b"))
+    buyers.union(rich)
+      .groupBy(col("k"))
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+      .agg(
+        sum(col("a") * col("b")).as("rich_buyers"),
+        sum(col("b") * (lit(1) - col("a"))).as("rich_non_buyers"),
+        count(lit(1)).as("all_keys"))
+      .select(expr(
+        "stack(3, 'all_keys', all_keys, 'rich_buyers', rich_buyers, " +
+          "'rich_non_buyers', rich_non_buyers) AS (label, n)"))
+      .transform(ordered("label"))
   }
 
   /** Exact distinct-count per group (shuffle-expanding aggregate — the
@@ -1225,7 +1250,7 @@ object Catalog {
         r4(cume_dist().over(wv)).as("cdist"),
         ntile(4).over(wu).cast("long").as("quartile"),
         nth_value(col("event_id"), 2).over(wuFull).as("second_event"))
-      .transform(ordered("user_id", "event_id"))
+      .transform(orderedWide("user_id", "event_id"))
   }
 
   /** Collection-aggregate family: per-key distinct-set collection with a

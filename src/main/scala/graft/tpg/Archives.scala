@@ -44,7 +44,14 @@ object Archives {
       while (it.hasMoreElements) {
         val e = it.nextElement()
         if (!e.isDirectory && wanted(e.getName)) {
-          val dst = new File(tmp, new File(e.getName).getName)
+          // Preserve the member's directory structure under the temp dir:
+          // flattening to basenames would let `a/istdaten.csv` and
+          // `b/istdaten.csv` silently overwrite each other. Canonical-path
+          // check rejects `../` traversal (zip-slip).
+          val dst = new File(tmp, e.getName)
+          if (!dst.getCanonicalPath.startsWith(tmp.getCanonicalPath + File.separator))
+            sys.error(s"archive member escapes extraction dir: ${e.getName}")
+          dst.getParentFile.mkdirs()
           val os = new FileOutputStream(dst)
           try zf.getInputStream(e).transferTo(os) finally os.close()
           out += e.getName -> dst.getAbsolutePath

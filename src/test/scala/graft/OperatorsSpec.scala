@@ -112,6 +112,27 @@ class OperatorsSpec extends SparkSpec {
     assert(gotTwice.sameElements(gotOnce))
   }
 
+  test("one-pass flagged set-op counts ≡ intersect/except/union-distinct") {
+    // q38's single-shuffle formulation vs Spark's literal set operators
+    val aSide = Seq(1, 2, 2, 3, 5, 5).toDF("k")   // with duplicates
+    val bSide = Seq(2, 3, 4, 4).toDF("k")
+    val viaOps = Map(
+      "inter" -> aSide.intersect(bSide).count(),
+      "bNotA" -> bSide.except(aSide).count(),
+      "union" -> aSide.union(bSide).distinct().count())
+    val flagged = aSide.select($"k", lit(1).as("a"), lit(0).as("b"))
+      .union(bSide.select($"k", lit(0).as("a"), lit(1).as("b")))
+      .groupBy($"k").agg(max($"a").as("a"), max($"b").as("b"))
+      .agg(
+        sum($"a" * $"b").as("inter"),
+        sum($"b" * (lit(1) - $"a")).as("bNotA"),
+        count(lit(1)).as("union"))
+      .collect()(0)
+    assert(flagged.getAs[Long]("inter") == viaOps("inter"))
+    assert(flagged.getAs[Long]("bNotA") == viaOps("bNotA"))
+    assert(flagged.getAs[Long]("union") == viaOps("union"))
+  }
+
   test("upsertByKeyRange deletes only inside each key's incoming window") {
     val existing = Seq(
       ("a", "2024-06-01 10:00:00", 1), ("a", "2024-06-01 11:00:00", 2),
