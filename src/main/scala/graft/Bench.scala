@@ -16,7 +16,14 @@ object Bench {
     val cpus = env("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", env("SPARK_GRAFT_SHUFFLE", cpus))
+      // Partition counts are sized by DATA VOLUME, not core count: at sf0.1
+      // every table is ≤11 MB, so 8 slices already puts each task near the
+      // ~1 MB scheduling floor — more partitions just buy scheduler
+      // overhead (measured: repart/shuffle 8/8 = 8.0s total, 16/8 = 9.2,
+      // 32/32 = 15.0). At production scale the same sizing rule
+      // (tens-of-MB tasks) yields thousands of partitions and AQE takes
+      // over runtime sizing.
+      .config("spark.sql.shuffle.partitions", env("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       // AQE is ON everywhere else in the engine (Jobs, streaming, tests):
       // at cluster scale its runtime re-planning (skew joins, partition
@@ -30,6 +37,14 @@ object Bench {
       // parallelism floor — measured better for CPU-bound small-byte stages.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         env("SPARK_GRAFT_PARFIRST", "true"))
+      // Scan parallelism: each harness parquet file is ONE row group, and a
+      // row group is parquet's unit of parallel reading — so without help
+      // every scan (and the cached relation built from it) is a single
+      // task on a 32-core machine. graft.scan.repartition (see
+      // Tables.load) re-slices each table right after the scan; with the
+      // table cache on, that shuffle is paid once at cache-build time and
+      // every query then reads an N-way parallel in-memory table.
+      .config("graft.scan.repartition", env("SPARK_GRAFT_REPART", "8"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -904,13 +904,21 @@ object Catalog {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin) { (s, d) =>
+    // Pre-aggregate before the grouping-set Expand: Spark plans ROLLUP as
+    // Expand(input × #grouping-sets) → aggregate, so rolling up the fact
+    // table directly triples the scan output. All aggregates here are
+    // algebraic (sum/count re-aggregate as sums), so the rollup runs over
+    // the |distinct (flag, status)| partial aggregate — Expand cost drops
+    // from 3×|lineitem| to 3×|groups|, the shape that survives 100 TB.
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("__sq"), count(lit(1)).as("__n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
-        r4(sum("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n"))
+        r4(sum("__sq")).as("sum_qty"),
+        sum("__n").as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("status"),
@@ -1149,13 +1157,18 @@ object Catalog {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status, g_flag, g_status""".stripMargin) { (s, d) =>
+    // Same pre-aggregation as q37: CUBE is a 4-way Expand, so running it
+    // over the per-(flag, status) partials instead of the fact table cuts
+    // Expand volume from 4×|lineitem| to 4×|groups| (see q37 scaladoc).
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("__n"), sum("l_extendedprice").as("__sp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
-        count(lit(1)).as("n"),
-        r4(sum("l_extendedprice")).as("sum_price"))
+        sum("__n").as("n"),
+        r4(sum("__sp")).as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("status"),
