@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same plan-shaping knobs (and defaults) as graft.Bench: the scan
+    // repartition perturbs row order, which can change order-sensitive
+    // results (collect_list/first, float-sum association) — so the plans the
+    // bench TIMES must be the plans this harness VERIFIES. Keep these in
+    // sync with Bench.main.
+    def env(n: String, d: String) =
+      sys.env.get(n).map(_.trim).filter(_.nonEmpty).getOrElse(d)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", env("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled", env("SPARK_GRAFT_AQE", "false"))
+      .config("graft.scan.repartition", env("SPARK_GRAFT_REPART", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

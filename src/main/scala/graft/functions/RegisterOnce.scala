@@ -28,6 +28,12 @@ private[functions] object RegisterOnce {
         if (set == null) { set = Collections.synchronizedSet(new java.util.HashSet[String]()); done.put(s, set) }
         set
       }
-      if (families.add(family)) register(s)
+      // Hold the set's lock across add+register: a losing thread blocks here
+      // until the winner's register(s) completes, so it can never reach
+      // call_function before the function exists (transient "undefined
+      // function" analysis failure otherwise).
+      families.synchronized {
+        if (families.add(family)) register(s)
+      }
     }
 }

@@ -113,6 +113,13 @@ object Embeddings {
   private val quantizers =
     new java.util.concurrent.ConcurrentHashMap[String, Quantizer]()
 
+  /** Latest fingerprint seen per dataset path — lets [[quantizerFor]] evict
+    * the superseded entry when a dataset is regenerated under the same path,
+    * instead of leaking one Quantizer per regeneration for the JVM lifetime.
+    */
+  private val latestFingerprint =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Content fingerprint of a dataset path: md5 over the sorted recursive
     * (file path, length, modification time) listing via the Hadoop
     * FileSystem of the active session (works for local and cluster stores).
@@ -129,15 +136,42 @@ object Embeddings {
       lines += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
     }
     md5hex(lines.sorted.mkString("\n"))
-  } catch { case scala.util.control.NonFatal(_) => "nofp" }
+  } catch { case scala.util.control.NonFatal(e) =>
+    // Loud fallback: "nofp" restores forever-stale caching (same key for
+    // every generation of the dataset), so never do it silently.
+    System.err.println(
+      s"[graft] dataset fingerprint failed for $path (${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}); quantizer cache falls back to path-only keying")
+    "nofp"
+  }
 
-  def quantizerFor(datasetPath: String, train: => DataFrame): Quantizer =
-    quantizers.computeIfAbsent(
-      s"$datasetPath#${datasetFingerprint(datasetPath)}",
-      _ => trainQuantizer(train))
+  def quantizerFor(datasetPath: String, train: => DataFrame): Quantizer = {
+    val fp = datasetFingerprint(datasetPath)
+    val prev = latestFingerprint.put(datasetPath, fp)
+    if (prev != null && prev != fp) quantizers.remove(s"$datasetPath#$prev")
+    quantizers.computeIfAbsent(s"$datasetPath#$fp", _ => trainQuantizer(train))
+  }
 
   /** Drop all memoized quantizers (explicit invalidation hook). */
-  def invalidateQuantizers(): Unit = quantizers.clear()
+  def invalidateQuantizers(): Unit = { quantizers.clear(); latestFingerprint.clear() }
+
+  /** IVF assignment, persisted before a self-join: without this, BOTH legs
+    * of the cell equi-join recompute the full assignment lineage (scan →
+    * repartition → k×dim argmax per row) — column aliases differ between
+    * the legs, so Spark's exchange reuse never fires. Persisting makes the
+    * join read one materialization. The cache entry is keyed by logical
+    * plan in Spark's CacheManager, so q41 (ivfTopK) and q42 (dedupInCells)
+    * over the same corpus + quantizer share one entry, and re-invoking the
+    * same query re-uses rather than re-caches (`storageLevel` guard avoids
+    * the "already cached" warning). Answer-shaped frames only —
+    * (vec_id, vec, cell) is the pruned projection, ~0.5 KB/row.
+    */
+  private def persistedAssign(corpus: DataFrame, quant: Quantizer): DataFrame = {
+    val a = ivfAssign(corpus, quant)
+    if (a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a
+  }
 
   /** IVF cell assignment: nearest centroid by cosine. The quantizer is
     * inlined as literal vectors, so assignment is a pure scan-time argmax
@@ -167,7 +201,7 @@ object Embeddings {
     ivfTopK(corpus, trainQuantizer(cents), k)
 
   def ivfTopK(corpus: DataFrame, quant: Quantizer, k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, quant)
+    val assigned = persistedAssign(corpus, quant)
     val l = assigned.select(col("vec_id").as("a"), col("vec").as("va"), col("cell"))
     val r = assigned.select(col("vec_id").as("b"), col("vec").as("vb"), col("cell"))
     val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
@@ -194,7 +228,7 @@ object Embeddings {
     dedupInCells(corpus, trainQuantizer(cents), threshold)
 
   def dedupInCells(corpus: DataFrame, quant: Quantizer, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(corpus, quant)
+    val assigned = persistedAssign(corpus, quant)
     val l = assigned.select(col("vec_id").as("kept_id"), col("vec").as("va"), col("cell"))
     val r = assigned.select(col("vec_id").as("dup_id"), col("vec").as("vb"), col("cell"))
     val w = Window.partitionBy(col("dup_id")).orderBy(col("sim").desc, col("kept_id").asc)

@@ -44,6 +44,43 @@ object Catalog {
     */
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Order-independent mean of a money-like (≤2-decimal-intended) double
+    * column, r4-rounded. A plain double `avg` is associativity-dependent:
+    * different partitionings sum in different orders, and when the group's
+    * true mean lands exactly on a 4th-decimal half boundary, r4 of the two
+    * engines' sums rounds to different sides. Summing as DECIMAL(20,2) is
+    * exact (each input double rounds to the same 2-decimal value in Spark
+    * and DuckDB — no double is ever exactly half a cent), so sum, quotient,
+    * and rounding are bit-identical in any row order. The SQL twin is
+    * [[avgMoneySql]]; both sides divide by `count(col)` to keep
+    * NULL-ignoring avg semantics.
+    */
+  private def avgMoney(c: Column): Column =
+    r4(sum(c.cast("decimal(20,2)")).cast("double") / count(c))
+
+  private def avgMoneySql(colName: String): String =
+    s"floor((CAST(sum(CAST($colName AS DECIMAL(20,2))) AS DOUBLE) / count($colName)) * 10000 + 0.5) / 10000"
+
+  /** Order-independent r4 sum of a money-like double column — same exact-
+    * DECIMAL rationale as [[avgMoney]]. */
+  private def sumMoney(c: Column): Column =
+    r4(sum(c.cast("decimal(20,2)")).cast("double"))
+
+  private def sumMoneySql(colName: String): String =
+    s"floor((CAST(sum(CAST($colName AS DECIMAL(20,2))) AS DOUBLE)) * 10000 + 0.5) / 10000"
+
+  /** [[sumMoney]] at scale 4, for products of two 2-decimal columns (e.g.
+    * `l_extendedprice * (1 - l_discount)`): the true product is a 4-decimal
+    * rational and the IEEE double product lands within an ulp of it — far
+    * from any DECIMAL(24,4) rounding boundary — so both engines recover the
+    * identical exact value, and the sum is order-independent.
+    */
+  private def sumMoney4(c: Column): Column =
+    r4(sum(c.cast("decimal(24,4)")).cast("double"))
+
+  private def sumMoney4Sql(exprSql: String): String =
+    s"floor((CAST(sum(CAST(($exprSql) AS DECIMAL(24,4))) AS DOUBLE)) * 10000 + 0.5) / 10000"
+
   /** Deterministic total ordering of a (small) final result. Results here
     * are answer-sized (10²–10⁴ rows), so a single round-robin shuffle to one
     * partition + an in-partition sort is strictly cheaper than a global
@@ -69,12 +106,12 @@ object Catalog {
   /** A4/A5 family: filtered multi-aggregate group-by (pricing summary). */
   val q01 = q(
     "q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |       floor((sum(l_quantity)) * 10000 + 0.5) / 10000                       AS sum_qty,
-      |       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000                  AS sum_base_price,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+      |       ${sumMoneySql("l_extendedprice")}                  AS sum_base_price,
+      |       ${sumMoney4Sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
       |       floor((avg(l_quantity)) * 10000 + 0.5) / 10000                       AS avg_qty,
-      |       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000                  AS avg_price,
+      |       ${avgMoneySql("l_extendedprice")}                  AS avg_price,
       |       floor((avg(CAST(l_quantity >= 25 AS DOUBLE))) * 10000 + 0.5) / 10000 AS share_big,
       |       count(*)                                        AS count_order
       |FROM lineitem
@@ -85,11 +122,13 @@ object Catalog {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // integer-valued and 0/1 doubles sum exactly (order-free); money
+        // columns go through the exact-decimal helpers (see avgMoney)
         r4(sum("l_quantity")).as("sum_qty"),
-        r4(sum("l_extendedprice")).as("sum_base_price"),
-        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         r4(avg("l_quantity")).as("avg_qty"),
-        r4(avg("l_extendedprice")).as("avg_price"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
         r4(avg((col("l_quantity") >= 25).cast("double"))).as("share_big"),
         count(lit(1)).as("count_order"))
       .transform(ordered("l_returnflag", "l_linestatus"))
@@ -134,8 +173,8 @@ object Catalog {
   /** J1: broadcast equi-joins enriching the fact table with two dims. */
   val q03 = q(
     "q03_join_enrich",
-    """SELECT p.p_brand, s.s_name,
-      |       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+    s"""SELECT p.p_brand, s.s_name,
+      |       ${sumMoney4Sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
       |       count(*) AS n_items
       |FROM lineitem l
       |JOIN part p     ON l.l_partkey = p.p_partkey
@@ -147,7 +186,7 @@ object Catalog {
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"), col("s_name"))
       .agg(
-        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        sumMoney4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .transform(ordered("p_brand", "s_name"))
   }
@@ -155,8 +194,8 @@ object Catalog {
   /** J2/F2: left-semi join (EXISTS). */
   val q04 = q(
     "q04_semi_join",
-    """SELECT c.c_mktsegment, count(*) AS n_customers,
-      |       floor((sum(c.c_acctbal)) * 10000 + 0.5) / 10000 AS sum_bal
+    s"""SELECT c.c_mktsegment, count(*) AS n_customers,
+      |       ${sumMoneySql("c.c_acctbal")} AS sum_bal
       |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY c.c_mktsegment
@@ -164,7 +203,7 @@ object Catalog {
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"), r4(sum("c_acctbal")).as("sum_bal"))
+      .agg(count(lit(1)).as("n_customers"), sumMoney(col("c_acctbal")).as("sum_bal"))
       .transform(ordered("c_mktsegment"))
   }
 
@@ -221,12 +260,15 @@ object Catalog {
       .transform(ordered("user_id", "event_type"))
   }
 
-  /** C6 + A4: 10-minute floor-bin tumbling aggregation. */
+  /** C6 + A4: 10-minute floor-bin tumbling aggregation. value stats via
+    * [[avgMoney]]/[[sumMoney]] — the small (~10-row) bins make boundary
+    * rationals likely, and the exact-decimal sum is row-order-independent.
+    */
   val q08 = q(
     "q08_bin10_agg",
-    """SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch, event_type,
-      |       count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value,
-      |       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+    s"""SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch, event_type,
+      |       count(*) AS n, ${avgMoneySql("value")} AS avg_value,
+      |       ${sumMoneySql("value")} AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bin_epoch, event_type""".stripMargin) { (s, d) =>
@@ -236,8 +278,8 @@ object Catalog {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        r4(avg("value")).as("avg_value"),
-        r4(sum("value")).as("sum_value"))
+        avgMoney(col("value")).as("avg_value"),
+        sumMoney(col("value")).as("sum_value"))
       .transform(ordered("bin_epoch", "event_type"))
   }
 
@@ -312,7 +354,7 @@ object Catalog {
   /** C2–C4: the reference's bin macros (when-chains) driving a group-by. */
   val q11 = q(
     "q11_value_bins",
-    """SELECT
+    s"""SELECT
       |  CASE WHEN l_discount * 60 IS NULL THEN NULL
       |       WHEN l_discount * 60 = 0    THEN 'no_rain'
       |       WHEN l_discount * 60 < 0.5  THEN 'drizzle'
@@ -331,7 +373,7 @@ object Catalog {
       |       WHEN l_quantity - 15 < 20 THEN '10-20'
       |       WHEN l_quantity - 15 < 30 THEN '20-30'
       |       ELSE '>=30' END AS temp_bin,
-      |  count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |  count(*) AS n, ${sumMoneySql("l_extendedprice")} AS sum_price
       |FROM lineitem
       |GROUP BY 1, 2, 3
       |ORDER BY rain_bin, wind_bin, temp_bin""".stripMargin) { (s, d) =>
@@ -340,7 +382,7 @@ object Catalog {
         Macros.rainBin(col("l_discount") * 60).as("rain_bin"),
         Macros.windBin(col("l_quantity") / 2).as("wind_bin"),
         Macros.tempBin(col("l_quantity") - 15).as("temp_bin"))
-      .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
       .transform(ordered("rain_bin", "wind_bin", "temp_bin"))
   }
 
@@ -373,17 +415,26 @@ object Catalog {
       .transform(ordered("column_name"))
   }
 
-  /** A8 + C15: day-of-week × hour heatmap aggregate (ISO dow on both sides). */
+  /** A8 + C15: day-of-week × hour heatmap aggregate (ISO dow on both sides).
+    *
+    * `avg(value)` is computed as exact-DECIMAL sum ÷ count on BOTH sides
+    * (see [[avgMoney]]): a double sum is order-dependent in the last ulp,
+    * and when a group's true mean sits exactly on a 4th-decimal half
+    * boundary the r4 rounding of the two engines' (differently-ordered)
+    * sums diverges — observed on this query at sf0.001 the moment the
+    * scan-repartition config reached Verify. The decimal sum is exact, so
+    * the quotient is bit-identical regardless of row order.
+    */
   val q13 = q(
     "q13_heatmap_dow_hour",
-    """SELECT isodow(ts) AS dow, hour(ts) AS hr,
-      |       count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+    s"""SELECT isodow(ts) AS dow, hour(ts) AS hr,
+      |       count(*) AS n, ${avgMoneySql("value")} AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY dow, hr""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(Macros.isoDow(col("ts")).as("dow"), hour(col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"), avgMoney(col("value")).as("avg_value"))
       .transform(ordered("dow", "hr"))
   }
 
@@ -445,11 +496,15 @@ object Catalog {
     """SELECT DISTINCT l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m') AS ship_month
       |FROM lineitem
       |ORDER BY l_returnflag, l_linestatus, ship_month""".stripMargin) { (s, d) =>
+    // Distinct over int (year, month) keys; the string render runs on the
+    // ~500 surviving rows, not the 600k inputs (was: date_format before the
+    // distinct — 0.79s of pure per-row formatting at sf0.1).
     Tables.lineitem(s, d)
-      .select(
-        col("l_returnflag"), col("l_linestatus"),
-        Macros.monthKey(col("l_shipdate")).as("ship_month"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("__y"), month(col("l_shipdate")).as("__m"))
       .distinct()
+      .select(col("l_returnflag"), col("l_linestatus"),
+        format_string("%04d-%02d", col("__y"), col("__m")).as("ship_month"))
       .transform(ordered("l_returnflag", "l_linestatus", "ship_month"))
   }
 
@@ -464,11 +519,21 @@ object Catalog {
       |    WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'))
       |GROUP BY l.l_returnflag
       |ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
-    val goodCust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    // Both build sides are pinned broadcast: they are *pruned key sets*
+    // (segment-filtered customers, then the surviving order keys — ~1/5 of
+    // each table), and under the scan-repartition config AQE otherwise
+    // flips to a shuffle-both-sides semi-join (measured 0.35s → 0.68s in
+    // r3). At cluster scale the customer side stays dim-sized; if the
+    // pruned order-key set ever outgrows executor memory, drop the second
+    // hint and let the join fall back to shuffle — the cascade shape
+    // (filter → semi → semi) is scale-safe either way.
+    val goodCust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val goodOrders = Tables.orders(s, d)
-      .join(goodCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(goodCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
     Tables.lineitem(s, d)
-      .join(goodOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(goodOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
       .transform(ordered("l_returnflag"))
@@ -485,13 +550,22 @@ object Catalog {
       |FROM lineitem
       |GROUP BY 1, 2, 3, 4
       |ORDER BY flag_key, hr""".stripMargin) { (s, d) =>
+    // Group by the NATURAL keys only: flag_key/sin_hour/cos_hour are pure
+    // functions of (l_returnflag, l_linestatus, hr), so hashing a concat'd
+    // string and two computed doubles per input row only widens the
+    // aggregate key (was 1.2s — the slowest bench line in r3). Deriving
+    // them from the handful of result groups post-agg yields rows identical
+    // to the oracle's GROUP BY 1,2,3,4.
     Tables.lineitem(s, d)
-      .groupBy(
-        Macros.dotKey(col("l_returnflag"), col("l_linestatus")).as("flag_key"),
-        hour(col("l_shipdate")).as("hr"),
-        r4(Macros.sinHour(hour(col("l_shipdate")))).as("sin_hour"),
-        r4(Macros.cosHour(hour(col("l_shipdate")))).as("cos_hour"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        hour(col("l_shipdate")).as("hr"))
       .agg(count(lit(1)).as("n"))
+      .select(
+        Macros.dotKey(col("l_returnflag"), col("l_linestatus")).as("flag_key"),
+        col("hr"),
+        r4(Macros.sinHour(col("hr"))).as("sin_hour"),
+        r4(Macros.cosHour(col("hr"))).as("cos_hour"),
+        col("n"))
       .transform(ordered("flag_key", "hr"))
   }
 
@@ -500,12 +574,12 @@ object Catalog {
   /** JSON field extraction from a string column. */
   val q19 = q(
     "q19_json_extract",
-    """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n,
-      |       floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+    s"""SELECT json_extract(props, '$$.k')::BIGINT AS k, count(*) AS n,
+      |       ${avgMoneySql("value")} AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"), avgMoney(col("value")).as("avg_value"))
       .transform(ordered("k"))
   }
 
@@ -755,12 +829,12 @@ object Catalog {
     */
   val q30 = q(
     "q30_tumbling_window",
-    """SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) // 1000000 AS BIGINT) AS bin_epoch,
-      |       count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+    s"""SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) // 1000000 AS BIGINT) AS bin_epoch,
+      |       count(*) AS n, ${sumMoneySql("value")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY bin_epoch""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes").as("win"))
-      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
       .select(
         col("win.start").cast("long").as("bin_epoch"),
         col("n"), col("sum_value"))
@@ -836,9 +910,9 @@ object Catalog {
     */
   val q35 = q(
     "q35_strict_bin_join",
-    """WITH bin_stats AS (
+    s"""WITH bin_stats AS (
       |  SELECT (epoch_us(ts) // 600000000) * 600 AS bin_epoch,
-      |         floor((avg(value)) * 10000 + 0.5) / 10000 AS purchase_avg, count(*) AS n_purchases
+      |         ${avgMoneySql("value")} AS purchase_avg, count(*) AS n_purchases
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
       |SELECT e.event_id, (epoch_us(e.ts) // 600000000) * 600 AS bin_epoch,
       |       b.purchase_avg, b.n_purchases
@@ -849,7 +923,8 @@ object Catalog {
     val ev = Tables.events(s, d)
     val binStats = ev.filter(col("event_type") === "purchase")
       .groupBy(Macros.floorBinEpoch(col("ts"), 600).as("bin_epoch"))
-      .agg(r4(avg("value")).as("purchase_avg"), count(lit(1)).as("n_purchases"))
+      // avgMoney: ~10-row bins hit r4 boundary rationals; see q13
+      .agg(avgMoney(col("value")).as("purchase_avg"), count(lit(1)).as("n_purchases"))
     ev.filter(col("event_type") =!= "purchase")
       .withColumn("bin_epoch", Macros.floorBinEpoch(col("ts"), 600))
       .join(broadcast(binStats), Seq("bin_epoch"), "left")
@@ -1122,7 +1197,7 @@ object Catalog {
     */
   val q45 = q(
     "q45_session_window",
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -1132,12 +1207,12 @@ object Catalog {
       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
       |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-      |       count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+      |       count(*) AS n, ${sumMoneySql("value")} AS sum_value
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
@@ -1150,10 +1225,10 @@ object Catalog {
     */
   val q46 = q(
     "q46_cube",
-    """SELECT coalesce(l_returnflag, '(all)') AS flag,
+    s"""SELECT coalesce(l_returnflag, '(all)') AS flag,
       |       coalesce(l_linestatus, '(all)') AS status,
       |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-      |       count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |       count(*) AS n, ${sumMoneySql("l_extendedprice")} AS sum_price
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status, g_flag, g_status""".stripMargin) { (s, d) =>
@@ -1162,13 +1237,17 @@ object Catalog {
     // Expand volume from 4×|lineitem| to 4×|groups| (see q37 scaladoc).
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("__n"), sum("l_extendedprice").as("__sp"))
+      // the money partial stays DECIMAL through the Expand so both
+      // aggregation levels are exact (order-free) — cast to double only
+      // inside the final r4 (see avgMoney)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_extendedprice").cast("decimal(20,2)")).as("__sp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
         sum("__n").as("n"),
-        r4(sum("__sp")).as("sum_price"))
+        r4(sum("__sp").cast("double")).as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("status"),
