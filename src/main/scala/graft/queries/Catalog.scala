@@ -154,6 +154,11 @@ object Catalog {
     // its percentiles. When a group's value multiset outgrows executor
     // memory, switch to operators.Quantiles.quantileCont (shuffle-based,
     // memory bounded by distinct values) — the 10⁹-rows-per-group form.
+    // Measured A/B at sf0.1 (min-of-3, warm): this native kernel 0.358s;
+    // built-in `percentile` 0.679s; operators.Quantiles.quantileCont
+    // 1.131s (3 huge groups make its per-group distinct-value window the
+    // bottleneck — that form wins only when groups are many/small or value
+    // multisets outgrow memory). Details in SCALE.md.
     graft.functions.NativeAgg // ensure registration on this session
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -577,6 +582,10 @@ object Catalog {
     s"""SELECT json_extract(props, '$$.k')::BIGINT AS k, count(*) AS n,
       |       ${avgMoneySql("value")} AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    // Measured A/B at sf0.1 (min-of-5, two sessions each): get_json_object
+    // 0.164–0.166s vs from_json(pinned "k LONG" schema) 0.169–0.198s — a
+    // wash at the ~0.15s job floor, so the simpler path-extractor stays.
+    // (r3's 0.44s was the pre-warm-cache scan, not the parse.)
     Tables.events(s, d)
       .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .agg(count(lit(1)).as("n"), avgMoney(col("value")).as("avg_value"))

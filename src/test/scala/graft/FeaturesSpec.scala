@@ -133,6 +133,36 @@ class FeaturesSpec extends SparkSpec {
     assert(f3.getAs[Double]("rain_mm_lag10") == 0.5)
   }
 
+  test("training rows: lag join degrades from broadcast to shuffled join when over threshold") {
+    val feats = FeaturesEvents.build(events, weather2, FeaturesEvents.MappingTable(mapping))
+    val viaBroadcast = TrainingRow.build(feats, weather2)
+    assert(viaBroadcast.queryExecution.executedPlan.toString.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("lag_station_id")))
+    val broadcastRows = viaBroadcast.orderBy("fahrt_bezeichner")
+      .drop("row_id").collect() // row_id is partition-layout-dependent
+
+    // maxBytes=0 drops OUR hint; autoBroadcastJoinThreshold=-1 stops the
+    // planner re-broadcasting the (tiny, test-sized) frame on its own stats
+    // — together they emulate a fact-sized lag frame
+    spark.conf.set("graft.lags.broadcast.maxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = TrainingRow.build(feats, weather2)
+      val planStr = viaShuffle.queryExecution.executedPlan.toString
+      // the LAG join must be the shuffled kind; `feats` itself may keep its
+      // own (explicitly hinted) broadcast dim joins, so key on lag_station_id
+      def lagJoinLines(p: String) = p.split("\n").filter(l =>
+        l.contains("Join") && l.contains("lag_station_id"))
+      assert(lagJoinLines(planStr).exists(_.contains("SortMergeJoin")))
+      assert(!lagJoinLines(planStr).exists(_.contains("BroadcastHashJoin")))
+      val shuffleRows = viaShuffle.orderBy("fahrt_bezeichner").drop("row_id").collect()
+      assert(shuffleRows.toSeq == broadcastRows.toSeq)
+    } finally {
+      spark.conf.unset("graft.lags.broadcast.maxBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   // Second station on the same timestamps but shifted measures: a join that
   // ignores station_id would fan rows out ×2 and/or attach ZRH's weather.
   private val weather2 = weather.unionByName(
