@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_slices", "minhash_slices(shingles, k) - k-element MinHash signature"),
       (exprs: Seq[Expression]) => MinHashSlices(exprs(0), litInt(exprs(1)))))
     ext.injectFunction((
+      FunctionIdentifier("minhash_xx"),
+      info("minhash_xx", "minhash_xx(shingles, k) - k-element seeded-XXH64 MinHash signature (array<long>)"),
+      (exprs: Seq[Expression]) => MinHashXx(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(text) - 32-bit SimHash fingerprint as a '0'/'1' string"),
       (exprs: Seq[Expression]) => SimHash32(exprs(0))))

@@ -150,6 +150,37 @@ object TextKernels {
     }
     new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)): Array[Any])
   }
+
+  /** MinHash signature via seeded XXH64 — the production hash family: one
+    * 64-bit xxhash per (seed, shingle), computed straight over the
+    * shingle's UTF-8 bytes with the seed as the XXH64 seed parameter (no
+    * hex rendering, no digest allocation, no string concat per hash).
+    * Output is `array<long>` of per-seed minima (signed-long order).
+    *
+    * The md5 slice family above stays the ORACLE family: DuckDB 1.0 has no
+    * xxhash64 SQL function (verified round 2), so cross-engine pairs pin
+    * md5; engine-only callers pick this one for speed.
+    */
+  def minhashXx(shingleArr: ArrayData, numHashes: Int): ArrayData = {
+    if (shingleArr == null) return null
+    val n = shingleArr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var si = 0
+    while (si < n) {
+      val s = shingleArr.getUTF8String(si)
+      var seed = 0
+      while (seed < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(mins.map(Long.box): Array[Any])
+  }
 }
 
 /** Serializable handle for generated code: the kernel object itself holds a
@@ -159,6 +190,7 @@ object TextKernels {
 class TextKernelsRef extends Serializable {
   def shingles(t: UTF8String, n: Int): ArrayData = TextKernels.shingles(t, n)
   def minhashSlices(a: ArrayData, k: Int): ArrayData = TextKernels.minhashSlices(a, k)
+  def minhashXx(a: ArrayData, k: Int): ArrayData = TextKernels.minhashXx(a, k)
   def markerCounts(t: UTF8String, ms: Array[String]): ArrayData = TextKernels.markerCounts(t, ms)
   def simhash32(t: UTF8String): UTF8String = TextKernels.simhash32(t)
 }
@@ -258,6 +290,30 @@ case class MinHashSlices(child: Expression, numHashes: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Codegen-integrated expression wrapping [[TextKernels.minhashXx]]. */
+case class MinHashXx(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_xx"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashXx(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", new TextKernelsRef, classOf[TextKernelsRef].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.minhashXx($c, $numHashes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Register SQL forms (int args must be literals). */
   def register(spark: SparkSession): Unit = {
@@ -270,6 +326,8 @@ object TextExprs {
       "word_shingles", exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_slices", exprs => MinHashSlices(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_xx", exprs => MinHashXx(exprs(0), litInt(exprs(1))), "built-in")
     def litStr(e: Expression): String = e match {
       case Literal(v: UTF8String, StringType) => v.toString
       case f if f.foldable && f.dataType == StringType =>
@@ -293,6 +351,12 @@ object TextExprs {
     RegisterOnce("text_exprs")(register)
     org.apache.spark.sql.functions.call_function(
       "minhash_slices", shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def minhashXx(shingles: Column, numHashes: Int): Column = {
+    RegisterOnce("text_exprs")(register)
+    org.apache.spark.sql.functions.call_function(
+      "minhash_xx", shingles, org.apache.spark.sql.functions.lit(numHashes))
   }
 
   def simhash32(text: Column): Column = {

@@ -16,12 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
+  /** MinHash hash family. [[Md5]] is the cross-engine ORACLE family (md5 is
+    * identical in Spark and DuckDB; DuckDB 1.0 has no xxhash64 SQL function,
+    * verified round 2). [[Xx]] is the production family: seeded XXH64
+    * straight over the shingle bytes — no hex rendering, no per-hash string
+    * concat — with `xxhash64`-derived band keys. Same LSH guarantees; the
+    * signatures are simply a different (cheaper) min-wise hash family.
+    */
+  sealed trait HashFamily
+  case object Md5 extends HashFamily
+  case object Xx extends HashFamily
+
   /** @param numHashes   MinHash signature length k (= bands * rowsPerBand)
     * @param shingleSize word n-gram size
     * @param bands       number of LSH bands
+    * @param saltFactor  >1 salts the band-bucket self-join (see
+    *                    [[candidatePairs]]): the realistic 100 TB failure
+    *                    mode is one hot band key — boilerplate text whose
+    *                    shingles minhash identically across millions of
+    *                    docs — concentrating a quadratic bucket in ONE
+    *                    task. Off (1) by default: salting multiplies one
+    *                    join leg's shuffle ×factor, only worth paying on
+    *                    skewed corpora.
+    * @param hashFamily  [[Md5]] (oracle-parity default) or [[Xx]]
+    *                    (production speed; no DuckDB twin)
     */
-  case class Config(numHashes: Int = 8, shingleSize: Int = 3, bands: Int = 4) {
+  case class Config(numHashes: Int = 8, shingleSize: Int = 3, bands: Int = 4,
+      saltFactor: Int = 1, hashFamily: HashFamily = Md5) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(saltFactor >= 1, "saltFactor must be >= 1")
     val rowsPerBand: Int = numHashes / bands
   }
 
@@ -37,32 +60,65 @@ object MinHashLsh {
     *    dominant md5 cost 4× versus one md5 per (seed, shingle).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    require(cfg.numHashes % 4 == 0, "numHashes must be a multiple of 4")
-    docs
-      .select(
-        col(idCol).as("id"),
-        graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
-      .withColumn("sig",
+    if (cfg.hashFamily == Md5)
+      require(cfg.numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val shingled = docs.select(
+      col(idCol).as("id"),
+      graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
+    cfg.hashFamily match {
+      case Md5 => shingled.withColumn("sig",
         graft.functions.TextExprs.minhashSlices(col("shingles"), cfg.numHashes))
+      case Xx => shingled.withColumn("sig",
+        graft.functions.TextExprs.minhashXx(col("shingles"), cfg.numHashes))
+    }
   }
 
   /** Exploded (id, band, band_key) rows: band_key = md5 of the band's
-    * concatenated minhash rows.
+    * concatenated minhash rows (Md5 family; string key, reproducible in the
+    * SQL oracle) or xxhash64 over the band's minhash longs (Xx family; long
+    * key, 8 bytes on the shuffle wire instead of 32).
     */
   def bandKeys(sigs: DataFrame, cfg: Config): DataFrame = {
     val bandCols = (0 until cfg.bands).map { b =>
       val rows = (0 until cfg.rowsPerBand).map(r => col("sig")(b * cfg.rowsPerBand + r))
-      struct(lit(b).as("band"), md5(concat(rows: _*)).as("band_key"))
+      // the two families produce different band_key TYPES (string vs long);
+      // a run uses one family throughout, so the join key stays homogeneous
+      val key = cfg.hashFamily match {
+        case Md5 => md5(concat(rows: _*))
+        case Xx  => xxhash64(rows: _*)
+      }
+      struct(lit(b).as("band"), key.as("band_key"))
     }
     sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs (a < b) with the number of colliding bands. */
-  def candidatePairs(bandKeysDf: DataFrame): DataFrame = {
-    val l = bandKeysDf.select(col("id").as("a"), col("band"), col("band_key"))
-    val r = bandKeysDf.select(col("id").as("b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
+  /** Candidate pairs (a < b) with the number of colliding bands.
+    *
+    * With `saltFactor > 1` the self-join key becomes (band, band_key,
+    * salt): the left leg carries `salt = hash(a) % factor`, the right leg
+    * is exploded over all `factor` salts, so every (a, b) collision still
+    * matches exactly once while a hot bucket's pair enumeration fans out
+    * over `factor` tasks instead of one. (Same construction as
+    * [[graft.operators.Salt.saltedJoin]], minus the broadcast — both legs
+    * here are corpus-sized.) Cost: the exploded leg shuffles ×factor, but
+    * each row is only (id, band, band_key) ≈ 50 B.
+    */
+  def candidatePairs(bandKeysDf: DataFrame, saltFactor: Int = 1): DataFrame = {
+    val l0 = bandKeysDf.select(col("id").as("a"), col("band"), col("band_key"))
+    val r0 = bandKeysDf.select(col("id").as("b"), col("band"), col("band_key"))
+    val joined =
+      if (saltFactor <= 1) l0.join(r0, Seq("band", "band_key"))
+      else {
+        val l = l0.withColumn("__salt",
+          graft.operators.Salt.saltFrom(col("a"), saltFactor))
+        // sequence(int, int) is array<int>, so the exploded salt is already
+        // the same int type saltFrom produces
+        val r = r0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltFactor - 1))))
+        l.join(r, Seq("band", "band_key", "__salt")).drop("__salt")
+      }
+    joined
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -111,6 +167,7 @@ object MinHashLsh {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, cfg)
-    jaccardVerifyDocs(candidatePairs(bandKeys(sigs, cfg)), docs, idCol, textCol, cfg)
+    jaccardVerifyDocs(candidatePairs(bandKeys(sigs, cfg), cfg.saltFactor),
+      docs, idCol, textCol, cfg)
   }
 }

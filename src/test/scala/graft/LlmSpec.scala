@@ -156,6 +156,68 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("xxhash64 minhash family: exact dups always collide, unrelated never") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text",
+        MinHashLsh.Config(hashFamily = MinHashLsh.Xx))
+      .collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // identical text → identical signature in ANY min-wise family → all
+    // bands collide; Jaccard verification is family-independent
+    val exact = pairs.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 3L).get
+    assert(exact.getAs[Long]("n_bands") == 4L)
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    assert(!pairSet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
+    // signatures are longs (seeded XXH64), not hex strings
+    val sig = MinHashLsh.signatures(docs, "doc_id", "text",
+        MinHashLsh.Config(hashFamily = MinHashLsh.Xx))
+      .select("sig").collect()(0).getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
+  test("salted band join ≡ unsalted on a deliberately skewed corpus") {
+    // one hot bucket: 40 exact copies of the same text minhash identically
+    // in EVERY band (plus the two unrelated docs) — the 100 TB boilerplate
+    // failure shape where one band key holds a quadratic pair count
+    val skewed = ((0L until 40L).map(i => (i, "same boilerplate text repeated " +
+      "across the whole corpus forever and ever amen")) ++ Seq(
+      (100L, "completely different content about spark engines and queries"),
+      (101L, "another unrelated document mentioning rivers and banks only")))
+      .toDF("doc_id", "text")
+    def pairsWith(cfg: MinHashLsh.Config) =
+      MinHashLsh.nearDupPairs(skewed, "doc_id", "text", cfg)
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("n_bands"), r.getAs[Double]("jaccard"))).toSet
+    val unsalted = pairsWith(MinHashLsh.Config())
+    val salted = pairsWith(MinHashLsh.Config(saltFactor = 4))
+    assert(salted == unsalted)
+    assert(unsalted.size == 40 * 39 / 2) // the hot bucket's full pair set
+    assert(unsalted.forall { case (a, b, nb, j) => a < 40 && b < 40 && nb == 4 && j == 1.0 })
+  }
+
+  test("salted in-cell dedup ≡ unsalted on a hot cell") {
+    // every vector lands in one cell (all same direction ± tiny noise)
+    val hot = (0L until 30L).map { i =>
+      (i, Array(1.0f, (i % 7) * 1e-4f, 0.0f, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.centroids(hot)
+    val quant = Embeddings.trainQuantizer(cents)
+    def dedupWith(salt: Int) =
+      Embeddings.dedupInCells(hot, quant, 0.9, saltFactor = salt)
+        .collect().map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id"))).toSet
+    val unsalted = dedupWith(1)
+    val salted = dedupWith(4)
+    assert(salted == unsalted)
+    // every non-zero id is a near-dup; its keeper is the most-similar
+    // lower id (sim desc, kept_id asc): the lowest id sharing its noise
+    // component (i % 7) when one exists below it, else the adjacent-noise
+    // id one below
+    val expected = (1L until 30L).map { i =>
+      (i, if (i >= 7) i % 7 else i - 1)
+    }.toSet
+    assert(unsalted == expected)
+  }
+
   test("multimodal: frame sampling, resize, features feeding ANN dedup") {
     val media = Multimodal.fromDocuments(docs)
     // frame sampling fans one row out per sampled frame, deterministically
