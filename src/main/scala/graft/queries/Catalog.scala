@@ -48,38 +48,44 @@ object Catalog {
     * column, r4-rounded. A plain double `avg` is associativity-dependent:
     * different partitionings sum in different orders, and when the group's
     * true mean lands exactly on a 4th-decimal half boundary, r4 of the two
-    * engines' sums rounds to different sides. Summing as DECIMAL(20,2) is
-    * exact (each input double rounds to the same 2-decimal value in Spark
-    * and DuckDB — no double is ever exactly half a cent), so sum, quotient,
-    * and rounding are bit-identical in any row order. The SQL twin is
-    * [[avgMoneySql]]; both sides divide by `count(col)` to keep
-    * NULL-ignoring avg semantics.
+    * engines' sums rounds to different sides (observed on q13/q19 at
+    * sf0.001 and q08/q35 at sf0.1 the moment Verify adopted the bench's
+    * scan-repartition). Fix: sum the CENTS as long — `floor(x·100 + 0.5)`
+    * recovers the identical integer in both engines (no double is ever
+    * exactly half a cent), long addition is exact in any order and stays
+    * inside whole-stage codegen (measured ~15% cheaper than the
+    * DECIMAL(20,2) formulation on the big money aggregates, same
+    * guarantee). Long cents overflow at ~9×10¹⁶ dollar-sums per group —
+    * far beyond any corpus; a DECIMAL(38) variant is the escape hatch.
+    * The SQL twin is [[avgMoneySql]]; both sides divide by `count(col)`
+    * to keep NULL-ignoring avg semantics.
     */
   private def avgMoney(c: Column): Column =
-    r4(sum(c.cast("decimal(20,2)")).cast("double") / count(c))
+    r4(sum(floor(c * 100 + 0.5).cast("long")).cast("double") / (count(c) * 100.0))
 
   private def avgMoneySql(colName: String): String =
-    s"floor((CAST(sum(CAST($colName AS DECIMAL(20,2))) AS DOUBLE) / count($colName)) * 10000 + 0.5) / 10000"
+    s"floor((CAST(sum(CAST(floor($colName * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (count($colName) * 100.0)) * 10000 + 0.5) / 10000"
 
-  /** Order-independent r4 sum of a money-like double column — same exact-
-    * DECIMAL rationale as [[avgMoney]]. */
+  /** Order-independent r4 sum of a money-like double column — same exact
+    * cents-as-long rationale as [[avgMoney]]. */
   private def sumMoney(c: Column): Column =
-    r4(sum(c.cast("decimal(20,2)")).cast("double"))
+    r4(sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0)
 
   private def sumMoneySql(colName: String): String =
-    s"floor((CAST(sum(CAST($colName AS DECIMAL(20,2))) AS DOUBLE)) * 10000 + 0.5) / 10000"
+    s"floor((CAST(sum(CAST(floor($colName * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000"
 
   /** [[sumMoney]] at scale 4, for products of two 2-decimal columns (e.g.
     * `l_extendedprice * (1 - l_discount)`): the true product is a 4-decimal
     * rational and the IEEE double product lands within an ulp of it — far
-    * from any DECIMAL(24,4) rounding boundary — so both engines recover the
-    * identical exact value, and the sum is order-independent.
+    * from the ±0.00005 rounding boundary — so `floor(x·10⁴ + 0.5)` recovers
+    * the identical exact integer in both engines, and the long sum is
+    * order-independent.
     */
   private def sumMoney4(c: Column): Column =
-    r4(sum(c.cast("decimal(24,4)")).cast("double"))
+    r4(sum(floor(c * 10000 + 0.5).cast("long")).cast("double") / 10000.0)
 
   private def sumMoney4Sql(exprSql: String): String =
-    s"floor((CAST(sum(CAST(($exprSql) AS DECIMAL(24,4))) AS DOUBLE)) * 10000 + 0.5) / 10000"
+    s"floor((CAST(sum(CAST(floor(($exprSql) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000"
 
   /** Deterministic total ordering of a (small) final result. Results here
     * are answer-sized (10²–10⁴ rows), so a single round-robin shuffle to one
@@ -1246,17 +1252,17 @@ object Catalog {
     // Expand volume from 4×|lineitem| to 4×|groups| (see q37 scaladoc).
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      // the money partial stays DECIMAL through the Expand so both
-      // aggregation levels are exact (order-free) — cast to double only
+      // the money partial stays integer CENTS through the Expand so both
+      // aggregation levels are exact (order-free) — becomes double only
       // inside the final r4 (see avgMoney)
       .agg(count(lit(1)).as("__n"),
-        sum(col("l_extendedprice").cast("decimal(20,2)")).as("__sp"))
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("__sp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
         sum("__n").as("n"),
-        r4(sum("__sp").cast("double")).as("sum_price"))
+        r4(sum("__sp").cast("double") / 100.0).as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("status"),

@@ -29,6 +29,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q17: both pruned semi-join build sides stay broadcast") {
+    // r3 regression shape: under the scan-repartition config AQE flipped
+    // the cascade to shuffle-both-sides semi-joins (0.35s -> 0.68s); the
+    // pinned hints must hold as broadcast LeftSemi joins
+    val p = planOf("q17_semi_cascade")
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q42: candidate generation is a cell equi-join, not a nested loop") {
     val p = planOf("q42_embedding_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin"))
