@@ -1378,28 +1378,20 @@ object Catalog {
       .transform(ordered("user_id"))
   }
 
-  /** MinHash LSH near-dup with the production seeded-XXH64 hash family
-    * (`MinHashLsh.Xx`): one 64-bit hash per (seed, shingle) straight over
-    * the shingle bytes, long band keys. No SQL oracle — DuckDB 1.0 has no
-    * xxhash64 function (verified round 2), so the driver records the
-    * rows-only check; the md5 twin q24 carries the full cross-engine hash
-    * gate for the identical LSH pipeline, and LlmSpec pins this family's
-    * exact-dup/unrelated-doc behavior.
+  /** All registered queries, in catalog order.
+    *
+    * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
+    * family (`MinHashLsh.Config(hashFamily = Xx)`). DuckDB 1.0 cannot
+    * express xxhash64, so such an entry could only be a rows-only check
+    * that inflates the benchmarked total with no oracle-side twin; the
+    * family is instead exercised by LlmSpec, measured head-to-head against
+    * the md5 family in SCALE.md (0.584s vs 0.687s at sf0.1), and shares
+    * every line of the LSH pipeline q24 hash-verifies cross-engine.
     */
-  val q51 = qNoOracle("q51_minhash_xx") { (s, d) =>
-    import graft.llm.MinHashLsh
-    MinHashLsh.nearDupPairs(
-        Tables.documents(s, d), "doc_id", "text",
-        MinHashLsh.Config(hashFamily = MinHashLsh.Xx))
-      .select(col("a"), col("b"), col("n_bands"), r4(col("jaccard")).as("jaccard"))
-      .transform(ordered("a", "b"))
-  }
-
-  /** All registered queries, in catalog order. */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51)
+    q45, q46, q47, q48, q49, q50)
 }

@@ -17,10 +17,9 @@ class EntrySpec extends SparkSpec {
     assert(os.keySet.subsetOf(qs.keySet))
     assert(queries.Catalog.all.map(_.name).distinct.size == queries.Catalog.all.size)
     // every query carries a full cross-engine oracle (q31's seeded sample
-    // became hash-checkable via md5-order sampling) — except the xxhash64
-    // MinHash family, which DuckDB 1.0 cannot express (no xxhash64
-    // function, verified round 2); the driver records its rows-only check
-    // and its md5 twin q24 carries the hash gate for the same pipeline
-    assert((qs.keySet -- os.keySet) == Set("q51_minhash_xx"))
+    // became hash-checkable via md5-order sampling; the xxhash64 MinHash
+    // family, which DuckDB cannot express, is deliberately NOT a catalog
+    // entry — see Catalog.all's scaladoc)
+    assert((qs.keySet -- os.keySet).isEmpty)
   }
 }
