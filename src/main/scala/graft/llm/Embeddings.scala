@@ -155,6 +155,9 @@ object Embeddings {
   /** Drop all memoized quantizers (explicit invalidation hook). */
   def invalidateQuantizers(): Unit = { quantizers.clear(); latestFingerprint.clear() }
 
+  /** Test hook: entry count of the quantizer memo (eviction regression). */
+  private[graft] def quantizerCacheSize: Int = quantizers.size
+
   /** IVF assignment, persisted before a self-join: without this, BOTH legs
     * of the cell equi-join recompute the full assignment lineage (scan →
     * repartition → k×dim argmax per row) — column aliases differ between

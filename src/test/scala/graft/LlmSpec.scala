@@ -218,6 +218,32 @@ class LlmSpec extends SparkSpec {
     assert(unsalted == expected)
   }
 
+  test("quantizer memo: regeneration under the same path retrains and evicts the stale entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    def writeCorpus(shift: Float): Unit = Seq(
+      (0L, Array(1.0f + shift, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f + shift), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+
+    Embeddings.invalidateQuantizers()
+    writeCorpus(0.0f)
+    def train() = Embeddings.quantizerFor(dir,
+      Embeddings.centroids(spark.read.parquet(dir)))
+    val q1 = train()
+    assert(Embeddings.quantizerCacheSize == 1)
+    assert(train() eq q1) // same fingerprint → memo hit, no retrain
+
+    writeCorpus(1.0f) // regenerate: new files → new fingerprint
+    val q2 = train()
+    assert(!(q2 eq q1)) // retrained, not stale-served
+    // the superseded entry is evicted, not leaked for the JVM lifetime
+    assert(Embeddings.quantizerCacheSize == 1)
+
+    Embeddings.invalidateQuantizers()
+    assert(Embeddings.quantizerCacheSize == 0)
+  }
+
   test("multimodal: frame sampling, resize, features feeding ANN dedup") {
     val media = Multimodal.fromDocuments(docs)
     // frame sampling fans one row out per sampled frame, deterministically
