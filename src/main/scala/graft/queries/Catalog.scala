@@ -1378,6 +1378,37 @@ object Catalog {
       .transform(ordered("user_id"))
   }
 
+  /** Point-in-interval RANGE join (`operators/RangeJoin`): orders sampled
+    * into ~150 duration-varying intervals, every lineitem shipdate tested
+    * for containment, per-interval count + quantity sum. The oracle states
+    * the natural BETWEEN theta join; the Spark plan is the bin-expansion
+    * equi-join (intervals explode into overlapped 90-day bins, points map
+    * to one bin, exact BETWEEN as residual filter) — the form that shuffles
+    * instead of nested-looping at 10⁹ rows. PlanShapeSpec asserts no BNLJ.
+    */
+  val q51 = q(
+    "q51_range_join",
+    """SELECT i.o_orderkey, count(*) AS n_shipped,
+      |       floor((sum(l.l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+      |FROM (SELECT o_orderkey, o_orderdate,
+      |             o_orderdate + (o_orderkey % 90 + 1) * INTERVAL 1 DAY AS o_end
+      |      FROM orders WHERE o_orderkey % 997 = 0) i
+      |JOIN lineitem l ON l.l_shipdate BETWEEN i.o_orderdate AND i.o_end
+      |GROUP BY i.o_orderkey
+      |ORDER BY i.o_orderkey""".stripMargin) { (s, d) =>
+    val intervals = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 90 + 1 AS INT), o_orderdate)").as("o_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        Tables.lineitem(s, d).select(col("l_shipdate"), col("l_quantity")),
+        "l_shipdate", intervals, "o_orderdate", "o_end",
+        binSeconds = 90L * 86400)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"), r4(sum("l_quantity")).as("sum_qty"))
+      .transform(ordered("o_orderkey"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1393,5 +1424,5 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50)
+    q45, q46, q47, q48, q49, q50, q51)
 }

@@ -145,4 +145,43 @@ class OperatorsSpec extends SparkSpec {
     // a@10:00 falls inside [09:30,10:30] → replaced; a@11:00 survives; b untouched
     assert(got.sameElements(Array(10, 11, 2, 3)))
   }
+
+  test("range join ≡ theta join for ANY bin width; boundaries inclusive") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 800).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.ofEpochSecond(rnd.nextInt(500000).toLong, 0,
+          java.time.ZoneOffset.UTC)))
+    }.toDF("pid", "ts")
+    val intervals = (1 to 60).map { j =>
+      val s = rnd.nextInt(450000).toLong
+      (j.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC)),
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(s + rnd.nextInt(50000), 0, java.time.ZoneOffset.UTC)))
+    }.toDF("iid", "start", "end")
+
+    val theta = points.join(intervals, $"ts" >= $"start" && $"ts" <= $"end")
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(theta.nonEmpty)
+    // correctness must not depend on the bin width (it only tunes cost):
+    // smaller than, comparable to, and larger than the longest interval
+    for (bin <- Seq(1000L, 50000L, 1000000L)) {
+      val got = RangeJoin.pointInInterval(points, "ts", intervals, "start", "end", bin)
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == theta, s"binSeconds=$bin diverged")
+    }
+
+    // inclusive bounds at both ends, exclusive just outside
+    val p2 = Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 01:00:00")),
+      (3L, ts("2023-12-31 23:59:59")), (4L, ts("2024-01-01 01:00:01")))
+      .toDF("pid", "ts")
+    val i2 = Seq((9L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("iid", "start", "end")
+    val hits = RangeJoin.pointInInterval(p2, "ts", i2, "start", "end", 60)
+      .select($"pid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -44,6 +44,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"))
   }
 
+  test("q51: range join is a bin equi-join, never a nested loop or cartesian") {
+    // the naive BETWEEN theta join plans as BNLJ — O(points × intervals)
+    // in one stage, the 100 TB scale-killer RangeJoin exists to avoid
+    val p = planOf("q51_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q41: ranking shuffle carries no embedding arrays") {
     val p = planOf("q41_ivf_ann")
     // the window's exchange partitions by the left id only after vectors
