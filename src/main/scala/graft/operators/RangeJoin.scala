@@ -67,4 +67,41 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Inner interval-overlap join: every (left, right) interval pair with
+    * `[lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅` (closed intervals), matched
+    * within equal `keys` when given.
+    *
+    * Both sides explode into their overlapped bins and equi-join on the
+    * bin; a pair sharing k bins would surface k times, so instead of a
+    * dedup shuffle each pair is kept only at its FIRST shared bin —
+    * `max(bin(lStart), bin(rStart))`. For a truly overlapping pair that
+    * bin equals `bin(max(lStart, rStart))`, which both intervals cover (it
+    * is ≤ `bin(min(lEnd, rEnd))`), so it is attained exactly once; the
+    * overlap predicate itself stays the exact residual filter. Cost model
+    * matches [[pointInInterval]]: fan-out ∝ interval length ÷ binSeconds
+    * per side, one shuffle each, no quadratic stage.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binSeconds: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+      .withColumn("__bin", explode(sequence(
+        floor(Macros.epochSeconds(col(s)) / binSeconds),
+        floor(Macros.epochSeconds(col(e)) / binSeconds))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ "__bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") === greatest(
+        floor(Macros.epochSeconds(col(lStart)) / binSeconds),
+        floor(Macros.epochSeconds(col(rStart)) / binSeconds)))
+      .drop("__bin")
+  }
 }

@@ -1409,6 +1409,37 @@ object Catalog {
       .transform(ordered("o_orderkey"))
   }
 
+  /** Interval-overlap RANGE join (`operators/RangeJoin.intervalOverlap`):
+    * two order-derived interval sets, every overlapping pair counted per
+    * left interval. Oracle states the natural overlap theta join; the
+    * Spark plan is bin-expansion + first-shared-bin dedup (no distinct
+    * shuffle, no BNLJ) — the interval×interval companion to q51.
+    */
+  val q52 = q(
+    "q52_interval_overlap",
+    """WITH a AS (SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+      |                  o_orderdate + (o_orderkey % 60 + 1) * INTERVAL 1 DAY AS a_end
+      |           FROM orders WHERE o_orderkey % 997 = 0),
+      |     b AS (SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+      |                  o_orderdate + (o_orderkey % 45 + 1) * INTERVAL 1 DAY AS b_end
+      |           FROM orders WHERE o_orderkey % 991 = 0)
+      |SELECT a.a_key, count(*) AS n_overlaps, min(b.b_key) AS first_b
+      |FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+      |GROUP BY a.a_key
+      |ORDER BY a_key""".stripMargin) { (s, d) =>
+    def intervals(modulus: Int, maxDays: Int, p: String) = Tables.orders(s, d)
+      .filter(col("o_orderkey") % modulus === 0)
+      .select(col("o_orderkey").as(s"${p}_key"), col("o_orderdate").as(s"${p}_start"),
+        expr(s"timestampadd(DAY, CAST(o_orderkey % $maxDays + 1 AS INT), o_orderdate)").as(s"${p}_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        intervals(997, 60, "a"), "a_start", "a_end",
+        intervals(991, 45, "b"), "b_start", "b_end",
+        binSeconds = 60L * 86400)
+      .groupBy(col("a_key"))
+      .agg(count(lit(1)).as("n_overlaps"), min("b_key").as("first_b"))
+      .transform(ordered("a_key"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1424,5 +1455,5 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51)
+    q45, q46, q47, q48, q49, q50, q51, q52)
 }

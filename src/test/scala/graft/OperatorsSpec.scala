@@ -183,5 +183,29 @@ class OperatorsSpec extends SparkSpec {
     assert(hits == Set(1L, 2L))
   }
 
+  test("interval overlap join ≡ theta join; each pair exactly once at any bin width") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(13)
+    def mk(n: Int, span: Int, maxLen: Int, pfx: String) = (1 to n).map { j =>
+      val s = rnd.nextInt(span).toLong
+      (j.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC)),
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(s + rnd.nextInt(maxLen), 0, java.time.ZoneOffset.UTC)))
+    }.toDF(s"${pfx}id", s"${pfx}s", s"${pfx}e")
+    val a = mk(50, 400000, 60000, "a")
+    val b = mk(70, 400000, 40000, "b")
+    val theta = a.join(b, $"as" <= $"be" && $"bs" <= $"ae")
+      .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(theta.nonEmpty)
+    for (bin <- Seq(5000L, 60000L, 900000L)) {
+      // collect as a LIST: any duplicated pair (multi-bin double count)
+      // would fail the size comparison even though the set matches
+      val got = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", bin)
+        .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == theta.size, s"binSeconds=$bin duplicated or dropped pairs")
+      assert(got.toSet == theta, s"binSeconds=$bin diverged")
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -52,6 +52,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q52: interval overlap is a bin equi-join, never a nested loop or cartesian") {
+    val p = planOf("q52_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q41: ranking shuffle carries no embedding arrays") {
     val p = planOf("q41_ivf_ann")
     // the window's exchange partitions by the left id only after vectors
