@@ -76,6 +76,39 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.sessionAgg(over, "ts", Seq("k"), "v").count() == 2)
   }
 
+  test("streaming near-dup filter: later exact dup flagged against first-seen keeper") {
+    implicit val sql = spark.sqlContext
+    val same = "the quick brown fox jumps over the lazy dog near the river"
+    val mem = MemoryStream[(Long, String)]
+    // one RUNNING query across both micro-batches — state (the band-key
+    // index) lives in the query; restarting without a checkpoint would
+    // reprocess from scratch
+    val s = Streaming.nearDupCandidates(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup")
+      .start()
+    // batch 1: the original + one unrelated doc
+    mem.addData((10L, same), (11L, "completely different content about engines and plans"))
+    s.processAllAvailable()
+    assert(spark.table("neardup").count() == 0) // nothing collides yet
+    // batch 2: an exact duplicate arrives later → flagged in ALL bands
+    // against the FIRST-SEEN keeper (10), regardless of its lower id
+    mem.addData((5L, same))
+    s.processAllAvailable(); s.stop()
+    val got = spark.table("neardup").collect()
+      .map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id")))
+    assert(got.length == 4) // 4 bands, all colliding for an exact dup
+    assert(got.forall(_ == (5L, 10L)))
+
+    // batch mode: same transform, keeper degenerates to min id
+    val batch = Streaming.nearDupCandidates(
+      Seq((10L, same), (11L, "completely different content about engines and plans"), (5L, same))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id")))
+    assert(batch.length == 4)
+    assert(batch.forall(_ == (10L, 5L)))
+  }
+
   test("streaming dedupe drops repeated business keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
