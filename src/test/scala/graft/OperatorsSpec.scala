@@ -181,6 +181,18 @@ class OperatorsSpec extends SparkSpec {
     val hits = RangeJoin.pointInInterval(p2, "ts", i2, "start", "end", 60)
       .select($"pid").collect().map(_.getLong(0)).toSet
     assert(hits == Set(1L, 2L))
+
+    // keyed variant: containment additionally requires the equal key —
+    // equivalent to the theta join with the key conjunct
+    val kp = points.withColumn("k", ($"pid" % 3).cast("int"))
+    val ki = intervals.withColumn("k", ($"iid" % 3).cast("int"))
+    val keyedTheta = kp.join(ki,
+        kp("k") === ki("k") && $"ts" >= $"start" && $"ts" <= $"end")
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keyedGot = RangeJoin.pointInInterval(kp, "ts", ki, "start", "end", 50000, keys = Seq("k"))
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyedGot == keyedTheta)
+    assert(keyedGot.nonEmpty && keyedGot != theta) // the key genuinely filters
   }
 
   test("interval overlap join ≡ theta join; each pair exactly once at any bin width") {
