@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, group-leakage-safe train/val/test splitting.
+  *
+  * Training pipelines must split so that every row of the same GROUP (user,
+  * document family, session) lands in the same split — row-level random
+  * splits leak near-duplicate rows of one entity across train and eval. The
+  * assignment here is a pure function of the group key: the first 8 hex
+  * digits of `md5(key)` read as a uniform draw on the keyspace, compared
+  * against cumulative-fraction thresholds rendered as hex strings.
+  * Lowercase-hex string comparison is numeric comparison, and md5 is
+  * identical in every engine — so the split is reproducible across runs,
+  * engines, partitionings, and cluster sizes, with zero RNG state and zero
+  * shuffle (a scan-time projection).
+  *
+  * The reference's pipeline has no split step (its serving layer consumes
+  * everything); this is part of the training-data surface the engine adds.
+  */
+object Splits {
+
+  /** Hex threshold for cumulative fraction f: floor(f · 16⁸) as 8 lowercase
+    * hex digits — `md5hex.substring(0, 8) < threshold` selects exactly the
+    * first f of the (uniform) md5 keyspace.
+    */
+  private[graft] def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction bound $f outside [0,1]")
+    val v = math.min((f * 4294967296.0).toLong, 4294967295L)
+    f"$v%08x"
+  }
+
+  /** SQL CASE twin of [[splitColumn]] for cross-engine oracles. */
+  def splitCaseSql(keyExprSql: String, fractions: Seq[(String, Double)]): String = {
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val whens = fractions.init.zip(cums.init).map { case ((name, _), cum) =>
+      s"WHEN substr(md5(CAST($keyExprSql AS VARCHAR)), 1, 8) < '${hexThreshold(cum)}' THEN '$name'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
+  }
+
+  /** Split-name column for `key`, e.g.
+    * `fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    * Fractions must sum to 1 (±1e-9); boundaries are exact keyspace
+    * fractions, so realized proportions converge on the fractions as the
+    * number of distinct keys grows.
+    */
+  def splitColumn(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = substring(md5(key.cast("string")), 1, 8)
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    fractions.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        val cond = bucket < lit(hexThreshold(cum))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(fractions.head._1))(_.otherwise(fractions.last._1))
+  }
+
+  /** `df` plus a `split` column assigned group-cohesively by `keyCol`. */
+  def byGroup(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitColumn(col(keyCol), fractions))
+}

@@ -1444,6 +1444,26 @@ object Catalog {
       .transform(ordered("a_key"))
   }
 
+  /** Group-leakage-safe deterministic train/val/test split
+    * (`llm/Splits`): every event of a user lands in one split, assignment
+    * a pure function of md5(user_id) against hex keyspace thresholds — no
+    * RNG state, no shuffle for the assignment itself, bit-identical in
+    * both engines. Output: per-split row and distinct-user counts.
+    */
+  val q53 = q(
+    "q53_group_split",
+    s"""SELECT ${graft.llm.Splits.splitCaseSql("user_id",
+             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split,
+      |       count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+    graft.llm.Splits.byGroup(Tables.events(s, d), "user_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+      .transform(ordered("split"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1459,5 +1479,5 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

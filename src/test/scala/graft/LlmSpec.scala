@@ -244,6 +244,26 @@ class LlmSpec extends SparkSpec {
     assert(Embeddings.quantizerCacheSize == 0)
   }
 
+  test("group split: cohesive per key, deterministic, threshold math exact") {
+    assert(Splits.hexThreshold(0.5) == "80000000")
+    assert(Splits.hexThreshold(0.0) == "00000000")
+    assert(Splits.hexThreshold(1.0) == "ffffffff")
+    val rows = (1 to 500).flatMap(u => (1 to 3).map(i => (u.toLong, i)))
+      .toDF("user_id", "seq")
+    val split = Splits.byGroup(rows, "user_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // cohesion: every user's rows land in exactly one split
+    assert(split.groupBy("user_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" =!= 1).count() == 0)
+    // all three splits non-empty and roughly proportioned at 500 keys
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // deterministic: a second evaluation is identical row-for-row
+    val again = Splits.byGroup(rows, "user_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() == 0 && again.exceptAll(split).count() == 0)
+  }
+
   test("multimodal: frame sampling, resize, features feeding ANN dedup") {
     val media = Multimodal.fromDocuments(docs)
     // frame sampling fans one row out per sampled frame, deterministically
