@@ -1464,6 +1464,35 @@ object Catalog {
       .transform(ordered("split"))
   }
 
+  /** Token-budget sequence packing (`llm/Packing`): documents packed into
+    * ≈1024-token training bins by contiguous fill within 4 shards —
+    * `bin = exclusive-prefix-sum(tokens) ÷ budget` over doc_id order, the
+    * deterministic relational form of greedy packing (window per shard, no
+    * global sort). Token counts are the q21 BPE-ish kernel; output is the
+    * per-bin packing summary.
+    */
+  val q54 = q(
+    "q54_token_packing",
+    """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+      |             len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS toks
+      |           FROM documents),
+      |p AS (SELECT *, COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS bin_seq
+      |      FROM t)
+      |SELECT shard, bin_seq, count(*) AS n_docs, sum(toks) AS sum_tokens,
+      |       floor((sum(toks) / 1024.0) * 10000 + 0.5) / 10000 AS fill
+      |FROM p GROUP BY 1, 2 ORDER BY shard, bin_seq""".stripMargin) { (s, d) =>
+    import graft.llm.{Packing, TextAnalysis}
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), (col("doc_id") % 4).as("shard"),
+      TextAnalysis.tokenCountBpe(col("text")).cast("long").as("toks"))
+    Packing.binStats(Packing.packGreedy(toks, "toks", 1024, "shard", "doc_id"),
+        "toks", 1024, "shard")
+      .select(col("shard"), col("bin_seq"), col("n_docs"), col("sum_tokens"),
+        r4(col("fill")).as("fill"))
+      .transform(ordered("shard", "bin_seq"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1479,5 +1508,5 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

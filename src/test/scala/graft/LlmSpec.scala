@@ -264,6 +264,28 @@ class LlmSpec extends SparkSpec {
     assert(split.exceptAll(again).count() == 0 && again.exceptAll(split).count() == 0)
   }
 
+  test("token packing: contiguous fill, oversized doc isolated, per-shard windows") {
+    val docs2 = Seq(
+      (1L, 0, 600L), (2L, 0, 600L), (3L, 0, 600L), // 600+600 fills bin 0, third spills
+      (4L, 0, 2000L),                              // oversized: overflows its bin (contiguous fill)
+      (5L, 1, 100L), (6L, 1, 100L))                // second shard packs independently
+      .toDF("doc_id", "shard", "toks")
+    val packed = Packing.packGreedy(docs2, "toks", 1024, "shard", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_seq")).toMap
+    // shard 0 prefix sums: 0, 600, 1200, 1800 → bins 0, 0, 1, 1
+    assert(packed(1L) == 0 && packed(2L) == 0)
+    assert(packed(3L) == 1 && packed(4L) == 1)
+    // shard 1 restarts: 0, 100 → bin 0
+    assert(packed(5L) == 0 && packed(6L) == 0)
+    val stats = Packing.binStats(
+        Packing.packGreedy(docs2, "toks", 1024, "shard", "doc_id"), "toks", 1024, "shard")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("bin_seq")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(stats((0, 0L)) == (2L, 1200L))
+    assert(stats((0, 1L)) == (2L, 2600L))
+    assert(stats((1, 0L)) == (2L, 200L))
+  }
+
   test("multimodal: frame sampling, resize, features feeding ANN dedup") {
     val media = Multimodal.fromDocuments(docs)
     // frame sampling fans one row out per sampled frame, deterministically
