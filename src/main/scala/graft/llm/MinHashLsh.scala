@@ -154,6 +154,49 @@ object MinHashLsh {
           size(array_union(col("sa"), col("sb"))))
       .drop("sa", "sb")
 
+  /** Cross-corpus candidate pairs: documents of `bandKeysA` colliding with
+    * documents of `bandKeysB` in at least one band — the DECONTAMINATION
+    * shape (training corpus × held-out benchmark), a band equi-JOIN rather
+    * than a self-join, so cost is |A∩buckets∩B| not |A∪B|². No `a < b`
+    * filter: the sides are distinct corpora and every (a, b) collision is
+    * reported once.
+    */
+  def crossCandidatePairs(bandKeysA: DataFrame, bandKeysB: DataFrame): DataFrame = {
+    val l = bandKeysA.select(col("id").as("a"), col("band"), col("band_key"))
+    val r = bandKeysB.select(col("id").as("b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** End-to-end decontamination: near-duplicate (train, benchmark) pairs
+    * with exact Jaccard, verified on candidates only. Shingle sets are
+    * rebuilt behind semi-joins on the candidate ids, exactly like
+    * [[jaccardVerifyDocs]].
+    */
+  def crossNearDupPairs(
+      train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val pairs = crossCandidatePairs(
+      bandKeys(signatures(train, idCol, textCol, cfg), cfg),
+      bandKeys(signatures(benchmark, idCol, textCol, cfg), cfg))
+    val setsOf = (docs: DataFrame, side: Column) => {
+      val candIds = pairs.select(side.as("cid")).distinct()
+      docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+        .select(col(idCol).as("id"),
+          array_distinct(
+            graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize)).as("sset"))
+    }
+    pairs
+      .join(setsOf(train, col("a")).select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
+      .join(setsOf(benchmark, col("b")).select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
+          size(array_union(col("sa"), col("sb"))))
+      .drop("sa", "sb")
+  }
+
   /** End-to-end: docs → verified candidate pairs.
     *
     * The signature frame feeds three plan branches (band keys + both sides

@@ -1493,6 +1493,46 @@ object Catalog {
       .transform(ordered("shard", "bin_seq"))
   }
 
+  /** Benchmark decontamination (`MinHashLsh.crossNearDupPairs`): the LSH
+    * band join run ACROSS two corpora — "training" docs (doc_id % 5 ≠ 0)
+    * × "benchmark" docs (doc_id % 5 = 0) — reporting every near-duplicate
+    * (train, benchmark) pair with exact Jaccard. Same scale shape as q24
+    * (band-bucket equi-join, candidates-only verification) but a two-sided
+    * join, so cost is bucket intersection, never |A∪B|².
+    */
+  val q55 = q(
+    "q55_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |hx AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+      |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM sh),
+      |mh AS (SELECT doc_id, shingles,
+      |         list_transform(generate_series(0, 7), i ->
+      |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+      |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+      |       FROM hx),
+      |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+      |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+      |         FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+      |         WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+      |         GROUP BY 1, 2),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
+      |SELECT c.a, c.b, c.n_bands,
+      |       floor((len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+      |             len(list_distinct(sa.sset || sb.sset))) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.MinHashLsh.crossNearDupPairs(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .select(col("a"), col("b"), col("n_bands"), r4(col("jaccard")).as("jaccard"))
+      .transform(ordered("a", "b"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1508,5 +1548,5 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }

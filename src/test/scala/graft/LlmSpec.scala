@@ -156,6 +156,22 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cross-corpus decontamination: benchmark overlap found, within-corpus pairs not reported") {
+    val train = docs.filter($"doc_id".isin(0L, 1L, 2L)) // includes exact+near dup of each other
+    val bench = docs.filter($"doc_id" === 3L)            // doc 3 = exact dup of train doc 0
+    val pairs = MinHashLsh.crossNearDupPairs(train, bench, "doc_id", "text").collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // contamination detected: benchmark doc 3 collides with train docs 0
+    // (exact) and 1 (near); the unrelated train doc 2 is clean
+    assert(pairSet.contains((0L, 3L)))
+    assert(!pairSet.exists { case (a, _) => a == 2L })
+    val exact = pairs.find(r => r.getAs[Long]("a") == 0L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0 && exact.getAs[Long]("n_bands") == 4L)
+    // the within-train near-dup pair (0, 1) is NOT reported — cross join
+    // only pairs across the corpora
+    assert(pairSet.forall { case (_, b) => b == 3L })
+  }
+
   test("xxhash64 minhash family: exact dups always collide, unrelated never") {
     val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text",
         MinHashLsh.Config(hashFamily = MinHashLsh.Xx))
