@@ -128,4 +128,16 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => md5(s)))
+
+  /** Intra-document repetition: 1 − distinct/total word n-gram shingles —
+    * 0 for fully novel text, → 1 as the document degenerates into repeated
+    * boilerplate. The standard corpus-filtering signal for loops/templated
+    * spam; NULL when the document is shorter than one shingle (repetition
+    * is undefined, not zero, on such fragments).
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)) * lit(1.0) / size(sh))
+  }
 }

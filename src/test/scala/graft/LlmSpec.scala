@@ -156,6 +156,19 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("repetition ratio: novel 0, repeated boilerplate high, short fragment null") {
+    val t = Seq(
+      (1L, "one two three four five six seven eight"),      // all shingles distinct
+      (2L, "spam spam spam spam spam spam spam spam spam"), // one distinct shingle
+      (3L, "a b"))                                          // shorter than a shingle
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.repetitionRatio($"text").as("rep"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(t(1L).contains(0.0))
+    assert(t(2L).exists(_ > 0.8)) // 7 shingles, 1 distinct → 6/7
+    assert(t(3L).isEmpty)
+  }
+
   test("cross-corpus decontamination: benchmark overlap found, within-corpus pairs not reported") {
     val train = docs.filter($"doc_id".isin(0L, 1L, 2L)) // includes exact+near dup of each other
     val bench = docs.filter($"doc_id" === 3L)            // doc 3 = exact dup of train doc 0
