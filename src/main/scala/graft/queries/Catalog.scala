@@ -1476,10 +1476,10 @@ object Catalog {
     """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
       |             len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS toks
       |           FROM documents),
-      |p AS (SELECT *, COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS bin_seq
+      |p AS (SELECT *, CAST(COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS BIGINT) AS bin_seq
       |      FROM t)
-      |SELECT shard, bin_seq, count(*) AS n_docs, sum(toks) AS sum_tokens,
+      |SELECT shard, bin_seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
       |       floor((sum(toks) / 1024.0) * 10000 + 0.5) / 10000 AS fill
       |FROM p GROUP BY 1, 2 ORDER BY shard, bin_seq""".stripMargin) { (s, d) =>
     import graft.llm.{Packing, TextAnalysis}
