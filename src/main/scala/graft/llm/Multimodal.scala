@@ -30,6 +30,58 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, sha: String)
 
+  /** Real, pure-JVM image header parsing — no decode libraries needed.
+    * Reads (width, height) straight out of the container header: PNG's IHDR
+    * chunk (first chunk by spec, big-endian dims at bytes 16/20) and JPEG's
+    * SOFn frame segment (scan the marker stream for 0xC0–0xCF excluding
+    * DHT/JPG/DAC, dims at segment offset +5/+7). Anything unrecognized or
+    * truncated returns None and callers fall back to [[FakeDecoder]] (the
+    * audio/video paths, and the test corpus's text-bytes stand-ins).
+    */
+  object ImageHeaders {
+    def dimensions(b: Array[Byte]): Option[(Int, Int)] =
+      if (isPng(b)) pngDims(b)
+      else if (isJpeg(b)) jpegDims(b)
+      else None
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
+
+    private def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      // PNG spec: IHDR MUST be the first chunk — type at bytes 12–15,
+      // then width/height as big-endian u32
+      if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 9 <= b.length) {
+        if (u8(b, i) != 0xff) return None // marker stream desynced
+        val marker = u8(b, i + 1)
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+        else {
+          // SOF0–SOF15 carry frame dims; 0xC4/0xC8/0xCC are DHT/JPG/DAC
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some((be16(b, i + 7), be16(b, i + 5)))
+          i += 2 + be16(b, i + 2) // skip segment: 2 marker bytes + payload len
+        }
+      }
+      None
+    }
+  }
+
   /** STUB decoder: deterministic fake dimensions derived from the payload.
     * A real implementation would parse the container header here.
     */
@@ -142,7 +194,10 @@ object Multimodal {
   }
 
   /** Batched decode pass: mapPartitions over the typed Dataset so decoder
-    * state is per-partition, not per-row.
+    * state is per-partition, not per-row. Image dimensions come from the
+    * REAL header parse ([[ImageHeaders]]: PNG IHDR / JPEG SOF) whenever the
+    * payload is a recognized container; only unrecognized payloads (audio/
+    * video, and the test corpus's text stand-ins) fall back to the stub.
     */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -152,7 +207,10 @@ object Multimodal {
         // per-partition decoder context would be initialized here
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
-          val (w, h, f) = FakeDecoder.decodeImage(r.content)
+          val (w, h, f) = ImageHeaders.dimensions(r.content) match {
+            case Some((pw, ph)) => (pw, ph, 1) // still image: one frame
+            case None           => FakeDecoder.decodeImage(r.content)
+          }
           digest.reset()
           val sha = digest.digest(r.content).map("%02x".format(_)).mkString
           MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, h, f, sha)

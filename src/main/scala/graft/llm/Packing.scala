@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * Scale: true greedy packing is inherently sequential; sharding is what
   * makes it distributed — the window partitions by `shardCol`, so
   * parallelism = number of shards and no global sort exists. Packing
-  * quality loss vs global greedy is the per-shard boundary waste
-  * (≤ one bin per shard), negligible at real corpus sizes. Choose the
-  * shard key by locality needs (language, source, curriculum bucket).
+  * quality bound (PropertySpec-asserted): per shard,
+  * `bins × budget < totalTokens + budget` — net waste stays under one
+  * budget quantum because the bin count meets the `ceil(total/budget)`
+  * capacity lower bound whenever token counts are positive (a document
+  * crossing a boundary stays in its bin, overflowing it rather than
+  * opening a fresh one). Cross-shard quality loss vs global greedy is that
+  * same sub-budget boundary waste once per shard, negligible at real
+  * corpus sizes. Choose the shard key by locality needs (language, source,
+  * curriculum bucket).
   */
 object Packing {
 
@@ -40,7 +46,11 @@ object Packing {
       floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
   }
 
-  /** Per-bin packing summary: documents, tokens, fill ratio. */
+  /** Per-bin packing summary: documents, tokens, fill ratio, and `waste` —
+    * the unused capacity of an underfull bin (0 for bins at or over budget;
+    * overflow is deliberate, see [[packGreedy]], so it is not negative
+    * waste).
+    */
   def binStats(packed: DataFrame, tokensCol: String, budget: Long,
       shardCol: String): DataFrame =
     packed.groupBy(col(shardCol), col("bin_seq"))
@@ -48,4 +58,5 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("sum_tokens"))
       .withColumn("fill", col("sum_tokens") / lit(budget.toDouble))
+      .withColumn("waste", greatest(lit(0L), lit(budget) - col("sum_tokens")))
 }

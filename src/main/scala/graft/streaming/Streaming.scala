@@ -72,12 +72,8 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val bk = graft.llm.MinHashLsh
-      .bandKeys(graft.llm.MinHashLsh.signatures(docs, idCol, textCol, cfg), cfg)
-      .select(col("id").cast("long"), col("band").cast("int"),
-        col("band_key").cast("string"))
-      .as[(Long, Int, String)]
-    bk.groupByKey { case (_, band, key) => (band, key) }
+    bandKeyRows(docs, idCol, textCol, cfg)
+      .groupByKey { case (_, band, key) => (band, key) }
       .flatMapGroupsWithState[Long, (Long, Int, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bandKey: (Int, String), rows: Iterator[(Long, Int, String)],
@@ -89,6 +85,68 @@ object Streaming {
           ids.filterNot(_ == keeper).map(id => (id, bandKey._1, keeper)).iterator
       }
       .toDF("dup_id", "band", "kept_id")
+  }
+
+  /** TTL-bounded variant of [[nearDupCandidates]]: each band key's keeper
+    * expires after `ttl` of processing-time INACTIVITY (the horizon slides on
+    * every arrival that touches the key), after which the next arrival
+    * re-claims the key as a fresh keeper. This bounds state to the keys seen
+    * within one dedup horizon — the shape production continuous dedup needs,
+    * trading global uniqueness for bounded memory: a duplicate arriving more
+    * than `ttl` after its keeper's last sighting is admitted as new.
+    *
+    * Timeouts fire at micro-batch boundaries (Structured Streaming checks
+    * expired state when a batch runs), so eviction latency is `ttl` plus the
+    * gap to the next triggered batch. Batch-DataFrame execution ignores
+    * processing-time timeouts (single invocation per group), where this
+    * degenerates to [[nearDupCandidates]] exactly.
+    */
+  def nearDupCandidatesTtl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ttl: String = "24 hours",
+      cfg: graft.llm.MinHashLsh.Config = graft.llm.MinHashLsh.Config()): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandKeyRows(docs, idCol, textCol, cfg)
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (bandKey: (Int, String), rows: Iterator[(Long, Int, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no arrivals on this band key: forget the
+            // keeper so the key can be re-claimed
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._1).toSeq.distinct.sorted
+            val keeper = state.getOption.getOrElse(ids.min)
+            state.update(keeper)
+            state.setTimeoutDuration(ttl)
+            ids.filterNot(_ == keeper).map(id => (id, bandKey._1, keeper)).iterator
+          }
+      }
+      .toDF("dup_id", "band", "kept_id")
+  }
+
+  /** Shared LSH front half of the streaming near-dup filters: per-document
+    * band keys as a typed Dataset, ready for `groupByKey((band, key))`.
+    */
+  private def bandKeyRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: graft.llm.MinHashLsh.Config) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.llm.MinHashLsh
+      .bandKeys(graft.llm.MinHashLsh.signatures(docs, idCol, textCol, cfg), cfg)
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("band_key").cast("string"))
+      .as[(Long, Int, String)]
   }
 
   /** Gap-based session aggregation (the streaming form of q45): sessions

@@ -345,4 +345,39 @@ class LlmSpec extends SparkSpec {
     assert(meta(0).n_bytes == text0.length && meta(0).width == 64 + text0.length % 1216)
     assert(meta(0).sha == env(0).getAs[String]("content_sha")) // expr and mapPartitions agree
   }
+
+  test("multimodal: real PNG/JPEG header decode, stub fallback for the rest") {
+    // a REAL 1×1 transparent PNG (the canonical smallest encoder output)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Multimodal.ImageHeaders.dimensions(png).contains((1, 1)))
+    // a minimal JPEG marker stream: SOI, APP0 (skipped by length), SOF0
+    // declaring height=7 width=5
+    val jpeg = Array(
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,             // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x07, 0x00, 0x05, 0x03 // SOF0: h=7 w=5
+    ).map(_.toByte)
+    assert(Multimodal.ImageHeaders.dimensions(jpeg).contains((5, 7)))
+    // DHT (0xC4) before SOF must be skipped, not read as a frame header
+    val jpegDht = Array(
+      0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x04, 0x00, 0x00,             // DHT, len 4 — not SOF
+      0xff, 0xc2, 0x00, 0x0b, 0x08, 0x00, 0x03, 0x00, 0x09, 0x01 // SOF2: h=3 w=9
+    ).map(_.toByte)
+    assert(Multimodal.ImageHeaders.dimensions(jpegDht).contains((9, 3)))
+    // unrecognized / truncated payloads → None (stub fallback territory)
+    assert(Multimodal.ImageHeaders.dimensions("plain text".getBytes).isEmpty)
+    assert(Multimodal.ImageHeaders.dimensions(png.take(10)).isEmpty)
+    assert(Multimodal.ImageHeaders.dimensions(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+
+    // through the Spark decode pass: the PNG row reports its TRUE dims while
+    // the text row keeps the deterministic stub's
+    val media = Seq((1L, "image", png), (2L, "image", "not an image".getBytes))
+      .toDF("media_id", "kind", "content")
+    val meta = Multimodal.decodeMeta(spark, media).orderBy("media_id").collect()
+    assert(meta(0).width == 1 && meta(0).height == 1 && meta(0).n_frames == 1)
+    val n = "not an image".getBytes.length
+    assert(meta(1).width == 64 + n % 1216) // stub fallback unchanged
+  }
 }

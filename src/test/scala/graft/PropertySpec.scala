@@ -86,6 +86,37 @@ class PropertySpec extends SparkSpec {
     for (f <- Seq(2, 5)) assert(pairs(f) == unsalted, s"saltFactor $f diverged")
   }
 
+  test("packing: per-shard net waste under one budget quantum, rows conserved") {
+    import graft.llm.Packing
+    // skewed token counts across a few shards — boundary-crossing docs,
+    // sub-budget docs, and docs larger than the whole budget all appear
+    val docGen = Gen.listOfN(300, for {
+      shard <- Gen.choose(0, 3)
+      toks <- Gen.frequency(8 -> Gen.choose(1L, 400L), 2 -> Gen.choose(900L, 2600L))
+    } yield (shard, toks))
+    val docs = docGen.pureApply(Gen.Parameters.default, Seed(11L))
+      .zipWithIndex.map { case ((sh, t), i) => (i.toLong, sh, t) }
+      .toDF("doc_id", "shard", "toks")
+    val budget = 1024L
+    val packed = Packing.packGreedy(docs, "toks", budget, "shard", "doc_id")
+    // every document lands in exactly one bin
+    assert(packed.count() == 300 && packed.filter($"bin_seq".isNull).count() == 0)
+    val stats = Packing.binStats(packed, "toks", budget, "shard").collect()
+    val byShard = stats.groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (sh, bins) =>
+      val total = bins.map(_.getAs[Long]("sum_tokens")).sum
+      // bin count meets the capacity lower bound: nBins * budget < total + budget
+      // ⟺ nBins ≤ ceil(total/budget) — net waste under one budget quantum
+      assert(bins.length * budget < total + budget,
+        s"shard $sh: ${bins.length} bins for $total tokens wastes ≥ one budget")
+      // waste column = underfill, never negative, consistent with sum_tokens
+      bins.foreach { b =>
+        val w = b.getAs[Long]("waste")
+        assert(w == math.max(0L, budget - b.getAs[Long]("sum_tokens")))
+      }
+    }
+  }
+
   test("asof join preserves left row count exactly (left-join law)") {
     val left = df.select($"k", timestamp_seconds($"ts").as("ts"), $"id")
     val right = df.filter($"p" >= 3)

@@ -109,6 +109,64 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall(_ == (10L, 5L)))
   }
 
+  test("TTL near-dup filter evicts an idle keeper and re-admits the key") {
+    implicit val sql = spark.sqlContext
+    val same = "the quick brown fox jumps over the lazy dog near the river"
+    val mem = MemoryStream[(Long, String)]
+    // processAllAvailable CANNOT be used here: with ProcessingTimeTimeout the
+    // engine must keep constructing batches to fire future timeouts
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch ≡ true), so the
+    // no-new-data signal it waits on never arrives. Poll the sink/progress
+    // instead — the documented pattern for timeout-based stateful queries.
+    // ttl must comfortably exceed one micro-batch duration (so the doc-5 →
+    // doc-7 window below cannot expire mid-test) while keeping the eviction
+    // sleep short: 2 s against ~100–300 ms batches
+    val s = Streaming.nearDupCandidatesTtl(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ttl = "2 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // cumulative SOURCE rows (documents) ingested, tracked by batchId so
+    // recentProgress rotation during the continuous timeout batches cannot
+    // lose a data batch
+    var seenBatch = -1L
+    var ingested = 0L
+    def awaitDocsIngested(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (ingested < n && System.currentTimeMillis < deadline) {
+        s.recentProgress.filter(_.batchId > seenBatch).sortBy(_.batchId)
+          .foreach { p => seenBatch = p.batchId; ingested += p.numInputRows }
+        Thread.sleep(50)
+      }
+      assert(ingested >= n, s"timed out waiting for $n ingested docs")
+    }
+    try {
+      // batch 1: doc 10 claims its band keys
+      mem.addData((10L, same))
+      awaitDocsIngested(1)
+      assert(spark.table("neardup_ttl").count() == 0)
+      // idle past the TTL: the engine's own timeout batches fire hasTimedOut
+      // for doc 10's band keys and remove the keeper state
+      Thread.sleep(3000)
+      // the keys are free again: an exact dup of doc 10 arriving AFTER the
+      // horizon is admitted as the NEW keeper, not flagged against 10
+      mem.addData((5L, same))
+      awaitDocsIngested(2)
+      assert(spark.table("neardup_ttl").count() == 0)
+      // ...and a further dup arriving WITHIN the horizon is flagged against
+      // the new keeper 5
+      mem.addData((7L, same))
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("neardup_ttl").count() < 4 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      val got = spark.table("neardup_ttl").collect()
+        .map(r => (r.getAs[Long]("dup_id"), r.getAs[Long]("kept_id")))
+      assert(got.length == 4) // all 4 bands collide for an exact dup
+      assert(got.forall(_ == (7L, 5L)))
+    } finally s.stop() // never leak the continuously-triggering query
+  }
+
   test("streaming dedupe drops repeated business keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
