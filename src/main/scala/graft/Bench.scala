@@ -92,13 +92,28 @@ object Bench {
       Thread.sleep(1000)
     }
 
-    // Per-query time = min over N executions (default 3): the steady-state
-    // cost with single-run scheduler/GC/machine-load noise removed — the
-    // standard repeated-measurement benchmark convention. A failed build or
-    // execution is NOT timed: the query lands in `errors` instead of the
-    // results map, and the bench exits nonzero, so a broken query can never
-    // masquerade as a fast one.
-    val runsPer = env("SPARK_GRAFT_RUNS", "3").toInt
+    // Per-query time = min over N BACK-TO-BACK executions (default 5; was
+    // 3 through r4). Two measured negative results shaped this loop:
+    //  - r4's driver run showed phantom 0.3-0.5s spikes (q05/q09/q03) no
+    //    re-run reproduced — with sub-0.2s queries a single GC/scheduler
+    //    stall poisons a min-of-3 far more often than a min-of-5, hence 5
+    //    runs plus the per-query settle below.
+    //  - An interleaved variant (N full passes over the query list, min
+    //    per query across passes) measured 2-4× WORSE per query: repeated
+    //    back-to-back execution is exactly what keeps a query's cached
+    //    relation blocks / codegen classes hot in CPU cache, and running
+    //    54 other queries between samples evicts that state. Steady-state
+    //    per-operator cost — the thing this bench measures — is the
+    //    back-to-back number, which is also DuckDB's convention in
+    //    tools/duck_bench.py.
+    // Residual cross-INVOCATION drift (three r5 totals: 6.6/8.7/8.9s,
+    // uniform per-query inflation under identical binaries) is host
+    // frequency/steal on this VM, outside the process's control; compare
+    // engines only within one machine session, never across rounds.
+    // A failed build or execution is NOT timed: the query lands in
+    // `errors` instead of the results map, and the bench exits nonzero,
+    // so a broken query can never masquerade as a fast one.
+    val runsPer = env("SPARK_GRAFT_RUNS", "5").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def fail(name: String, stage: String, e: Throwable): Unit = {
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')
@@ -107,11 +122,16 @@ object Bench {
     }
     val results = selected.flatMap { case (name, fn) =>
       // one Dataset per query: analysis happens once (first timed action);
-      // later runs measure optimization + execution, like any engine serving
-      // a prepared statement
+      // later runs measure optimization + execution, like any engine
+      // serving a prepared statement
       val df = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
         fail(name, "build", e); None
       }
+      // settle before each query's timed loop: collect the previous
+      // query's garbage NOW so a deferred GC cannot land inside a timed
+      // run — ~100ms per query, bought back in timing stability
+      System.gc()
+      Thread.sleep(100)
       val times = df.toSeq.flatMap { d =>
         (1 to runsPer).flatMap { _ =>
           val t0 = System.nanoTime()
