@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step between
+  * "find near-dup PAIRS" ([[MinHashLsh.nearDupPairs]]) and "dedup the
+  * CORPUS": transitive closure groups pairs into clusters, and keep-one-per-
+  * cluster (the minimum id as the canonical representative) is what actually
+  * shrinks the training set. Without it, A≈B and B≈C dedup to {A, C} even
+  * when A≈C transitively.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts with
+  * `rep = id`; each round every node takes the min rep over itself and its
+  * neighbors; converged when no rep changed. Rounds = graph diameter, and
+  * near-dup clusters are small and dense (a near-dup relation is almost
+  * transitive), so 2–4 rounds is typical at any corpus size. Each round is
+  * one equi-join + one key agg — the standard shuffle shapes, no driver-side
+  * graph state; the edge list is persisted once and each round's labels are
+  * `localCheckpoint`ed so lineage stays O(1) instead of O(rounds).
+  *
+  * For adversarial long-chain graphs (diameter ≫ log n — not a shape
+  * near-dup graphs take), the classic fix is pointer-doubling (large-star /
+  * small-star); `maxIters` bounds the work and fails loudly rather than
+  * silently emitting partial clusters.
+  */
+object DedupCluster {
+
+  /** Component representative (min reachable id) for every node appearing
+    * in `pairs`. Output: (`id`, `rep`) — one row per distinct node;
+    * singleton documents (no pair) are their own representative by
+    * definition and are simply absent here.
+    */
+  def components(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    // undirected edge list, both directions, deduped once
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var done = false
+    while (!done) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"DedupCluster.components did not converge in $maxIters rounds — " +
+            "graph diameter exceeds the near-dup regime; raise maxIters or " +
+            "switch to a pointer-doubling variant")
+      // each node pulls the min rep of its neighborhood (neighbors + self)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "y"), "y")
+        .groupBy(col("x").as("id"))
+        .agg(min("rep").as("nrep"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      iters += 1
+      done = changed == 0L
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Per-cluster summary: representative (min id), member count, and the
+    * sorted comma-joined member list (canonical string form so the result
+    * is engine-comparable). Only multi-member clusters appear — singletons
+    * never entered the pair list.
+    */
+  def clusterSummary(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    components(pairs, aCol, bCol)
+      .groupBy(col("rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_set(col("id"))), ",").as("members"))
+}

@@ -64,4 +64,49 @@ object Splits {
   def byGroup(df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), fractions))
+
+  /** Deterministic stratified sampling: keep each row with a per-stratum
+    * rate, decided by the same md5-threshold draw as [[splitColumn]] —
+    * `md5(salt|key)` read as a uniform keyspace position, kept when below
+    * the stratum's rate threshold. The mixture-weighting step of corpus
+    * assembly ("50% en, 30% fr, …") as a pure scan-time filter: zero RNG
+    * state, zero shuffle, reproducible across engines/partitionings/rounds,
+    * and SUBSET-MONOTONE in the rate — raising a stratum's rate strictly
+    * grows its sample (the property that makes incremental corpus scale-ups
+    * supersets of earlier ones, so ablations stay comparable). `salt`
+    * decorrelates this draw from any other hash-based decision on the same
+    * key (e.g. train/val/test splits).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double,
+      salt: String = "smp"): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 },
+      "rates must be in [0,1]")
+    val bucket = substring(md5(concat(lit(s"$salt|"), col(keyCol).cast("string"))), 1, 8)
+    val threshold = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, rate)) =>
+        Some(acc.fold(when(col(strataCol) === stratum, hexThreshold(rate)))(
+          _.when(col(strataCol) === stratum, hexThreshold(rate))))
+    }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
+    df.filter(bucket < threshold)
+  }
+
+  /** SQL WHERE-clause twin of [[stratifiedSample]] for cross-engine
+    * oracles. */
+  def stratifiedSampleSql(
+      keyExprSql: String,
+      strataColSql: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double,
+      salt: String = "smp"): String = {
+    val whens = rates.map { case (stratum, rate) =>
+      s"WHEN '$stratum' THEN '${hexThreshold(rate)}'"
+    }.mkString(" ")
+    s"substr(md5('$salt|' || CAST($keyExprSql AS VARCHAR)), 1, 8) < " +
+      s"(CASE $strataColSql $whens ELSE '${hexThreshold(defaultRate)}' END)"
+  }
 }

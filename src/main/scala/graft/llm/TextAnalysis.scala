@@ -140,4 +140,71 @@ object TextAnalysis {
     when(size(sh) > 0,
       lit(1.0) - size(array_distinct(sh)) * lit(1.0) / size(sh))
   }
+
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim, and drop stopwords.
+    * Two documents that differ only in casing, punctuation, spacing or
+    * stopword choice normalize to the same string — the usual first-line
+    * dedup key in web-corpus pipelines (exact dedup after normalization
+    * catches the large family of trivially-reformatted duplicates that
+    * byte-exact hashing misses). Pure expression: runs at scan speed.
+    */
+  def normalized(text: Column): Column = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    array_join(
+      filter(split(cleaned, " "),
+        w => !w.isin(stopwords.map(_.asInstanceOf[Any]): _*)),
+      " ")
+  }
+
+  /** TF-IDF term weights over a corpus: one row per (document, word) with
+    * raw term frequency `tf`, document frequency `df`, and
+    * `tfidf = tf · ln(N / df)`.
+    *
+    * Scale shape: one explode (pipelined, no materialization), one
+    * (doc, word) agg and one (word) agg — both plain hash-aggregate
+    * shuffles — and a word-keyed equi-join. The corpus size N is an
+    * answer-sized (1-row) aggregate broadcast into the expression, never a
+    * driver-side collect. The word join is a shuffle join by default
+    * because a real vocabulary (10⁷–10⁸ subwords at corpus scale) is not
+    * broadcastable; AQE converts it to broadcast when the vocab is small.
+    *
+    * `docFilter` restricts which documents appear in the OUTPUT (the tf
+    * side) while df/N still see the whole corpus — document statistics must
+    * never depend on which slice you asked to score.
+    */
+  def tfIdf(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      docFilter: Option[Column] = None): org.apache.spark.sql.DataFrame = {
+    val wordsDf = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val tf = docFilter.fold(wordsDf)(wordsDf.filter)
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = wordsDf.groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("__n").cast("double") / col("df")))
+      .drop("__n")
+  }
+
+  /** Distinct character q-gram set of a (short) string — the record-linkage
+    * similarity unit (q-gram Jaccard complements edit distance: insensitive
+    * to transpositions, cheap to set-intersect). Strings shorter than q
+    * yield the single truncated gram rather than an empty set, matching SQL
+    * `generate_series(1, greatest(len-q+1, 1))` so the cross-engine twin is
+    * exact.
+    */
+  def charGrams(s: Column, q: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(s) - (q - 1), lit(1))),
+      i => call_function("substr", s, i, lit(q))))
+
+  /** Exact Jaccard similarity of two array columns (treated as sets). */
+  def jaccardSets(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) * lit(1.0) / size(array_union(a, b))
 }

@@ -1533,6 +1533,201 @@ object Catalog {
       .transform(ordered("a", "b"))
   }
 
+  /** Fixed-token-window chunking with stride (`llm/Chunking`): every 10th
+    * document exploded into 32-token windows at stride 24 (8-token overlap)
+    * — the training/RAG sequence-preparation operator. Chunk text is
+    * md5-canonicalized so the compare stays answer-sized. Pure per-row
+    * array expressions: at corpus scale this is a scan-speed explode with
+    * no shuffle at all.
+    */
+  val q56 = q(
+    "q56_doc_chunking",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id, toks, len(toks) AS n,
+      |        CASE WHEN len(toks) <= 32 THEN 1
+      |             ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nch
+      |      FROM t)
+      |SELECT c.doc_id, g.i AS chunk_ix,
+      |       len(list_slice(c.toks, g.i*24 + 1, least(g.i*24 + 32, c.n))) AS chunk_tokens,
+      |       md5(array_to_string(list_slice(c.toks, g.i*24 + 1, least(g.i*24 + 32, c.n)), ' ')) AS chunk_hash
+      |FROM c, LATERAL (SELECT unnest(generate_series(0, c.nch - 1)) AS i) g
+      |ORDER BY doc_id, chunk_ix""".stripMargin) { (s, d) =>
+    graft.llm.Chunking.chunkByTokens(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "text", size = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_ix"), col("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .transform(ordered("doc_id", "chunk_ix"))
+  }
+
+  /** Canonical-form dedup key (`TextAnalysis.normalized`): lowercase, strip
+    * punctuation, collapse whitespace, drop stopwords — the normalization
+    * that makes exact dedup catch trivially-reformatted duplicates. Output
+    * is the per-document before/after token counts plus the md5 dedup key,
+    * which hash-verifies the normalized STRING cross-engine exactly.
+    */
+  val q57 = q(
+    "q57_normalize_dedup",
+    """WITH nrm AS (SELECT doc_id, len(string_split(text, ' ')) AS toks_raw,
+      |    array_to_string(list_filter(
+      |      string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+      |      w -> NOT list_contains(['the','a','of','and','to'], w)), ' ') AS norm
+      |  FROM documents WHERE doc_id % 20 = 0)
+      |SELECT doc_id, toks_raw, len(string_split(norm, ' ')) AS toks_norm,
+      |       md5(norm) AS norm_hash
+      |FROM nrm ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.TextAnalysis
+    val norm = TextAnalysis.normalized(col("text"))
+    Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks_raw"),
+        size(split(norm, " ")).cast("long").as("toks_norm"),
+        md5(norm).as("norm_hash"))
+      .transform(ordered("doc_id"))
+  }
+
+  /** Deterministic stratified sampling (`Splits.stratifiedSample`): corpus
+    * mixture weighting by language with per-stratum keep rates, decided by
+    * a salted md5 keyspace draw — zero RNG state, subset-monotone in the
+    * rate, reproducible in any engine. Output: per-language kept counts.
+    */
+  val q58 = {
+    val rates = Seq("en" -> 0.5, "fr" -> 0.35, "de" -> 0.2, "es" -> 0.1)
+    q(
+      "q58_stratified_sample",
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ${graft.llm.Splits.stratifiedSampleSql("doc_id", "lang", rates, 0.05)}
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.llm.Splits.stratifiedSample(
+          Tables.documents(s, d), "doc_id", "lang", rates, defaultRate = 0.05)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .transform(ordered("lang"))
+    }
+  }
+
+  /** TF-IDF term weighting (`TextAnalysis.tfIdf`): one explode, a
+    * (doc, word) and a (word) hash aggregate, a vocabulary equi-join, and
+    * an answer-sized broadcast N — the canonical inverted-statistics
+    * operator. The output slice is every 50th document; document
+    * frequencies and N still see the whole corpus (slice-independence of
+    * corpus statistics).
+    */
+  val q59 = q(
+    "q59_tfidf",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE doc_id % 50 = 0 GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT t.doc_id, t.word, t.tf, f.df,
+      |       floor((t.tf * ln(CAST(n.n AS DOUBLE) / f.df)) * 10000 + 0.5) / 10000 AS tfidf
+      |FROM tf t JOIN df f USING (word) CROSS JOIN n
+      |ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text",
+        docFilter = Some(col("doc_id") % 50 === 0))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        r4(col("tfidf")).as("tfidf"))
+      .transform(ordered("doc_id", "word"))
+  }
+
+  /** Character-q-gram Jaccard similarity join (`TextAnalysis.charGrams`):
+    * the n-gram-Jaccard member of the near-dup family, on short strings
+    * (part names) with attribute blocking — candidates from a
+    * (brand, type) equi-join, exact bigram-set Jaccard as the verifier,
+    * ≥0.5 as the near-dup threshold. Complements q48's edit distance
+    * (q-grams are transposition-insensitive and set-intersect cheap) and
+    * q24's word-shingle MinHash (exact small-set Jaccard needs no
+    * sketching). Per-pair Jaccards are summed as exact scale-4 longs so the
+    * per-brand average is aggregation-order-independent cross-engine.
+    */
+  val q60 = q(
+    "q60_qgram_similarity",
+    """WITH p AS (SELECT p_partkey, p_brand, p_type,
+      |             list_distinct(list_transform(generate_series(1, greatest(len(p_name) - 1, 1)),
+      |               i -> substr(p_name, i, 2))) AS gs
+      |           FROM part),
+      |pr AS (SELECT p1.p_brand AS brand,
+      |              len(list_filter(p1.gs, x -> list_contains(p2.gs, x))) * 1.0 /
+      |              len(list_distinct(p1.gs || p2.gs)) AS jac
+      |       FROM p p1 JOIN p p2 ON p1.p_brand = p2.p_brand AND p1.p_type = p2.p_type
+      |        AND p1.p_partkey < p2.p_partkey)
+      |SELECT brand, count(*) AS n_pairs,
+      |       floor((CAST(sum(CAST(floor(jac * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS avg_jac,
+      |       floor((max(jac)) * 10000 + 0.5) / 10000 AS max_jac
+      |FROM pr WHERE jac >= 0.5
+      |GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+    import graft.llm.TextAnalysis
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_type"),
+      TextAnalysis.charGrams(col("p_name"), 2).as("gs"))
+    val l = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("k1"), col("gs").as("g1"))
+    val r = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("k2"), col("gs").as("g2"))
+    l.join(r, Seq("p_brand", "p_type"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("jac", TextAnalysis.jaccardSets(col("g1"), col("g2")))
+      .filter(col("jac") >= 0.5)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(sum(floor(col("jac") * 10000 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)) * 10000.0)).as("avg_jac"),
+        r4(max(col("jac"))).as("max_jac"))
+      .transform(ordered("brand"))
+  }
+
+  /** Near-dup cluster formation (`llm/DedupCluster`): connected components
+    * over the q24 MinHash-LSH pair list (exact Jaccard ≥ 0.5), reported as
+    * (representative = min doc_id, member count, sorted member list). This
+    * is the step that turns PAIRS into a deduplicated CORPUS — A≈B, B≈C
+    * must collapse to one cluster even when A,C never shared a band. The
+    * oracle states the same transitive closure as a recursive CTE.
+    * Bench regime note: like the IVF quantizer, the iterative label
+    * propagation (rounds = cluster diameter, 2–4 in practice) runs at
+    * DataFrame BUILD time against a localCheckpoint; the timed plan reads
+    * the converged labels. The driver-side state is the loop counter only —
+    * labels/edges stay distributed throughout.
+    */
+  val q61 = q(
+    "q61_dedup_clusters",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |hx AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+      |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM sh),
+      |mh AS (SELECT doc_id, shingles,
+      |         list_transform(generate_series(0, 7), i ->
+      |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+      |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+      |       FROM hx),
+      |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+      |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+      |         FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+      |                            AND x.doc_id < y.doc_id
+      |         GROUP BY 1, 2),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+      |pairs AS (SELECT c.a, c.b
+      |          FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+      |          WHERE len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+      |                len(list_distinct(sa.sset || sb.sset)) >= 0.5),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT x AS id, x AS r FROM edges
+      |          UNION
+      |          SELECT e.x, r.r FROM edges e JOIN reach r ON r.id = e.y),
+      |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+      |SELECT rep, count(*) AS n_members,
+      |       array_to_string(list_sort(list(id)), ',') AS members
+      |FROM comp GROUP BY rep ORDER BY rep""".stripMargin) { (s, d) =>
+    val pairs = graft.llm.MinHashLsh
+      .nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+    graft.llm.DedupCluster.clusterSummary(pairs, "a", "b")
+      .transform(ordered("rep"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1548,5 +1743,6 @@ object Catalog {
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q56, q57, q58, q59, q60, q61)
 }

@@ -380,4 +380,119 @@ class LlmSpec extends SparkSpec {
     val n = "not an image".getBytes.length
     assert(meta(1).width == 64 + n % 1216) // stub fallback unchanged
   }
+
+  test("chunking: full coverage, overlap, and the short-doc single chunk") {
+    // 10 tokens, size 4, stride 3 → chunks at 0,3,6 (ceil((10-4)/3)+1 = 3)
+    val doc = (0 until 10).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunkByTokens(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", size = 4, stride = 3)
+      .orderBy("chunk_ix")
+      .select("chunk_ix", "chunk_text", "chunk_tokens").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0).getString(1) == "w0 w1 w2 w3")
+    assert(out(1).getString(1) == "w3 w4 w5 w6")
+    assert(out(2).getString(1) == "w6 w7 w8 w9") // clamped to doc end
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L))
+    // every token appears in some chunk (coverage), adjacent chunks overlap
+    val covered = out.flatMap(_.getString(1).split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"w$i").toSet)
+    // short doc → exactly one chunk, the whole doc
+    val short = Chunking.chunkByTokens(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "text", size = 4, stride = 3)
+      .select("chunk_ix", "chunk_text", "chunk_tokens").collect()
+    assert(short.length == 1 && short(0).getString(1) == "a b c" &&
+      short(0).getLong(2) == 3L)
+    // exact-multiple boundary: 7 tokens, size 4, stride 3 → chunks at 0,3
+    val exact = Chunking.chunkByTokens(
+        Seq((1L, (0 until 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+        "text", size = 4, stride = 3)
+      .orderBy("chunk_ix").select("chunk_text").collect().map(_.getString(0))
+    assert(exact.toSeq == Seq("t0 t1 t2 t3", "t3 t4 t5 t6"))
+  }
+
+  test("dedup clusters: transitive closure, multiple components, determinism") {
+    // chain 1-2-3-4 plus pair 10-11 plus pair (20,21) sharing nothing
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val comps = DedupCluster.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L)) // chain collapses transitively
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L && comps(21L) == 20L) // min id wins regardless of pair order
+    val summary = DedupCluster.clusterSummary(pairs, "a", "b")
+      .orderBy("rep").collect()
+    assert(summary.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11"), (20L, 2L, "20,21")))
+    // a longer chain still converges (diameter 9 < maxIters)
+    val chain = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val chainComps = DedupCluster.components(chain, "a", "b").collect()
+    assert(chainComps.length == 10 && chainComps.forall(_.getLong(1) == 0L))
+  }
+
+  test("stratified sample: deterministic, subset-monotone, rate-proportional") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    def sample(rEn: Double, rFr: Double) =
+      Splits.stratifiedSample(df, "id", "lang", Seq("en" -> rEn, "fr" -> rFr), 0.0)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = sample(0.5, 0.1)
+    assert(s1 == sample(0.5, 0.1)) // pure function of the key: identical re-run
+    // subset-monotone: raising rates only adds rows
+    assert(s1.subsetOf(sample(0.8, 0.3)))
+    // realized rates near targets (md5 keyspace is uniform; 1000/stratum)
+    val en = s1.count(_ % 2 == 0) / 1000.0
+    val fr = s1.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(en - 0.5) < 0.06, s"en rate $en")
+    assert(math.abs(fr - 0.1) < 0.04, s"fr rate $fr")
+    // unknown stratum falls to defaultRate 0 → dropped entirely
+    val other = Splits.stratifiedSample(
+      Seq((1L, "zz")).toDF("id", "lang"), "id", "lang", Seq("en" -> 1.0), 0.0)
+    assert(other.count() == 0)
+  }
+
+  test("tf-idf: hand-checked tf/df/N, slice-independent corpus stats") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian banana cherry")).toDF("doc_id", "text")
+    val byName = TextAnalysis.tfIdf(corpus, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf")))).toMap
+    val apple = byName((1L, "apple"))
+    assert(apple._1 == 2L && apple._2 == 1L)
+    // Spark's Log expression evaluates via StrictMath — allow the last ulp
+    assert(math.abs(apple._3 - 2.0 * math.log(3.0)) < 1e-12)
+    assert(byName((2L, "banana"))._1 == 1L)
+    assert(byName((2L, "banana"))._2 == 3L) // banana in all 3 docs
+    assert(byName((2L, "banana"))._3 == 0.0) // ln(3/3) = 0
+    // docFilter restricts output rows but NOT df/N
+    val sliced = TextAnalysis.tfIdf(corpus, "doc_id", "text",
+        docFilter = Some(col("doc_id") === 1L)).collect()
+    assert(sliced.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    val sbanana = sliced.find(_.getAs[String]("word") == "banana").get
+    assert(sbanana.getAs[Long]("df") == 3L) // still corpus-wide
+  }
+
+  test("normalized + char-gram jaccard: canonical forms and set similarity") {
+    val t = TextAnalysis
+    val r = Seq(
+      ("The  QUICK, brown fox!", "quick brown fox"),
+      ("a of to and the", ""),                       // all stopwords
+      ("spark;engine", "sparkengine"))               // punctuation strip joins
+      .toDF("raw", "want")
+      .select(t.normalized(col("raw")).as("got"), col("want")).collect()
+    r.foreach(row => assert(row.getString(0) == row.getString(1),
+      s"normalized mismatch: got '${row.getString(0)}' want '${row.getString(1)}'"))
+    val j = Seq(("night", "night"), ("night", "nacht"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(t.jaccardSets(t.charGrams(col("a"), 2), t.charGrams(col("b"), 2)))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0)             // identical
+    assert(j(1) > 0 && j(1) < 1.0)  // night/nacht share "ht"
+    assert(j(2) == 0.0)             // disjoint
+    // sub-q strings: single truncated gram, never an empty set (matches SQL twin)
+    val short = Seq(Tuple1("x")).toDF("s")
+      .select(t.charGrams(col("s"), 2)).collect()(0).getSeq[String](0)
+    assert(short == Seq("x"))
+  }
 }
