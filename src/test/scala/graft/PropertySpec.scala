@@ -117,6 +117,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("numeric-stats family: r4-rounded moments are partitioning-invariant") {
+    // q47's stddev/var/corr/covar stay double (Welford-merged, so the raw
+    // last-ulp depends on partition merge order); the r4 rounding is the
+    // tolerance story. This pins it empirically: identical rounded results
+    // across partitionings that force different merge trees, on seeded
+    // money-shaped data (2-decimal values like the lineitem columns).
+    val rnd = new scala.util.Random(4747L)
+    val moneyRows = Seq.fill(3000)((
+      "g" + rnd.nextInt(3),
+      math.floor(rnd.nextDouble() * 5000 + 0.5) / 100.0,   // 2-dec "price"
+      math.floor(rnd.nextDouble() * 10000 + 0.5) / 100.0)) // 2-dec "qty"
+    val base = moneyRows.toDF("g", "x", "y")
+    def stats(parts: Int) = base.repartition(parts)
+      .groupBy($"g")
+      .agg(
+        (floor(stddev_samp($"x") * 10000 + 0.5) / 10000).as("sd"),
+        (floor(var_samp($"y") * 10000 + 0.5) / 10000).as("vr"),
+        (floor(corr($"x", $"y") * 10000 + 0.5) / 10000).as("co"),
+        (floor(covar_samp($"x", $"y") * 10000 + 0.5) / 10000).as("cv"))
+      .orderBy($"g").collect().toSeq.map(_.toSeq)
+    val ref = stats(1) // single partition: one sequential Welford pass
+    Seq(3, 8, 17).foreach { n =>
+      assert(stats(n) == ref, s"moments drifted past r4 at $n partitions")
+    }
+    // exactly-on-the-boundary dyadics stay deterministic: var_samp({0,1})
+    // is exactly 0.5, so x·10⁴ + 0.5 = 5000.5 exactly and floor is exact
+    // in ANY engine — boundary values that are representable are safe;
+    // only irrational moments rely on the merge-order argument above.
+    val edge = Seq(("a", 0.0), ("a", 1.0)).toDF("g", "x")
+      .groupBy($"g").agg((floor(var_samp($"x") * 10000 + 0.5) / 10000).as("v"))
+      .collect()(0).getDouble(1)
+    assert(edge == 0.5)
+  }
+
   test("asof join preserves left row count exactly (left-join law)") {
     val left = df.select($"k", timestamp_seconds($"ts").as("ts"), $"id")
     val right = df.filter($"p" >= 3)
