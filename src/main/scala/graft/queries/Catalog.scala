@@ -1728,6 +1728,43 @@ object Catalog {
       .transform(ordered("rep"))
   }
 
+  /** Exact n-gram overlap decontamination (`llm/Decontam`): the
+    * inverted-index companion to q55's sketch-based decontamination.
+    * Symmetric Jaccard misses a short benchmark item quoted inside a long
+    * training document; exact 8-gram collision + CONTAINMENT
+    * (shared / benchmark-set size) is the published GPT-3-style recipe and
+    * catches it. Plan: two pipelined explodes, one md5-keyed equi-join,
+    * answer-sized aggregates — collisions between unrelated docs are
+    * vanishingly rare at n=8, so join output ≈ true leaks.
+    */
+  val q62 = q(
+    "q62_ngram_decontam",
+    """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 7 <> 0),
+      |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 7 = 0),
+      |tg AS (SELECT doc_id AS a, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM tw)),
+      |bg AS (SELECT doc_id AS b, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM bw)),
+      |bs AS (SELECT b, count(*) AS b_grams FROM bg GROUP BY 1),
+      |j AS (SELECT a, b, count(*) AS n_shared FROM tg JOIN bg USING (gid) GROUP BY 1, 2)
+      |SELECT j.a, j.b, j.n_shared, bs.b_grams,
+      |       floor((n_shared * 1.0 / b_grams) * 10000 + 0.5) / 10000 AS containment
+      |FROM j JOIN bs USING (b)
+      |WHERE n_shared * 1.0 / b_grams >= 0.2
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.Decontam.exactNgramOverlap(
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 8, minContainment = 0.2)
+      .select(col("a"), col("b"), col("n_shared"), col("b_grams"),
+        r4(col("containment")).as("containment"))
+      .transform(ordered("a", "b"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1744,5 +1781,5 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61)
+    q56, q57, q58, q59, q60, q61, q62)
 }

@@ -473,6 +473,40 @@ class LlmSpec extends SparkSpec {
     assert(sbanana.getAs[Long]("df") == 3L) // still corpus-wide
   }
 
+  test("decontam: verbatim quote scores containment 1.0, boilerplate cap only lowers") {
+    // benchmark item (6 words → 3 distinct 4-grams) quoted verbatim inside
+    // a much longer training doc — symmetric Jaccard would be tiny
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = ("lorem ipsum dolor sit amet " + quote + " consectetur adipiscing elit sed") // quote embedded
+    val train = Seq(
+      (100L, host),
+      (101L, "completely unrelated training text with no shared phrases at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((200L, quote)).toDF("doc_id", "text")
+    val hits = Decontam.exactNgramOverlap(train, bench, "doc_id", "text", n = 4)
+      .collect()
+    assert(hits.length == 1)
+    val h = hits(0)
+    assert(h.getAs[Long]("a") == 100L && h.getAs[Long]("b") == 200L)
+    assert(h.getAs[Long]("n_shared") == 3L && h.getAs[Long]("b_grams") == 3L)
+    assert(h.getAs[Double]("containment") == 1.0)
+    // minContainment filters
+    assert(Decontam.exactNgramOverlap(train, bench, "doc_id", "text", n = 4,
+      minContainment = 1.1).count() == 0)
+    // boilerplate cap: an n-gram present in >cap training docs is dropped —
+    // containment can only fall, never rise, and the denominator is stable
+    val boiler = "common header line one two three four"
+    val train2 = Seq((1L, boiler + " body a"), (2L, boiler + " body b"),
+      (3L, boiler + " body c")).toDF("doc_id", "text")
+    val bench2 = Seq((9L, boiler)).toDF("doc_id", "text")
+    val uncapped = Decontam.exactNgramOverlap(train2, bench2, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Double]("containment"))).toMap
+    assert(uncapped.size == 3 && uncapped.values.forall(_ == 1.0))
+    val capped = Decontam.exactNgramOverlap(train2, bench2, "doc_id", "text", n = 4,
+      maxTrainDf = Some(2L)).count()
+    assert(capped == 0) // every gram of the boilerplate is in 3 > 2 docs
+  }
+
   test("normalized + char-gram jaccard: canonical forms and set similarity") {
     val t = TextAnalysis
     val r = Seq(
