@@ -23,10 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Output columns added by [[chunkByTokens]]; also claimed transiently:
+    * `__toks`, `__chunk`. Inputs carrying any of these names are rejected
+    * rather than silently clobbered.
+    */
+  val reservedColumns: Seq[String] =
+    Seq("chunk_ix", "chunk_text", "chunk_tokens", "__toks", "__chunk")
+
   /** Explode `textCol` into overlapping token-window chunks.
     *
     * Output: all columns of `df` plus `chunk_ix` (0-based, long),
     * `chunk_text` (space-joined tokens) and `chunk_tokens` (long).
+    *
+    * Rows whose `textCol` is NULL are DROPPED (deliberate: a NULL document
+    * has no tokens to chunk, and `explode` over a NULL chunk count emits no
+    * rows — the same convention as a tokenizer skipping unreadable docs).
+    * Callers that need NULL docs preserved should `coalesce` the column to
+    * `''` upstream, which yields one empty chunk instead.
     */
   def chunkByTokens(
       df: DataFrame,
@@ -36,6 +49,11 @@ object Chunking {
     require(size > 0, s"chunk size must be positive, got $size")
     require(stride > 0 && stride <= size,
       s"stride must be in (0, size=$size], got $stride")
+    val clash = df.columns.toSeq.intersect(reservedColumns)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Chunking's " +
+        s"reserved output columns (${reservedColumns.mkString(", ")}) — " +
+        "rename them before chunking")
     val toks = split(col(textCol), " ")
     val n = org.apache.spark.sql.functions.size(toks)
     // number of chunks; guard the n>size branch so `sequence` never sees a

@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupCluster {
 
+  /** Free the block-manager storage behind a `localCheckpoint`ed frame.
+    * Local checkpoints live as persisted RDD blocks outside the SQL
+    * CacheManager (`df.unpersist()` is a no-op on them) and are otherwise
+    * only reclaimed when the RDD is GC'd — explicit release keeps storage
+    * flat across propagation rounds instead of growing linearly with them.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Component representative (min reachable id) for every node appearing
     * in `pairs`. Output: (`id`, `rep`) — one row per distinct node;
     * singleton documents (no pair) are their own representative by
@@ -64,6 +77,9 @@ object DedupCluster {
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev"))
         .limit(1).count()
+      // prior round's labels are dead once `next` is checkpointed and the
+      // changed-count (the only reader of both) has run — release its blocks
+      freeCheckpoint(labels)
       labels = next
       iters += 1
       done = changed == 0L

@@ -23,21 +23,31 @@ object Splits {
 
   /** Hex threshold for cumulative fraction f: floor(f · 16⁸) as 8 lowercase
     * hex digits — `md5hex.substring(0, 8) < threshold` selects exactly the
-    * first f of the (uniform) md5 keyspace.
+    * first f of the (uniform) md5 keyspace. f = 1.0 returns the sentinel
+    * `"g"`, which sorts after every 8-hex-digit string ('g' > 'f'), so
+    * "keep everything" really keeps EVERYTHING — a clamped "ffffffff" with
+    * strict `<` would drop the ~2⁻³² of keys whose md5 prefix is exactly
+    * ffffffff.
     */
   private[graft] def hexThreshold(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction bound $f outside [0,1]")
-    val v = math.min((f * 4294967296.0).toLong, 4294967295L)
-    f"$v%08x"
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
   }
+
+  /** Single-quote doubling for values interpolated into oracle SQL literals
+    * (stratum names, salts) — oracle-only surface, but it is public API and
+    * a quoted stratum must not break (or inject into) the rendered SQL.
+    */
+  private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** SQL CASE twin of [[splitColumn]] for cross-engine oracles. */
   def splitCaseSql(keyExprSql: String, fractions: Seq[(String, Double)]): String = {
     val cums = fractions.scanLeft(0.0)(_ + _._2).tail
     val whens = fractions.init.zip(cums.init).map { case ((name, _), cum) =>
-      s"WHEN substr(md5(CAST($keyExprSql AS VARCHAR)), 1, 8) < '${hexThreshold(cum)}' THEN '$name'"
+      s"WHEN substr(md5(CAST($keyExprSql AS VARCHAR)), 1, 8) < '${hexThreshold(cum)}' THEN '${sqlLit(name)}'"
     }
-    s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
+    s"CASE ${whens.mkString(" ")} ELSE '${sqlLit(fractions.last._1)}' END"
   }
 
   /** Split-name column for `key`, e.g.
@@ -104,9 +114,9 @@ object Splits {
       defaultRate: Double,
       salt: String = "smp"): String = {
     val whens = rates.map { case (stratum, rate) =>
-      s"WHEN '$stratum' THEN '${hexThreshold(rate)}'"
+      s"WHEN '${sqlLit(stratum)}' THEN '${hexThreshold(rate)}'"
     }.mkString(" ")
-    s"substr(md5('$salt|' || CAST($keyExprSql AS VARCHAR)), 1, 8) < " +
+    s"substr(md5('${sqlLit(salt)}|' || CAST($keyExprSql AS VARCHAR)), 1, 8) < " +
       s"(CASE $strataColSql $whens ELSE '${hexThreshold(defaultRate)}' END)"
   }
 }

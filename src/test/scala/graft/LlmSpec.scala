@@ -276,7 +276,10 @@ class LlmSpec extends SparkSpec {
   test("group split: cohesive per key, deterministic, threshold math exact") {
     assert(Splits.hexThreshold(0.5) == "80000000")
     assert(Splits.hexThreshold(0.0) == "00000000")
-    assert(Splits.hexThreshold(1.0) == "ffffffff")
+    // f=1.0 is the "g" sentinel: sorts above every hex string, so strict `<`
+    // keeps even keys whose md5 prefix is exactly ffffffff
+    assert(Splits.hexThreshold(1.0) == "g")
+    assert("ffffffff" < Splits.hexThreshold(1.0))
     val rows = (1 to 500).flatMap(u => (1 to 3).map(i => (u.toLong, i)))
       .toDF("user_id", "seq")
     val split = Splits.byGroup(rows, "user_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -408,6 +411,16 @@ class LlmSpec extends SparkSpec {
         "text", size = 4, stride = 3)
       .orderBy("chunk_ix").select("chunk_text").collect().map(_.getString(0))
     assert(exact.toSeq == Seq("t0 t1 t2 t3", "t3 t4 t5 t6"))
+    // NULL text rows are dropped (documented), not emitted as empty chunks
+    val withNull = Chunking.chunkByTokens(
+      Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text"), "text", size = 4, stride = 3)
+    assert(withNull.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // input columns colliding with the reserved outputs fail fast
+    val clash = intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(
+        Seq((1L, "a b", 9L)).toDF("doc_id", "text", "chunk_ix"), "text", 4, 3)
+    }
+    assert(clash.getMessage.contains("chunk_ix"))
   }
 
   test("dedup clusters: transitive closure, multiple components, determinism") {
@@ -424,9 +437,15 @@ class LlmSpec extends SparkSpec {
     assert(summary.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
       Seq((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11"), (20L, 2L, "20,21")))
     // a longer chain still converges (diameter 9 < maxIters)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     val chainComps = DedupCluster.components(chain, "a", "b").collect()
     assert(chainComps.length == 10 && chainComps.forall(_.getLong(1) == 0L))
+    // storage stays flat across rounds: every superseded round's
+    // localCheckpoint blocks are released — only the final labels (and
+    // nothing per-iteration) may remain after ~9 propagation rounds
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked checkpoint RDDs: $before -> $after")
   }
 
   test("stratified sample: deterministic, subset-monotone, rate-proportional") {
@@ -448,6 +467,14 @@ class LlmSpec extends SparkSpec {
     val other = Splits.stratifiedSample(
       Seq((1L, "zz")).toDF("id", "lang"), "id", "lang", Seq("en" -> 1.0), 0.0)
     assert(other.count() == 0)
+    // rate 1.0 keeps EVERY row — no 2⁻³² leak from a clamped hex threshold
+    assert(Splits.stratifiedSample(df, "id", "lang",
+      Seq("en" -> 1.0), 1.0).count() == 2000)
+    // SQL twins escape quoted stratum names / salts instead of breaking
+    val sql = Splits.stratifiedSampleSql("id", "lang", Seq("o'brien" -> 0.5), 0.1, salt = "s'1")
+    assert(sql.contains("'o''brien'") && sql.contains("'s''1|'"))
+    val caseSql = Splits.splitCaseSql("id", Seq("tr'ain" -> 0.5, "te'st" -> 0.5))
+    assert(caseSql.contains("'tr''ain'") && caseSql.contains("'te''st'"))
   }
 
   test("tf-idf: hand-checked tf/df/N, slice-independent corpus stats") {
