@@ -120,11 +120,26 @@ object Bench {
       errors.getOrElseUpdate(name, s"$stage: $msg")
       System.err.println(s"[bench] $name failed ($stage): $msg")
     }
+    // Timing convention, two regimes:
+    //  - Default (lazy builders): one Dataset per query, timed loop measures
+    //    optimization + execution — a resident engine serving a prepared
+    //    statement. (Rebuilding per run was measured: it adds a uniform
+    //    60–150 ms of Spark analysis overhead to every query, +7s on the
+    //    62-query total, without changing any plan — noise, not signal.)
+    //  - Eager builders (Catalog.eagerBuildQueries, e.g. q61's label
+    //    propagation runs driver-side actions at build time): the build IS
+    //    the computation, so each timed run rebuilds the DataFrame inside
+    //    the timer — the DuckDB twin re-pays its recursive CTE every
+    //    execution, and excluding the Spark-side work would fake the ratio.
+    //    Deliberate exception, documented where it lives: memoized MODEL
+    //    artifacts (the IVF quantizer) survive across builds — artifact
+    //    reuse is the serving regime, and the warm pass trains them before
+    //    any timing.
+    val eager = graft.queries.Catalog.eagerBuildQueries
     val results = selected.flatMap { case (name, fn) =>
-      // one Dataset per query: analysis happens once (first timed action);
-      // later runs measure optimization + execution, like any engine
-      // serving a prepared statement
-      val df = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
+      // untimed probe build: classifies build failures as "build" (and
+      // skips the timed loop) so they can't masquerade as exec failures
+      val probe = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
         fail(name, "build", e); None
       }
       // settle before each query's timed loop: collect the previous
@@ -132,10 +147,11 @@ object Bench {
       // run — ~100ms per query, bought back in timing stability
       System.gc()
       Thread.sleep(100)
-      val times = df.toSeq.flatMap { d =>
+      val times = probe.toSeq.flatMap { prebuilt =>
         (1 to runsPer).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
+            val d = if (eager.contains(name)) fn(spark, sfDir) else prebuilt
             d.write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable => fail(name, "exec", e); None }

@@ -65,22 +65,23 @@ object DedupCluster {
           s"DedupCluster.components did not converge in $maxIters rounds — " +
             "graph diameter exceeds the near-dup regime; raise maxIters or " +
             "switch to a pointer-doubling variant")
-      // each node pulls the min rep of its neighborhood (neighbors + self)
+      // each node pulls the min rep of its neighborhood (neighbors + self);
+      // the prior rep rides along through the checkpoint so convergence is
+      // a cheap scan of the checkpointed blocks, not a second join
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "y"), "y")
         .groupBy(col("x").as("id"))
         .agg(min("rep").as("nrep"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (coalesce(col("nrep"), col("rep")) < col("rep")).as("moved"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev"))
-        .limit(1).count()
+      val changed = next.filter(col("moved")).limit(1).count()
       // prior round's labels are dead once `next` is checkpointed and the
       // changed-count (the only reader of both) has run — release its blocks
       freeCheckpoint(labels)
-      labels = next
+      labels = next.select("id", "rep")
       iters += 1
       done = changed == 0L
     }

@@ -25,10 +25,20 @@ object Catalog {
   case class Q(
       name: String,
       run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      eagerBuild: Boolean = false)
 
   private def q(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle))
+
+  /** Queries whose BUILDER performs eager distributed work (driver-side
+    * loops over actions, e.g. q61's label propagation) rather than returning
+    * a lazy plan. The bench must rebuild these inside the timed region —
+    * timing only the pre-built result would exclude the actual computation
+    * from the Spark number while the DuckDB twin re-pays it every execution.
+    */
+  def eagerBuildQueries: Set[String] =
+    all.filter(_.eagerBuild).map(_.name).toSet
 
   private def qNoOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
@@ -1683,10 +1693,12 @@ object Catalog {
     * is the step that turns PAIRS into a deduplicated CORPUS — A≈B, B≈C
     * must collapse to one cluster even when A,C never shared a band. The
     * oracle states the same transitive closure as a recursive CTE.
-    * Bench regime note: like the IVF quantizer, the iterative label
-    * propagation (rounds = cluster diameter, 2–4 in practice) runs at
-    * DataFrame BUILD time against a localCheckpoint; the timed plan reads
-    * the converged labels. The driver-side state is the loop counter only —
+    * Bench regime note: the iterative label propagation (rounds = cluster
+    * diameter, 2–4 in practice) runs at DataFrame BUILD time against
+    * localCheckpoints, so this query is flagged `eagerBuild` and the bench
+    * rebuilds it inside every timed run — the Spark number INCLUDES the
+    * propagation, exactly as the oracle re-pays its recursive CTE per
+    * execution. The driver-side state is the loop counter only —
     * labels/edges stay distributed throughout.
     */
   val q61 = q(
@@ -1726,7 +1738,8 @@ object Catalog {
       .filter(col("jaccard") >= 0.5)
     graft.llm.DedupCluster.clusterSummary(pairs, "a", "b")
       .transform(ordered("rep"))
-  }
+  }.copy(eagerBuild = true) // propagation rounds run at build time — the
+                            // bench times build + execute for this query
 
   /** Exact n-gram overlap decontamination (`llm/Decontam`): the
     * inverted-index companion to q55's sketch-based decontamination.
