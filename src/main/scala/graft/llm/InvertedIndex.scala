@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Positional inverted-index construction: term → document/corpus frequency
+  * plus the full (doc, position) posting list — the retrieval-side companion
+  * to [[TextAnalysis.tfIdf]]'s statistics (a RAG or dedup-forensics pipeline
+  * needs WHERE a term occurs, not just how often).
+  *
+  * Plan shape: one `posexplode` (pipelined into the scan — generators never
+  * materialize the token table) feeding a single term-keyed hash aggregate.
+  * The shuffle carries one row per token, combinable map-side only for the
+  * count columns; the posting list itself is the irreducible payload — at
+  * corpus scale you partition the index by term (this groupBy IS that
+  * partitioning) and cap or page per-term lists downstream if a stopword
+  * term's postings outgrow a partition (the `df`/`cf` columns are the
+  * signal: terms with df ≈ corpus size are stopwords and get dropped from
+  * real indexes anyway).
+  *
+  * Postings are emitted sorted (lexicographic on the `doc:pos` rendering,
+  * identical in any engine and under any partitioning) so the index is
+  * deterministic and cross-engine comparable by hash.
+  */
+object InvertedIndex {
+
+  /** One row per distinct term: `term`, `df` (distinct docs), `cf` (total
+    * occurrences), `first_doc` (min doc id), and `postings_md5` — md5 of
+    * the sorted comma-joined `doc:pos` list (1-based positions), the
+    * compact engine-comparable digest of the full posting list.
+    * `withPostings = true` additionally keeps the raw sorted list column
+    * `postings` for consumers that want the index itself, not a digest.
+    */
+  def postings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      withPostings: Boolean = false): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
+    val sorted = array_sort(collect_list(
+      concat_ws(":", col("doc"), col("pos") + lit(1))))
+    val base = toks.groupBy(col("term")).agg(
+      countDistinct(col("doc")).as("df"),
+      count(lit(1)).as("cf"),
+      min(col("doc")).as("first_doc"),
+      (if (withPostings) sorted.as("postings_list") else md5(array_join(sorted, ",")).as("postings_md5")))
+    if (withPostings)
+      base.withColumn("postings_md5", md5(array_join(col("postings_list"), ",")))
+    else base
+  }
+}

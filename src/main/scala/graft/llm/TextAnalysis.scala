@@ -141,6 +141,25 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(sh)) * lit(1.0) / size(sh))
   }
 
+  /** Occurrence count of the document's single most frequent word — the
+    * numerator of the Gopher-style "fraction of words that are the top
+    * word" repetition filter (templated/spammy documents are dominated by
+    * one token; natural prose is not). Exact, expression-level:
+    * O(distinct·words) array work per document, shuffle-free — at a
+    * bounded natural-language vocabulary per document this is cheap, and
+    * it stays identical in the DuckDB twin's list-function rendering
+    * (unlike an explode+window formulation, which would shuffle every
+    * token).
+    */
+  def topWordCount(text: Column): Column = {
+    val w = words(text)
+    array_max(transform(array_distinct(w), x => size(filter(w, y => y === x))))
+  }
+
+  /** Distinct-word count — denominator of type/token diversity ratios. */
+  def distinctWordCount(text: Column): Column =
+    size(array_distinct(words(text)))
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * non-alphanumerics, collapse whitespace runs, trim, and drop stopwords.
     * Two documents that differ only in casing, punctuation, spacing or

@@ -1778,6 +1778,164 @@ object Catalog {
       .transform(ordered("a", "b"))
   }
 
+  /** PII redaction (`llm/Redaction`): pattern-scrub emails / IPv4s / phone
+    * numbers with typed placeholder tokens + per-class audit counts. The
+    * corpus is synthetic word soup with no organic PII, so the query first
+    * INJECTS deterministic PII derived from `doc_id` (identically on both
+    * engines — the injection is part of the compared computation), then
+    * counts and redacts it: every regex family and the replace order are
+    * exercised with non-trivial, varying hit patterns. Scan-speed,
+    * shuffle-free expression work — the 100 TB shape of a corpus scrub.
+    */
+  val q63 = {
+    val R = graft.llm.Redaction
+    q(
+      "q63_pii_redaction",
+      s"""WITH p AS (SELECT doc_id,
+        |  substr(text, 1, 40)
+        |  || CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || doc_id || '@mail' || (doc_id % 5) || '.org' ELSE '' END
+        |  || CASE WHEN doc_id % 4 <> 0 THEN ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 200) ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' tel +41 79 ' || (100 + doc_id % 900) || ' ' || (10 + doc_id % 90) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       ${R.countSql("t", "email")} AS n_email,
+        |       ${R.countSql("t", "ipv4")} AS n_ipv4,
+        |       ${R.countSql("t", "phone")} AS n_phone,
+        |       md5(${R.redactSql("t")}) AS red_hash,
+        |       CAST(len(${R.redactSql("t")}) AS BIGINT) AS red_len
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val injected = concat(
+        substring(col("text"), 1, 40),
+        when(id % 3 =!= 0, concat(lit(" reach user"), id.cast("string"),
+          lit("@mail"), (id % 5).cast("string"), lit(".org"))).otherwise(lit("")),
+        when(id % 4 =!= 0, concat(lit(" from 10."), (id % 250).cast("string"),
+          lit(".0."), (id % 200).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" tel +41 79 "), (id % 900 + 100).cast("string"),
+          lit(" "), (id % 90 + 10).cast("string"))).otherwise(lit("")))
+      val red = graft.llm.Redaction.redact(col("t"))
+      Tables.documents(s, d)
+        .select(id, injected.as("t"))
+        .select(col("doc_id") +:
+          (graft.llm.Redaction.piiCounts(col("t")).map { case (n, c) => c.as(n) } :+
+            md5(red).as("red_hash") :+
+            length(red).cast("long").as("red_len")): _*)
+        .transform(ordered("doc_id"))
+    }
+  }
+
+  /** Gopher-style repetition profile (`TextAnalysis.topWordCount`): what
+    * fraction of a source's tokens are documents' single most frequent
+    * word, plus type/token diversity — the corpus-filter signals that
+    * catch templated/spammy sources. Corpus-level fractions are computed
+    * as exact LONG sums divided once (order-independent, cross-engine
+    * deterministic); `max_top_ratio` flags the worst single document per
+    * source (max of IEEE-deterministic per-row scalars — also
+    * order-independent). All per-document work is shuffle-free array
+    * expressions; the only shuffle carries one 4-long row per source.
+    */
+  val q64 = q(
+    "q64_repetition_profile",
+    """WITH f AS (SELECT source, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+      |         list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS top_n
+      |       FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |       floor((CAST(sum(top_n) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)) * 10000 + 0.5) / 10000 AS top_word_frac,
+      |       floor((CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_frac,
+      |       floor((max(top_n * 1.0 / n_words)) * 10000 + 0.5) / 10000 AS max_top_ratio
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val t = graft.llm.TextAnalysis
+    Tables.documents(s, d)
+      .select(col("source"),
+        t.tokenCountWs(col("text")).as("n_words"),
+        t.distinctWordCount(col("text")).as("n_distinct"),
+        t.topWordCount(col("text")).as("top_n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        r4(sum(col("top_n")).cast("double") / sum(col("n_words")).cast("double")).as("top_word_frac"),
+        r4(sum(col("n_distinct")).cast("double") / sum(col("n_words")).cast("double")).as("distinct_frac"),
+        r4(max(col("top_n") * lit(1.0) / col("n_words"))).as("max_top_ratio"))
+      .transform(ordered("source"))
+  }
+
+  /** Positional inverted index (`llm/InvertedIndex.postings`): term → df,
+    * cf, and the md5 digest of the full sorted (doc:pos) posting list —
+    * `posexplode` pipelined into the scan, one term-keyed aggregate. The
+    * digest (not the raw list) is the compared value, so the oracle checks
+    * every posting of every term without shipping megabyte strings through
+    * the driver compare.
+    */
+  val q65 = q(
+    "q65_inverted_index",
+    """WITH t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |tok AS (SELECT w[i] AS term, doc_id AS doc, i AS pos FROM t)
+      |SELECT term, count(DISTINCT doc) AS df, CAST(count(*) AS BIGINT) AS cf,
+      |       min(doc) AS first_doc,
+      |       md5(array_to_string(list_sort(list(doc || ':' || pos)), ',')) AS postings_md5
+      |FROM tok GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+    graft.llm.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text")
+      .transform(ordered("term"))
+  }
+
+  /** Corpus-statistic quality gate (`operators/Quantiles` + broadcast
+    * join): keep documents at or above their language's exact 25th
+    * percentile of length — the filter-by-corpus-percentile shape every
+    * quality pipeline needs (perplexity/score cutoffs). The threshold
+    * frame is answer-sized (one row per language) and broadcast; the
+    * corpus is scanned once, filtered at scan time, and aggregated with
+    * map-side combine. Exact interpolated quantiles match DuckDB
+    * `quantile_cont` bit-for-bit (OperatorsSpec).
+    */
+  val q66 = q(
+    "q66_quantile_filter",
+    """WITH t AS (SELECT lang, quantile_cont(n_chars, 0.25) AS thr FROM documents GROUP BY lang)
+      |SELECT d.lang AS lang, floor((min(t.thr)) * 10000 + 0.5) / 10000 AS thr4,
+      |       count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN t ON d.lang = t.lang
+      |WHERE d.n_chars >= t.thr
+      |GROUP BY d.lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val thr = graft.operators.Quantiles.quantileCont(docs, "lang", "n_chars", Seq(0.25 -> "thr"))
+    docs.join(broadcast(thr), "lang")
+      .filter(col("n_chars").cast("double") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(r4(min(col("thr"))).as("thr4"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"))
+      .transform(ordered("lang"))
+  }
+
+  /** Weighted dataset mixing with fractional upsampling (`llm/Mixing`):
+    * per-source mixture weights realized as deterministic row replication —
+    * floor(w) copies plus an md5-keyspace draw for the fraction, exploded
+    * at scan time (`sequence`/`generate_series` twins). Checks both the
+    * replication counts and that copies carry full row payloads
+    * (`sum_chars` scales with the realized copy count).
+    */
+  val q67 = {
+    val weights = Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.25, "src3" -> 0.25)
+    val nCopies = graft.llm.Mixing.nCopiesSql("doc_id", "source", weights, 0.6)
+    q(
+      "q67_mix_upsample",
+      s"""WITH c AS (SELECT doc_id, source, n_chars, $nCopies AS n_copies FROM documents),
+        |e AS (SELECT doc_id, source, n_chars, unnest(generate_series(1, n_copies)) AS copy_ix
+        |      FROM c WHERE n_copies > 0)
+        |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(copy_ix) AS max_copies
+        |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      graft.llm.Mixing.upsampleMix(Tables.documents(s, d), "doc_id", "source", weights, 0.6)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(col("copy_ix")).as("max_copies"))
+        .transform(ordered("source"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1794,5 +1952,6 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62)
+    q56, q57, q58, q59, q60, q61, q62,
+    q63, q64, q65, q66, q67)
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+/** Round-7 training-data operators: PII redaction, repetition profiling,
+  * positional inverted index, weighted dataset mixing.
+  */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction: each class is found, counted, and replaced") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@sub.example.org or call +41 79 555 12 from 192.168.0.7 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co and c_d@e-f.io share one ip 10.0.0.1")).toDF("id", "t")
+    val r = df.select(col("id") +:
+        (Redaction.piiCounts(col("t")).map { case (n, c) => c.as(n) } :+
+          Redaction.redact(col("t")).as("red")): _*)
+      .orderBy("id").collect()
+
+    assert(r(0).getAs[Long]("n_email") == 1L)
+    assert(r(0).getAs[Long]("n_ipv4") == 1L)
+    assert(r(0).getAs[Long]("n_phone") == 1L)
+    assert(r(0).getAs[String]("red") ==
+      "write to <EMAIL> or call <PHONE> from <IP> now")
+
+    assert(r(1).getAs[Long]("n_email") + r(1).getAs[Long]("n_ipv4") +
+      r(1).getAs[Long]("n_phone") == 0L)
+    assert(r(1).getAs[String]("red") == "no pii here at all")
+
+    assert(r(2).getAs[Long]("n_email") == 2L)
+    assert(r(2).getAs[Long]("n_ipv4") == 1L)
+    assert(r(2).getAs[String]("red") ==
+      "two mails <EMAIL> and <EMAIL> share one ip <IP>")
+  }
+
+  test("redaction is idempotent: placeholders never re-match") {
+    val once = Seq("mail x@y.org ip 1.2.3.4 tel +1 22 333 44").toDF("t")
+      .select(Redaction.redact(col("t")).as("r1"))
+      .select(col("r1"), Redaction.redact(col("r1")).as("r2"))
+      .collect()(0)
+    assert(once.getString(0) == once.getString(1))
+  }
+
+  test("topWordCount / distinctWordCount are exact") {
+    val r = Seq("a b a c a b").toDF("t")
+      .select(
+        TextAnalysis.topWordCount(col("t")).as("top"),
+        TextAnalysis.distinctWordCount(col("t")).as("d"),
+        TextAnalysis.tokenCountWs(col("t")).as("n"))
+      .collect()(0)
+    assert(r.getAs[Int]("top") == 3) // 'a' appears 3 times
+    assert(r.getAs[Int]("d") == 3)   // {a, b, c}
+    assert(r.getAs[Int]("n") == 6)
+  }
+
+  test("inverted index: df, cf, and 1-based positions") {
+    val docs = Seq((10L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    val idx = InvertedIndex.postings(docs, "doc_id", "text", withPostings = true)
+      .orderBy("term").collect()
+    val byTerm = idx.map(r => r.getAs[String]("term") -> r).toMap
+
+    assert(byTerm("x").getAs[Long]("df") == 1L)
+    assert(byTerm("x").getAs[Long]("cf") == 2L)
+    assert(byTerm("x").getAs[Long]("first_doc") == 10L)
+    assert(byTerm("x").getAs[scala.collection.Seq[String]]("postings_list").toSeq == Seq("10:1", "10:3"))
+
+    assert(byTerm("y").getAs[Long]("df") == 2L)
+    assert(byTerm("y").getAs[Long]("cf") == 2L)
+    assert(byTerm("y").getAs[Long]("first_doc") == 2L)
+    // lexicographic posting order is the deterministic contract
+    assert(byTerm("y").getAs[scala.collection.Seq[String]]("postings_list").toSeq == Seq("10:2", "2:1"))
+
+    assert(byTerm("z").getAs[Long]("cf") == 1L)
+    assert(byTerm("z").getAs[scala.collection.Seq[String]]("postings_list").toSeq == Seq("2:2"))
+  }
+
+  test("mixing: copy counts realize the weights; zero-weight drops; copy_ix enumerates") {
+    val n = 2000
+    val df = (0 until n).flatMap(i => Seq((i.toLong, "up"), (i.toLong + 100000, "down"),
+      (i.toLong + 200000, "gone"))).toDF("k", "src")
+    val weights = Seq("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0)
+    val out = Mixing.upsampleMix(df, "k", "src", weights, defaultWeight = 1.0)
+
+    // per-row copy bounds: up ∈ {2,3}, down ∈ {0(absent),1}; gone absent
+    val perRow = out.groupBy("k", "src").agg(count(lit(1)).as("c"), max("copy_ix").as("mx"),
+      max("n_copies").as("nc")).collect()
+    perRow.foreach { r =>
+      val (src, c) = (r.getAs[String]("src"), r.getAs[Long]("c"))
+      src match {
+        case "up" => assert(c == 2L || c == 3L)
+        case "down" => assert(c == 1L)
+        case other => fail(s"unexpected source $other")
+      }
+      // copy_ix enumerates exactly 1..n_copies
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("nc"))
+      assert(c == r.getAs[Long]("nc"))
+    }
+
+    // realized totals near expectation (md5 keyspace is uniform; 3σ margin)
+    val tot = out.groupBy("src").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("c")).toMap
+    assert(math.abs(tot("up") - 2.5 * n) < 4 * math.sqrt(0.25 * n))
+    assert(math.abs(tot("down") - 0.25 * n) < 4 * math.sqrt(0.25 * n))
+    assert(!tot.contains("gone"))
+
+    // deterministic under repartitioning
+    val again = Mixing.upsampleMix(df.repartition(13), "k", "src", weights, 1.0)
+    assert(again.groupBy("src").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("c")).toMap == tot)
+  }
+
+  test("mixing SQL twin matches the Column form") {
+    val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "src")
+    val weights = Seq("a" -> 1.5, "b" -> 0.4)
+    val colForm = Mixing.upsampleMix(df, "k", "src", weights, 1.0)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    df.createOrReplaceTempView("mix_twin_in")
+    // the twin targets DuckDB; Spark spells the string cast STRING
+    val twin = Mixing.nCopiesSql("k", "src", weights, 1.0)
+      .replace("AS VARCHAR)", "AS STRING)")
+    val sqlForm = spark.sql(s"SELECT k, $twin AS c FROM mix_twin_in")
+      .filter(col("c") > 0)
+    val joined = colForm.as("l").join(sqlForm.as("r"), "k")
+      .filter(col("l.c") =!= col("r.c")).count()
+    assert(joined == 0L)
+    assert(colForm.count() == sqlForm.count())
+  }
+}
