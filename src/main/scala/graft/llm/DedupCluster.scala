@@ -54,10 +54,15 @@ object DedupCluster {
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .distinct()
       .persist()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // Round 1 folded into initialization: from rep = id, the first
+    // propagation round would compute exactly least(id, min(neighbor id)) —
+    // one aggregation over the edge list, no join. (Every node appears as
+    // an `x` because edges carry both directions.)
+    var labels = edges.groupBy(col("x").as("id"))
+      .agg(min(col("y")).as("__my"))
+      .select(col("id"), least(col("id"), col("__my")).as("rep"))
       .localCheckpoint()
-    var iters = 0
+    var iters = 1
     var done = false
     while (!done) {
       if (iters >= maxIters)
@@ -65,19 +70,21 @@ object DedupCluster {
           s"DedupCluster.components did not converge in $maxIters rounds — " +
             "graph diameter exceeds the near-dup regime; raise maxIters or " +
             "switch to a pointer-doubling variant")
-      // each node pulls the min rep of its neighborhood (neighbors + self);
-      // the prior rep rides along through the checkpoint so convergence is
-      // a cheap scan of the checkpointed blocks, not a second join
-      val neighborMin = edges
+      // One join + one aggregate per round: neighbors' reps are propagated
+      // across edges, the node's own row rides along through a union (its
+      // prior rep doubling as the `__old` marker — exactly one non-null per
+      // id), and a single min-agg combines both. The prior rep lands in the
+      // checkpointed output so convergence is a cheap scan of the
+      // checkpointed blocks, not a second join.
+      val prop = edges
         .join(labels.withColumnRenamed("id", "y"), "y")
-        .groupBy(col("x").as("id"))
-        .agg(min("rep").as("nrep"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          (coalesce(col("nrep"), col("rep")) < col("rep")).as("moved"))
+        .select(col("x").as("id"), col("rep"), lit(null).cast("long").as("__old"))
+      val next = labels.select(col("id"), col("rep"), col("rep").as("__old"))
+        .unionByName(prop)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"), min(col("__old")).as("__old"))
         .localCheckpoint()
-      val changed = next.filter(col("moved")).limit(1).count()
+      val changed = next.filter(col("rep") < col("__old")).limit(1).count()
       // prior round's labels are dead once `next` is checkpointed and the
       // changed-count (the only reader of both) has run — release its blocks
       freeCheckpoint(labels)
