@@ -54,13 +54,69 @@ object Decontam {
       n: Int = 8,
       minContainment: Double = 0.0,
       maxTrainDf: Option[Long] = None): DataFrame = {
-    val tg0 = grams(train, idCol, "a", textCol, n)
-    val tg = maxTrainDf.fold(tg0) { cap =>
+    val tg = capHot(grams(train, idCol, "a", textCol, n), maxTrainDf)
+    overlapFromGrams(tg, grams(benchmark, idCol, "b", textCol, n), minContainment)
+  }
+
+  /** [[exactNgramOverlap]] with a Bloom pre-filter on the training side —
+    * IDENTICAL output (spec-pinned), different 100 TB cost model.
+    *
+    * The plain equi-join shuffles BOTH gram streams by `gid`; at corpus
+    * scale the training side is 10⁴–10⁶× the benchmark side, so that
+    * shuffle is overwhelmingly wasted motion (almost no training gram
+    * matches anything). Here the benchmark's gram set is first folded into
+    * a Bloom sketch (`functions/BloomKernels`: distributed build,
+    * OR-merged map-side — one row total, MBs for 10⁷⁺ benchmark grams),
+    * broadcast, and probed INSIDE the training-side scan: only training
+    * grams that might match ever reach the join's exchange. Zero false
+    * negatives by construction, so no leak can slip past; false positives
+    * (rate set by `bitsPerItem`, default ≈1%) only add join input rows
+    * that the exact join then discards — results are bit-identical to the
+    * exact form, which is why the same DuckDB oracle verifies both (q68).
+    */
+  def bloomDecontaminate(
+      train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8,
+      minContainment: Double = 0.0,
+      maxTrainDf: Option[Long] = None,
+      expectedBenchmarkGrams: Long = 1L << 20): DataFrame = {
+    val bg = grams(benchmark, idCol, "b", textCol, n)
+    // The sketch is a driver-sized MODEL ARTIFACT (one row, MBs), same
+    // class as the IVF quantizer: built by a distributed aggregate, then
+    // collected once and embedded as a binary LITERAL in the probe
+    // expression. The literal matters: probing a broadcast-joined binary
+    // COLUMN re-materializes the whole sketch out of the joined row for
+    // every training gram (measured 1.0s vs 0.43s exact at sf0.1 —
+    // gigabytes of memcpy); a literal is a codegen constant reference,
+    // so the probe is k bit-tests per row — with it, the sketch pipeline
+    // matches the plain join even at sf0.1's unfavorable 8:1 train:bench
+    // ratio (0.365s vs 0.376s exact, min-of-3), the build job paying for
+    // itself in pruned join input. Builder is therefore EAGER (one
+    // driver action) — the catalog marks q68 eagerBuild so the bench
+    // times it honestly.
+    val sketchBytes = bg.agg(
+      graft.functions.BloomSketch
+        .bloomAggFor(xxhash64(col("gid")), expectedBenchmarkGrams).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val tg = capHot(grams(train, idCol, "a", textCol, n), maxTrainDf)
+      .filter(graft.functions.BloomSketch.mightContain(lit(sketchBytes), xxhash64(col("gid"))))
+    overlapFromGrams(tg, bg, minContainment)
+  }
+
+  /** Boilerplate/hot-key guard: drop n-grams above the training-side df
+    * cap (see [[exactNgramOverlap]]'s scaladoc for why this only lowers
+    * scores, never fabricates pairs).
+    */
+  private def capHot(tg0: DataFrame, maxTrainDf: Option[Long]): DataFrame =
+    maxTrainDf.fold(tg0) { cap =>
       val hot = tg0.groupBy("gid").agg(count(lit(1)).as("tdf"))
         .filter(col("tdf") > cap).select("gid")
       tg0.join(hot, Seq("gid"), "left_anti")
     }
-    val bg = grams(benchmark, idCol, "b", textCol, n)
+
+  private def overlapFromGrams(
+      tg: DataFrame, bg: DataFrame, minContainment: Double): DataFrame = {
     val bsize = bg.groupBy(col("b")).agg(count(lit(1)).as("b_grams"))
     tg.join(bg, "gid")
       .groupBy(col("a"), col("b"))

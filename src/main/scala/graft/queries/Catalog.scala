@@ -1943,6 +1943,46 @@ object Catalog {
     }
   }
 
+  /** Bloom-pre-filtered exact decontamination (`Decontam
+    * .bloomDecontaminate` + `functions/BloomKernels`): the benchmark's
+    * n-gram set folds into a broadcast Bloom sketch (distributed build,
+    * OR-merged map-side) probed inside the training-side scan, so only
+    * might-match grams reach the join exchange — at corpus scale that
+    * skips shuffling the ~10⁶×-larger training gram stream. Zero false
+    * negatives ⇒ output is bit-identical to the exact join, so the plain
+    * SQL oracle verifies the whole sketch path end-to-end (6-grams,
+    * containment ≥ 0.15, a different regime than q62's 8-gram/0.2).
+    */
+  val q68 = q(
+    "q68_bloom_decontam",
+    """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 9 <> 0),
+      |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 9 = 0),
+      |tg AS (SELECT doc_id AS a, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-5, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]))) AS g
+      |        FROM tw)),
+      |bg AS (SELECT doc_id AS b, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-5, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]))) AS g
+      |        FROM bw)),
+      |bs AS (SELECT b, count(*) AS b_grams FROM bg GROUP BY 1),
+      |j AS (SELECT a, b, count(*) AS n_shared FROM tg JOIN bg USING (gid) GROUP BY 1, 2)
+      |SELECT j.a, j.b, j.n_shared, bs.b_grams,
+      |       floor((n_shared * 1.0 / b_grams) * 10000 + 0.5) / 10000 AS containment
+      |FROM j JOIN bs USING (b)
+      |WHERE n_shared * 1.0 / b_grams >= 0.15
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.Decontam.bloomDecontaminate(
+        docs.filter(col("doc_id") % 9 =!= 0), docs.filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", n = 6, minContainment = 0.15,
+        expectedBenchmarkGrams = 1L << 16)
+      .select(col("a"), col("b"), col("n_shared"), col("b_grams"),
+        r4(col("containment")).as("containment"))
+      .transform(ordered("a", "b"))
+  }.copy(eagerBuild = true) // sketch build+collect runs at build time —
+                            // the bench times build + execute (cf. q61)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -1960,5 +2000,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67)
+    q63, q64, q65, q66, q67, q68)
 }

@@ -111,6 +111,42 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("src") -> r.getAs[Long]("c")).toMap == tot)
   }
 
+  test("bloom kernels: zero false negatives, sane false-positive rate, merge across partitions") {
+    import graft.functions.BloomSketch
+    val n = 5000
+    val inserted = (0 until n).map(i => i.toLong * 7919L)
+    val sketchDf = inserted.toDF("x").repartition(8)
+      .agg(BloomSketch.bloomAggFor(col("x"), n).as("bf"))
+
+    // every inserted value probes true — regardless of which partition
+    // built which buffer (the OR-merge is exact)
+    val probeIn = inserted.toDF("x").crossJoin(broadcast(sketchDf))
+      .filter(!BloomSketch.mightContain(col("bf"), col("x")))
+    assert(probeIn.count() == 0L)
+
+    // disjoint values probe mostly false (sized for ~1% FP at n items)
+    val fp = (0 until n).map(i => i.toLong * 7919L + 1L).toDF("x")
+      .crossJoin(broadcast(sketchDf))
+      .filter(BloomSketch.mightContain(col("bf"), col("x"))).count()
+    assert(fp < n / 20, s"false-positive count $fp out of $n is too high")
+  }
+
+  test("bloom decontamination output is identical to the exact join") {
+    val docs = (0 until 60).map { i =>
+      val base = s"w$i a b c d e f g h common tail piece here now ok fin$i"
+      (i.toLong, if (i % 10 == 0) "a b c d e f g h common tail piece here" else base)
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontam.exactNgramOverlap(train, bench, "doc_id", "text", n = 6)
+      .orderBy("a", "b").collect().toSeq
+    val bloom = Decontam.bloomDecontaminate(train, bench, "doc_id", "text", n = 6,
+        expectedBenchmarkGrams = 1024)
+      .orderBy("a", "b").collect().toSeq
+    assert(exact.nonEmpty)          // the fixture does overlap
+    assert(bloom == exact)          // FP-only pre-filter: results identical
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
