@@ -1983,6 +1983,36 @@ object Catalog {
   }.copy(eagerBuild = true) // sketch build+collect runs at build time —
                             // the bench times build + execute (cf. q61)
 
+  /** Deterministic corpus shuffle + sharding (`llm/Sharding`): global
+    * training-order permutation from the salted md5 keyspace, positions
+    * computed DISTRIBUTED (range partition → local rank → answer-sized
+    * offset join — never the single-task global `row_number` window the
+    * oracle SQL uses), round-robin shards balanced to ±1 row. `order_md5`
+    * digests every shard's full in-order document sequence, so the oracle
+    * verifies the entire permutation, not just counts.
+    */
+  val q69 = q(
+    "q69_corpus_shuffle",
+    """WITH p AS (SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY md5('shard|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      |  FROM documents)
+      |SELECT CAST((pos - 1) % 16 AS BIGINT) AS shard, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(pos) AS first_pos, max(pos) AS last_pos,
+      |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_md5
+      |FROM p GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+    graft.llm.Sharding.shuffleShards(Tables.documents(s, d), "doc_id", 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")).as("order_md5"))
+      .transform(ordered("shard"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2000,5 +2030,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68)
+    q63, q64, q65, q66, q67, q68, q69)
 }

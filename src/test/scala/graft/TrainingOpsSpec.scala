@@ -147,6 +147,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bloom == exact)          // FP-only pre-filter: results identical
   }
 
+  test("sharding: pos is a total permutation, shards balance, distributed form ≡ global window") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 997 // prime, so round-robin leaves a ragged tail
+    val df = (0 until n).map(i => (i.toLong, i * 3)).toDF("k", "payload")
+    val out = Sharding.shuffleShards(df, "k", numShards = 16).cache()
+
+    // pos is exactly 1..n
+    val poss = out.select("pos").collect().map(_.getLong(0)).sorted
+    assert(poss.toSeq == (1L to n.toLong))
+
+    // shards balanced to ±1
+    val sizes = out.groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.length == 16 && sizes.max - sizes.min <= 1)
+
+    // distributed rank ≡ the naive single-task global window
+    val sk = md5(concat(lit("shard|"), col("k").cast("string")))
+    val naive = df.withColumn("pos2",
+      row_number().over(Window.orderBy(sk, col("k"))).cast("long"))
+    val mismatches = out.join(naive, "k")
+      .filter(col("pos") =!= col("pos2")).count()
+    assert(mismatches == 0L)
+
+    // deterministic under input partitioning
+    val again = Sharding.shuffleShards(df.repartition(7), "k", 16)
+      .select("k", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.select("k", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+    out.unpersist()
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
