@@ -105,6 +105,33 @@ object Splits {
     df.filter(bucket < threshold)
   }
 
+  /** Fixed-SIZE deterministic sample: the k rows of each stratum with the
+    * smallest `md5(salt|key)` — the bottom-k-sketch complement to
+    * [[stratifiedSample]]'s fixed-RATE filter. Bottom-k on a uniform hash
+    * is a uniform sample without replacement, is MERGEABLE (the bottom-k
+    * of a union is the bottom-k of the parts — how distributed execution
+    * computes it: per-partition top-k under the ranking window's partial
+    * sort, then merge per stratum), and is stable under corpus growth in
+    * the weak sense that a row only leaves the sample when a smaller-hash
+    * row arrives. One hash shuffle by stratum; no global sort, no RNG.
+    * Ties are impossible (md5 of distinct keys), so the sample is exact
+    * and engine-identical.
+    */
+  def bottomK(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String = "smp"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val bucket = md5(concat(lit(s"$salt|"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(bucket, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** SQL WHERE-clause twin of [[stratifiedSample]] for cross-engine
     * oracles. */
   def stratifiedSampleSql(

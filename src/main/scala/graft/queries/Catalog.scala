@@ -2013,6 +2013,31 @@ object Catalog {
       .transform(ordered("shard"))
   }
 
+  /** Fixed-size deterministic sampling (`Splits.bottomK`): exactly k docs
+    * per language, the bottom-k of the salted md5 keyspace — uniform
+    * without replacement, mergeable, zero RNG. The digest column pins the
+    * exact membership, not just the count; the ranking window partitions
+    * by stratum (distributed — never a global sort).
+    */
+  val q70 = q(
+    "q70_bottomk_sample",
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |  row_number() OVER (PARTITION BY lang
+      |                     ORDER BY md5('smp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       md5(array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')) AS sample_md5
+      |FROM r WHERE rk <= 25
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.llm.Splits.bottomK(Tables.documents(s, d), "doc_id", "lang", k = 25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ","))
+          .as("sample_md5"))
+      .transform(ordered("lang"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2030,5 +2055,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69)
+    q63, q64, q65, q66, q67, q68, q69, q70)
 }

@@ -177,6 +177,32 @@ class TrainingOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bottom-k sample: exactly k per stratum, mergeable, deterministic") {
+    val df = (0 until 400).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
+      .toDF("k", "s")
+    val sample = Splits.bottomK(df, "k", "s", k = 10)
+    val sizes = sample.groupBy("s").count().collect()
+      .map(r => r.getAs[String]("s") -> r.getAs[Long]("count")).toMap
+    assert(sizes == Map("a" -> 10L, "b" -> 10L))
+
+    // stratum smaller than k → keep all of it
+    val tiny = Splits.bottomK(df.filter(col("k") < 6), "k", "s", k = 10)
+    assert(tiny.count() == 6L)
+
+    // mergeability: bottom-k of the union == bottom-k of per-part bottom-ks
+    val partA = df.filter(col("k") < 200)
+    val partB = df.filter(col("k") >= 200)
+    val merged = Splits.bottomK(
+      Splits.bottomK(partA, "k", "s", 10).unionByName(Splits.bottomK(partB, "k", "s", 10)),
+      "k", "s", 10)
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(merged) == keys(sample))
+
+    // deterministic under input partitioning
+    assert(keys(Splits.bottomK(df.repartition(11), "k", "s", 10)) == keys(sample))
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
