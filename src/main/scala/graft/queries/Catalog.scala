@@ -2038,6 +2038,35 @@ object Catalog {
       .transform(ordered("lang"))
   }
 
+  /** Statistical bigram-LM scoring (`llm/LanguageModel`): the
+    * KenLM/CCNet-style corpus quality signal — train bigram MLE counts on
+    * the corpus, score every document's mean bigram log-probability
+    * through a model-table equi-join (the model stays distributed; no
+    * driver artifact). Per-bigram log-probs round to scale-4 longs BEFORE
+    * the per-doc sum, so the aggregate is exact integer arithmetic —
+    * order-independent and cross-engine bit-identical.
+    */
+  val q71 = q(
+    "q71_bigram_lm_score",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+      |         i -> w[i] || ' ' || w[i+1])) AS w12 FROM w),
+      |b AS (SELECT w12, count(*) AS c12 FROM bi GROUP BY 1),
+      |b2 AS (SELECT w12, c12, string_split(w12, ' ')[1] AS w1 FROM b),
+      |p AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b2 GROUP BY 1),
+      |m AS (SELECT w12, c12, c1 FROM b2 JOIN p USING (w1)),
+      |s AS (SELECT bi.doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS logsum4
+      |      FROM bi JOIN m USING (w12) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, logsum4,
+      |       floor((CAST(logsum4 AS DOUBLE) / 10000.0 / n_bigrams) * 10000 + 0.5) / 10000 AS avg_logp
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.LanguageModel.scoreBigrams(docs, "doc_id", "text",
+        graft.llm.LanguageModel.bigramModel(docs, "text"))
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2055,5 +2084,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

@@ -203,6 +203,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(keys(Splits.bottomK(df.repartition(11), "k", "s", 10)) == keys(sample))
   }
 
+  test("bigram LM: MLE counts and scale-4 log scores are exact") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b b")).toDF("doc_id", "text")
+    val model = LanguageModel.bigramModel(corpus, "text")
+    val m = model.collect().map(r =>
+      r.getAs[String]("w12") -> (r.getAs[Long]("c12"), r.getAs[Long]("c1"))).toMap
+    // bigrams: d1 = {a b, b a}, d2 = {a b, b b}
+    assert(m == Map("a b" -> (2L, 2L), "b a" -> (1L, 2L), "b b" -> (1L, 2L)))
+
+    val scored = LanguageModel.scoreBigrams(corpus, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    // d1: ln(2/2)=0 and ln(1/2) → floor(-6931.47 + 0.5) = -6931
+    assert(scored(0).getAs[Long]("n_bigrams") == 2L)
+    assert(scored(0).getAs[Long]("logsum4") == -6931L)
+    // -6931/1e4 is not exactly representable; the IEEE chain lands just
+    // below -3465.0 before the floor, identically in any engine
+    assert(scored(0).getAs[Double]("avg_logp") == -0.3466)
+    // d2 has the same shape (ln(2/2) + ln(1/2))
+    assert(scored(1).getAs[Long]("logsum4") == -6931L)
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
