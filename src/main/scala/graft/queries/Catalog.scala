@@ -2067,6 +2067,64 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Cluster-aware canonical selection — the END of the dedup pipeline:
+    * LSH pairs (q24's operator) → transitive clusters (q61's) → keep the
+    * best-quality member per cluster (`Dedupe.topOnePerKey` over the
+    * cluster id, quality = longest document, deterministic tie-break).
+    * One window over answer-sized cluster memberships joined with a
+    * column-pruned doc scan; everything upstream is the already-verified
+    * banded-join machinery.
+    */
+  val q72 = q(
+    "q72_dedup_keep_best",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |hx AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+      |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM sh),
+      |mh AS (SELECT doc_id, shingles,
+      |         list_transform(generate_series(0, 7), i ->
+      |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+      |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+      |       FROM hx),
+      |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+      |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+      |         FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+      |                            AND x.doc_id < y.doc_id
+      |         GROUP BY 1, 2),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+      |pairs AS (SELECT c.a, c.b
+      |          FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+      |          WHERE len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+      |                len(list_distinct(sa.sset || sb.sset)) >= 0.5),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT x AS id, x AS r FROM edges
+      |          UNION
+      |          SELECT e.x, r.r FROM edges e JOIN reach r ON r.id = e.y),
+      |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+      |k AS (SELECT c.rep, c.id, d.n_chars,
+      |        row_number() OVER (PARTITION BY c.rep ORDER BY d.n_chars DESC, c.id) AS rk
+      |      FROM comp c JOIN documents d ON d.doc_id = c.id)
+      |SELECT rep, count(*) AS n_members,
+      |       max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+      |       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keep_chars
+      |FROM k GROUP BY rep ORDER BY rep""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.llm.MinHashLsh
+      .nearDupPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+    val comps = graft.llm.DedupCluster.components(pairs, "a", "b")
+    val scored = comps.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+    val best = Dedupe.topOnePerKey(scored,
+      keys = Seq(col("rep")),
+      priority = Seq(col("n_chars").desc, col("id")))
+    comps.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+      .join(best.select(col("rep"), col("id").as("keep_id"), col("n_chars").as("keep_chars")), "rep")
+      .transform(ordered("rep"))
+  }.copy(eagerBuild = true) // cluster propagation runs at build time (cf. q61)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2084,5 +2142,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
