@@ -69,6 +69,31 @@ object Embeddings {
       .select(col("qid"), col("cid"), col("rank"), col("sim"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most similar corpus vectors with a DIFFERENT label — the pair-mining
+    * step of contrastive/embedding training (easy negatives are useless;
+    * the hardest ones — high similarity, wrong label — carry the
+    * gradient). Same shape as [[cosineTopK]] (broadcast query set, corpus
+    * scanned once, vectors pruned before the ranking shuffle) with the
+    * label-mismatch filter applied BEFORE ranking, so ranks index the
+    * negative pool only. This is the exact baseline; at corpus scale swap
+    * the candidate generator for the IVF cell join ([[ivfTopK]]'s) and
+    * keep the same filter + window tail.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-label mean vectors — the IVF coarse quantizer trained from the
     * corpus itself (labels stand in for k-means cells; a learned quantizer
     * would drop in the same way). One shuffle keyed by (label, dim) with

@@ -2125,6 +2125,32 @@ object Catalog {
       .transform(ordered("rep"))
   }.copy(eagerBuild = true) // cluster propagation runs at build time (cf. q61)
 
+  /** Contrastive hard-negative mining (`Embeddings.hardNegatives`): per
+    * query vector, the top-k most-similar DIFFERENT-label corpus vectors —
+    * the pair-mining step of contrastive training. Broadcast query set,
+    * one corpus scan, label filter before the ranking window so ranks
+    * index the negative pool.
+    */
+  val q73 = q(
+    "q73_hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qvec
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS cvec FROM embeddings),
+      |sc AS (SELECT qid, qlabel, cid, clabel, list_cosine_similarity(qvec, cvec) AS sim
+      |       FROM q, c WHERE clabel <> qlabel),
+      |r AS (SELECT qid, qlabel, cid, clabel, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |      FROM sc)
+      |SELECT qid, qlabel, cid, clabel, rank, floor((sim) * 10000 + 0.5) / 10000 AS sim
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.llm.Embeddings
+      .hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), 5)
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"), col("rank"),
+        r4(col("sim")).as("sim"))
+      .transform(ordered("qid", "rank"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2142,5 +2168,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

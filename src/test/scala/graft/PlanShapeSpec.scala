@@ -58,6 +58,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q63: redaction is scan-speed — no exchange except final presentation") {
+    // the PII scrub must stay a pure projection over the scan; a shuffle
+    // here would mean the regex pass stopped being free at 100 TB
+    val p = planOf("q63_pii_redaction")
+    assert("Exchange".r.findAllIn(p).length == 1) // ordered()'s repartition(1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
+
+  test("q71: LM scoring joins the model by equi-key, never nested-loop") {
+    val p = planOf("q71_bigram_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q41: ranking shuffle carries no embedding arrays") {
     val p = planOf("q41_ivf_ann")
     // the window's exchange partitions by the left id only after vectors

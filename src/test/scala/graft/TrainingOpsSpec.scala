@@ -223,6 +223,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(scored(1).getAs[Long]("logsum4") == -6931L)
   }
 
+  test("hard negatives: different-label only, dense ranks, similarity-sorted") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.7f, 0.3f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Embeddings.hardNegatives(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .orderBy("rank").collect()
+    assert(out.forall(r => r.getAs[Int]("clabel") != r.getAs[Int]("qlabel")))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // hardest negative first: vec 3 is most similar to vec 1 among labels != 0
+    assert(out(0).getAs[Long]("cid") == 3L)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sorted.reverse.toSeq == sims.toSeq)
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
