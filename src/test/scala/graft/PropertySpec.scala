@@ -22,6 +22,47 @@ class PropertySpec extends SparkSpec {
   private val rows = gen.pureApply(Gen.Parameters.default, Seed(42L)).distinctBy(_._4)
   private lazy val df = rows.toDF("k", "p", "ts", "id")
 
+  test("mixing: every realized copy count is floor(w) or floor(w)+1, totals within binomial bounds") {
+    // weights spanning pure-down, identity, fractional-up, integer-up
+    val weights = Seq("a" -> 0.3, "b" -> 1.0, "c" -> 1.7, "d" -> 3.0,
+      "e" -> 0.0, "f" -> 2.2, "g" -> 0.9, "h" -> 1.5)
+    val out = graft.llm.Mixing.upsampleMix(df, "id", "k", weights, defaultWeight = 1.0)
+      .groupBy("id", "k").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("c")))
+    val wMap = weights.toMap
+    out.foreach { case (k, c) =>
+      val base = math.floor(wMap(k)).toLong
+      assert(c == base || c == base + 1, s"source $k realized $c copies for w=${wMap(k)}")
+    }
+    // every zero-weight row is gone; every w>=1 row survives
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val inputBySrc = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("e"))
+    Seq("b", "c", "d", "f", "h").foreach(k => assert(bySrc(k) == inputBySrc(k)))
+  }
+
+  test("sharding: positions are always a 1..n permutation and shards differ by at most one") {
+    for (nShards <- Seq(1, 7, 16)) {
+      val out = graft.llm.Sharding.shuffleShards(df, "id", nShards)
+      val pos = out.select("pos").collect().map(_.getLong(0)).sorted
+      assert(pos.toSeq == (1L to rows.length.toLong), s"broken permutation at $nShards shards")
+      val sizes = out.groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+      assert(sizes.length == math.min(nShards, rows.length) && sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("bottom-k: sample of a superset never swaps in a larger-hash member") {
+    // growth stability: a member leaves the k-sample only because a
+    // smaller-hash row arrived — so sample(small ∪ extra) ∩ small ⊆ sample(small)
+    val small = df.filter($"id" % 2 === 0)
+    val sampleSmall = graft.llm.Splits.bottomK(small, "id", "k", 5)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val sampleAll = graft.llm.Splits.bottomK(df, "id", "k", 5)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val smallIds = rows.filter(_._4 % 2 == 0).map(_._4).toSet
+    assert((sampleAll & smallIds).subsetOf(sampleSmall))
+  }
+
   test("dedupe: exactly one row per key, and it is a priority maximum") {
     val got = Dedupe.topOnePerKey(df, Seq($"k"),
       Seq($"p".desc, $"ts".desc, $"id".asc)).collect()
