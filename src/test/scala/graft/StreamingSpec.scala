@@ -167,6 +167,37 @@ class StreamingSpec extends SparkSpec {
     } finally s.stop() // never leak the continuously-triggering query
   }
 
+  test("streaming corpus scrub: redaction + quality signals run per-micro-batch, batch-identical") {
+    // the whole scrub family is stateless Column expressions, so it lifts
+    // onto a stream unchanged — this pins that no hidden batch-only
+    // construct (window, collect, eager build) sneaks into the scrub path
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{Redaction, TextAnalysis}
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "mail me at a@b.co from 10.0.0.1 the a of and to x y x"),
+      (2L, "clean text only here"))
+    mem.addData(docs: _*)
+    def scrub(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("id"),
+        Redaction.redact(col("_2")).as("red"),
+        Redaction.piiTotal(col("_2")).as("n_pii"),
+        TextAnalysis.topWordCount(col("_2")).as("top_n"),
+        TextAnalysis.qualityBin(col("_2")).as("bin"))
+    val q = scrub(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrubbed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scrubbed").orderBy("id").collect()
+    val batch = scrub(docs.toDF()).orderBy("id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed(0).getAs[Long]("n_pii") == 2L)
+    assert(streamed(0).getAs[String]("red").contains("<EMAIL>"))
+    assert(streamed(0).getAs[String]("red").contains("<IP>"))
+  }
+
   test("streaming dedupe drops repeated business keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
