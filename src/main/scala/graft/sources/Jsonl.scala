@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus ingestion with corrupt-record quarantine — the source
+  * format every web-scale text pipeline actually receives (line-delimited
+  * JSON, usually gzipped, with a real-world fraction of truncated lines,
+  * encoding damage, and schema drift). Counterpart to the reference's
+  * defensive CSV ingests (`src/transform_istdaten.py` encoding fallback;
+  * our `tpg/IstdatenIngest`): never let one broken line kill a 100 TB
+  * read, never silently drop it either.
+  *
+  * Mechanics: Spark's PERMISSIVE json mode with an explicit user schema +
+  * `columnNameOfCorruptRecord` — unparsable lines land whole in the
+  * quarantine column with every data column NULL; parsable lines that
+  * merely MISS fields get NULLs (schema drift is data, not corruption).
+  * The schema is explicit because inference is a full extra pass over
+  * 100 TB and pins the corpus to whatever the first files looked like.
+  * Gzip is handled by extension transparently; .gz files are not
+  * splittable, so corpus producers should shard (many ~100 MB files) —
+  * parallelism = file count for compressed JSONL.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** `schema` + the quarantine column appended. */
+  def schemaWithQuarantine(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+
+  /** Read line-delimited JSON (optionally .gz) under `path` with the given
+    * data schema; returns every line as a row — parsed columns for good
+    * lines, the raw line in [[CorruptCol]] (and NULL data columns) for
+    * corrupt ones.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schemaWithQuarantine(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** (clean rows without the quarantine column, quarantined raw lines).
+    * The split is by CORRUPTION only — schema-drifted rows (missing
+    * fields → NULLs) stay on the clean side for downstream null-policy
+    * operators to handle.
+    */
+  def readSplit(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val all = read(spark, path, schema).cache()
+    val clean = all.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = all.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
+    (clean, bad)
+  }
+}
