@@ -268,6 +268,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(badRows.exists(_.contains("truncated")) && badRows.contains("not json at all"))
   }
 
+  test("shard write: one file per shard, line order is training order") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("shards").toString
+    val df = (0 until 300).map(i => (i.toLong, s"doc $i")).toDF("k", "text")
+    Sharding.writeShards(df, "k", numShards = 4, outDir = dir)
+
+    val expected = Sharding.shuffleShards(df, "k", 4)
+      .select("shard", "pos", "k").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+
+    (0 until 4).foreach { s =>
+      val files = Files.list(Paths.get(dir, s"shard=$s")).iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq
+      assert(files.size == 1, s"shard $s should be exactly one file, got ${files.size}")
+      // line order in the file must be ascending pos = training order
+      val ks = Files.readAllLines(files.head).asScala
+        .map(l => """"k":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+      assert(ks == expected(s.toLong), s"shard $s out of training order")
+    }
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
