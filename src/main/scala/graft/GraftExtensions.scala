@@ -68,6 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => PercentileArray(
         Cast(exprs(0), DoubleType),
         litStr(exprs(1)).split(',').toSeq.map(_.trim.toDouble))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(x, 'numBytes,numHashes') - Bloom sketch of pre-hashed longs"),
+      (exprs: Seq[Expression]) => {
+        val Array(nb, k) = litStr(exprs(1)).split(',').map(_.trim.toInt)
+        BloomAgg(Cast(exprs(0), org.apache.spark.sql.types.LongType), nb, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(sketch, x) - probe a bloom_agg sketch"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 
   private def litStr(e: Expression): String = e match {

@@ -163,8 +163,11 @@ object BloomSketch {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // same foldable-aware contract as GraftExtensions.litStr
     def litStr(e: Expression): String = e match {
       case Literal(v: UTF8String, StringType) => v.toString
+      case f if f.foldable && f.dataType == StringType =>
+        f.eval().asInstanceOf[UTF8String].toString
       case other => sys.error(s"expected string literal, got $other")
     }
     reg.createOrReplaceTempFunction(
@@ -180,11 +183,18 @@ object BloomSketch {
       "built-in")
   }
 
-  /** Sketch sized for ~1% false positives at `expectedItems` (≈9.6 bits
-    * per item, 7 probes — the standard optimum for p = 0.01).
+  /** Sketch sized for <1% false positives at `expectedItems`: 12 bits per
+    * item (the p = 0.01 optimum is ≈9.6; the margin covers estimate error),
+    * 7 probes. Size is clamped to the JVM array bound (~256 MB sketch ≈
+    * 1.4×10⁸ items at full budget) — beyond that the FP rate degrades
+    * gracefully rather than overflowing Int and either crashing or
+    * silently allocating a useless wrapped-around sketch; shard the
+    * benchmark set across several sketches if you genuinely have more.
     */
-  def bloomAggFor(c: Column, expectedItems: Long): Column =
-    bloomAgg(c, numBytes = math.max(8L, (expectedItems * 12 + 7) / 8).toInt, numHashes = 7)
+  def bloomAggFor(c: Column, expectedItems: Long): Column = {
+    val bytes = math.min((Int.MaxValue - 16).toLong, math.max(8L, (expectedItems * 12 + 7) / 8))
+    bloomAgg(c, numBytes = bytes.toInt, numHashes = 7)
+  }
 
   def bloomAgg(c: Column, numBytes: Int, numHashes: Int): Column = {
     RegisterOnce("bloom")(register)

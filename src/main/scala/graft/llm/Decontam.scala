@@ -99,8 +99,16 @@ object Decontam {
       graft.functions.BloomSketch
         .bloomAggFor(xxhash64(col("gid")), expectedBenchmarkGrams).as("__bf"))
       .head().getAs[Array[Byte]](0)
-    val tg = capHot(grams(train, idCol, "a", textCol, n), maxTrainDf)
-      .filter(graft.functions.BloomSketch.mightContain(lit(sketchBytes), xxhash64(col("gid"))))
+    // Bloom BEFORE capHot: the probe verdict is a pure function of gid
+    // (every occurrence of a gid passes or fails together), so hot-df
+    // counts over the survivors equal the full-corpus counts for every
+    // surviving gid — output-identical, and the hot-key aggregate now
+    // runs over the pruned stream instead of re-shuffling the full
+    // training grams the sketch exists to avoid.
+    val tg = capHot(
+      grams(train, idCol, "a", textCol, n)
+        .filter(graft.functions.BloomSketch.mightContain(lit(sketchBytes), xxhash64(col("gid")))),
+      maxTrainDf)
     overlapFromGrams(tg, bg, minContainment)
   }
 

@@ -29,7 +29,8 @@ object InvertedIndex {
     * the sorted comma-joined `doc:pos` list (1-based positions), the
     * compact engine-comparable digest of the full posting list.
     * `withPostings = true` additionally keeps the raw sorted list column
-    * `postings` for consumers that want the index itself, not a digest.
+    * `postings_list` for consumers that want the index itself, not a
+    * digest.
     */
   def postings(
       docs: DataFrame,

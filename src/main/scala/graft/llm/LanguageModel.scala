@@ -45,9 +45,12 @@ object LanguageModel {
   /** Score `docs` under `model` ([[bigramModel]] output): one row per
     * document having ≥1 bigram — `n_bigrams`, `logsum4` (sum of scale-4
     * rounded bigram log-probs, exact long), and `avg_logp` (mean log-prob
-    * per bigram, scale-4). Bigrams absent from the model are dropped from
-    * the sum (with a self-trained model none are; with a foreign model
-    * pair this with a coverage filter on `n_scored`/`n_bigrams`).
+    * per bigram, scale-4). Bigrams absent from the model are dropped by
+    * the join, so `n_bigrams` counts SCORED bigrams (with a self-trained
+    * model that is all of them); under a foreign model, compute each
+    * document's total bigram count separately
+    * (`size(wordShingles(text, 2))`) and gate on the coverage ratio
+    * before trusting `avg_logp`.
     */
   def scoreBigrams(
       docs: DataFrame, idCol: String, textCol: String,

@@ -41,6 +41,10 @@ object Mixing {
       salt: String = "mix"): DataFrame = {
     require(weights.forall(_._2 >= 0.0), "mixture weights must be >= 0")
     require(defaultWeight >= 0.0, "default weight must be >= 0")
+    val clash = df.columns.toSeq.intersect(Seq("n_copies", "copy_ix"))
+    require(clash.isEmpty,
+      s"upsampleMix input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them first (outputs would silently clobber)")
 
     def intPart(w: Double): Long = math.floor(w).toLong
     def fracThreshold(w: Double): String = Splits.hexThreshold(w - math.floor(w))

@@ -36,7 +36,12 @@ object Sharding {
 
   /** `df` plus `pos` (1-based global shuffle position) and `shard`
     * (0-based round-robin shard id). Deterministic in `keyCol` and `salt`;
-    * `keyCol` must be non-null (null keys have no defined position).
+    * `keyCol` must be non-null (null keys have no defined position) and
+    * UNIQUE — duplicate keys produce identical sort tuples, so which
+    * payload row gets which position would depend on scan order, breaking
+    * the reproducible-order contract. Output column names `pos`/`shard`
+    * (and internal `__`-prefixed temporaries) are reserved: inputs that
+    * already carry them are rejected rather than silently clobbered.
     *
     * @param bucketHexChars md5-prefix length defining the bucket count
     *        (16^n buckets): 2 → 256 for small/medium corpora, 3 → 4096
@@ -51,6 +56,11 @@ object Sharding {
     require(numShards >= 1, "numShards must be >= 1")
     require(bucketHexChars >= 1 && bucketHexChars <= 4,
       "bucketHexChars must be in [1, 4] (16 to 65536 buckets)")
+    val reserved = Seq("pos", "shard", "__sk", "__bk", "__rn", "__off")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"shuffleShards input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them first (outputs pos/shard would silently clobber)")
     val sk = md5(concat(lit(s"$salt|"), col(keyCol).cast("string")))
     val bucketed = df
       .withColumn("__sk", sk)

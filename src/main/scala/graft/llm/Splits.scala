@@ -124,6 +124,9 @@ object Splits {
       k: Int,
       salt: String = "smp"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains("__rk"),
+      "bottomK input already has a __rk column — rename it first " +
+        "(the internal rank would silently clobber it)")
     val bucket = md5(concat(lit(s"$salt|"), col(keyCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(bucket, col(keyCol))

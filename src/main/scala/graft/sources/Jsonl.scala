@@ -33,22 +33,32 @@ object Jsonl {
   /** Read line-delimited JSON (optionally .gz) under `path` with the given
     * data schema; returns every line as a row — parsed columns for good
     * lines, the raw line in [[CorruptCol]] (and NULL data columns) for
-    * corrupt ones.
+    * corrupt ones. Blank lines are skipped (matching the json source).
+    *
+    * Implemented as a TEXT scan + `from_json` rather than the json file
+    * source: the file source forbids filtering on its internal corrupt
+    * column unless the whole frame is cached first (SPARK-21610) — a
+    * pinned full-corpus cache is exactly what a 100 TB read must not do.
+    * `from_json` carries the same PERMISSIVE + corrupt-column semantics
+    * with no such restriction, so the split below stays a pure scan.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schemaWithQuarantine(schema))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+    spark.read.textFile(path).toDF("__line")
+      .filter(length(trim(col("__line"))) > 0)
+      .select(from_json(col("__line"), schemaWithQuarantine(schema),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
+      .select(col("__j.*"))
 
   /** (clean rows without the quarantine column, quarantined raw lines).
     * The split is by CORRUPTION only — schema-drifted rows (missing
     * fields → NULLs) stay on the clean side for downstream null-policy
-    * operators to handle.
+    * operators to handle. Each side is an independent lazy scan (the
+    * files are read once per materialized side); nothing is pinned in
+    * storage — callers materializing both sides repeatedly should write
+    * the split out once instead of caching a corpus-sized frame.
     */
   def readSplit(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
-    val all = read(spark, path, schema).cache()
+    val all = read(spark, path, schema)
     val clean = all.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = all.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
     (clean, bad)
