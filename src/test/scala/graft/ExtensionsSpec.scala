@@ -51,6 +51,15 @@ class ExtensionsSpec extends AnyFunSuite {
           |GROUP BY g ORDER BY g""".stripMargin).collect()
       assert(agg(0).getSeq[Double](1) == Seq(2.0, 3.0))
       assert(agg(1).getSeq[Double](1) == Seq(10.0, 10.0))
+      // bloom build + probe, pure SQL: inserted values always hit
+      val bloom = spark.sql(
+        """WITH s AS (SELECT bloom_agg(xxhash64(x), '256,7') AS bf
+          |           FROM VALUES (1L), (2L), (3L) t(x))
+          |SELECT bloom_might_contain((SELECT bf FROM s), xxhash64(2L)) AS hit,
+          |       bloom_might_contain((SELECT bf FROM s), xxhash64(99L)) AS miss
+          |""".stripMargin).collect()(0)
+      assert(bloom.getAs[Boolean]("hit"))
+      assert(!bloom.getAs[Boolean]("miss"))
     } finally {
       // hand the shared session back without stopping the SparkContext
       SparkSession.clearDefaultSession()
