@@ -29,8 +29,11 @@ object Bench {
       // at cluster scale its runtime re-planning (skew joins, partition
       // coalescing) is essential. In this benchmark regime — hundreds of MB
       // per query, sub-second stages — its per-stage materialize-and-
-      // re-optimize barrier costs more than it saves (measured +25% total),
-      // so the bench defaults it off. Both modes produce identical results.
+      // re-optimize barrier costs more than it saves (measured +25% on the
+      // 55-query catalog; re-measured round 7 at 73 queries: 23.4s vs
+      // 16.0s = +46%, the multi-stage similarity/propagation queries pay
+      // the barrier most), so the bench defaults it off. Both modes
+      // produce identical results.
       .config("spark.sql.adaptive.enabled", env("SPARK_GRAFT_AQE", "false"))
       // A/B knob: parallelismFirst=false coalesces shuffles to advisory
       // byte size (fewer, fuller reducers); true (Spark default) holds the
