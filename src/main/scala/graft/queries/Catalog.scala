@@ -1670,14 +1670,20 @@ object Catalog {
       |       floor((max(jac)) * 10000 + 0.5) / 10000 AS max_jac
       |FROM pr WHERE jac >= 0.5
       |GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
-    import graft.llm.TextAnalysis
+    // Compiled kernel path (functions/QgramJaccard): per ROW the distinct
+    // 2-grams encode once into a SORTED primitive long array; per PAIR a
+    // two-pointer merge counts the intersection — replacing the boxed
+    // array_intersect/array_union HOF chain at the join's multiplied cost
+    // center. Bit-identical jaccard (TrainingOpsSpec pins ≡
+    // charGrams+jaccardSets); measured 0.77s → 0.27s at sf0.1 solo.
+    val K = graft.functions.QgramKernels
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_type"),
-      TextAnalysis.charGrams(col("p_name"), 2).as("gs"))
+      K.charGramCodes(col("p_name"), 2).as("gs"))
     val l = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("k1"), col("gs").as("g1"))
     val r = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("k2"), col("gs").as("g2"))
     l.join(r, Seq("p_brand", "p_type"))
       .filter(col("k1") < col("k2"))
-      .withColumn("jac", TextAnalysis.jaccardSets(col("g1"), col("g2")))
+      .withColumn("jac", K.sortedCodesJaccard(col("g1"), col("g2")))
       .filter(col("jac") >= 0.5)
       .groupBy(col("p_brand").as("brand"))
       .agg(count(lit(1)).as("n_pairs"),

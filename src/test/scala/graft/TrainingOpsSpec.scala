@@ -291,6 +291,24 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q-gram kernel ≡ declarative charGrams+jaccardSets, bit-exact") {
+    import graft.functions.QgramKernels
+    val strs = Seq("", "a", "ab", "aa", "abcabc", "spark native engine",
+      "engine native spark", "xyxyxyxyxy", "polished steel wheel", "steel wheel polish",
+      "a b c", "identical", "identical")
+    val pairs = for (x <- strs; y <- strs) yield (x, y)
+    val df = pairs.toDF("x", "y")
+    val r = df.select(
+      QgramKernels.sortedCodesJaccard(
+        QgramKernels.charGramCodes(col("x"), 2),
+        QgramKernels.charGramCodes(col("y"), 2)).as("kernel"),
+      TextAnalysis.jaccardSets(
+        TextAnalysis.charGrams(col("x"), 2),
+        TextAnalysis.charGrams(col("y"), 2)).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1),
+      s"kernel ${row.getDouble(0)} != hof ${row.getDouble(1)}"))
+  }
+
   test("mixing SQL twin matches the Column form") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("k", "src")
