@@ -55,6 +55,26 @@ object QgramKernels {
     if (w == cnt) raw else java.util.Arrays.copyOf(raw, w)
   }
 
+  /** Jaccard of two SORTED-distinct string arrays (two-pointer merge over
+    * UTF8String binary order — the same ordering `array_sort` applies to
+    * strings, so staging `array_sort(array_distinct(...))` once per row
+    * and merging per pair is exact). The string-set twin of [[jaccard]],
+    * for set elements that don't pack into 64 bits (word shingles).
+    */
+  def jaccardStrings(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Jaccard of two SORTED-distinct code arrays (two-pointer merge). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -83,6 +103,10 @@ object QgramKernels {
       "sorted_codes_jaccard",
       exprs => SortedCodesJaccard(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_strings_jaccard",
+      exprs => SortedStringsJaccard(exprs(0), exprs(1)),
+      "built-in")
   }
 
   def charGramCodes(s: Column, q: Int): Column = {
@@ -94,6 +118,11 @@ object QgramKernels {
   def sortedCodesJaccard(a: Column, b: Column): Column = {
     RegisterOnce("qgram")(register)
     org.apache.spark.sql.functions.call_function("sorted_codes_jaccard", a, b)
+  }
+
+  def sortedStringsJaccard(a: Column, b: Column): Column = {
+    RegisterOnce("qgram")(register)
+    org.apache.spark.sql.functions.call_function("sorted_strings_jaccard", a, b)
   }
 }
 
@@ -147,6 +176,35 @@ case class SortedCodesJaccard(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.QgramKernels.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard of two sorted-distinct STRING arrays (see [[QgramKernels]]). */
+case class SortedStringsJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_strings_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def okType(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QgramKernels.jaccardStrings(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.QgramKernels.jaccardStrings($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -145,14 +145,27 @@ object MinHashLsh {
     jaccardOnSets(pairs, sets)
   }
 
-  private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+  // Per-PAIR exact Jaccard via the compiled two-pointer kernel
+  // (functions/QgramJaccard.SortedStringsJaccard): each set is sorted ONCE
+  // per row (array_sort = the same UTF8String binary order the kernel
+  // merges by), replacing the boxed array_intersect/array_union HOF chain.
+  // Bit-identical jaccard (intersection/union counts are exact string
+  // equality either way). Honest measurement: NEUTRAL at sf0.1
+  // (q24/q55/q61/q72 within noise, 3.39s vs 3.29–3.65s) — healthy banding
+  // keeps candidate pairs ≈ true near-dups, so per-pair cost isn't yet the
+  // multiplied term the way it is in q60's attribute-blocked join (where
+  // the same kernel family measured 2.8×). Kept because the per-pair term
+  // is what GROWS with corpus duplication rate, and the kernel's
+  // O(|A|+|B|) primitive merge bounds it.
+  private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val sorted = sets.select(col("id"), array_sort(col("sset")).as("sset"))
     pairs
-      .join(sets.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
+      .join(sorted.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
+      .join(sorted.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
-          size(array_union(col("sa"), col("sb"))))
+        graft.functions.QgramKernels.sortedStringsJaccard(col("sa"), col("sb")))
       .drop("sa", "sb")
+  }
 
   /** Cross-corpus candidate pairs: documents of `bandKeysA` colliding with
     * documents of `bandKeysB` in at least one band — the DECONTAMINATION
@@ -185,15 +198,16 @@ object MinHashLsh {
       val candIds = pairs.select(side.as("cid")).distinct()
       docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
         .select(col(idCol).as("id"),
-          array_distinct(
-            graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize)).as("sset"))
+          array_sort(array_distinct(
+            graft.functions.TextExprs.wordShingles(col(textCol), cfg.shingleSize))).as("sset"))
     }
     pairs
       .join(setsOf(train, col("a")).select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
       .join(setsOf(benchmark, col("b")).select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
+      // compiled two-pointer kernel over the per-row-sorted sets (see
+      // jaccardOnSets) — bit-identical to the HOF intersect/union form
       .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
-          size(array_union(col("sa"), col("sb"))))
+        graft.functions.QgramKernels.sortedStringsJaccard(col("sa"), col("sb")))
       .drop("sa", "sb")
   }
 
