@@ -124,7 +124,14 @@ object MinHashLsh {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact Jaccard over distinct shingle sets, candidates only. */
+  /** Exact Jaccard over distinct shingle sets, candidates only.
+    *
+    * Empty-set convention: a pair where BOTH shingle sets are empty (docs
+    * shorter than the shingle size) scores jaccard = 1.0 — two empty
+    * documents are identical. LSH banding never produces such a pair (no
+    * shingles → no band key), so this only matters to callers passing
+    * externally-built pairs.
+    */
   def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame =
     jaccardOnSets(pairs, sigs.select(col("id"), array_distinct(col("shingles")).as("sset")))
 
@@ -135,8 +142,16 @@ object MinHashLsh {
     */
   def jaccardVerifyDocs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, cfg: Config): DataFrame = {
-    val candIds = pairs.select(col("a").as("cid"))
-      .union(pairs.select(col("b").as("cid"))).distinct()
+    // `n_bands >= 1` is a tautology (every candidate collided in ≥1 band)
+    // whose only job is to keep the count column REFERENCED on this branch:
+    // without it, column pruning drops `n_bands` from this copy of the
+    // candidate aggregation, the partial-agg subplans stop being canonically
+    // equal, and ReuseExchange can no longer share the candidate pipeline's
+    // shuffle between the verify stream and this broadcast build — the
+    // whole signature pass (the dominant md5 cost) would run twice.
+    // Measured round 8 (sf0.1, matched session): q24 0.61→0.48s.
+    val candIds = pairs.filter(col("n_bands") >= 1).select(col("a").as("cid"))
+      .union(pairs.filter(col("n_bands") >= 1).select(col("b").as("cid"))).distinct()
     val sets = docs
       .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"),
@@ -149,14 +164,21 @@ object MinHashLsh {
   // (functions/QgramJaccard.SortedStringsJaccard): each set is sorted ONCE
   // per row (array_sort = the same UTF8String binary order the kernel
   // merges by), replacing the boxed array_intersect/array_union HOF chain.
-  // Bit-identical jaccard (intersection/union counts are exact string
-  // equality either way). Honest measurement: NEUTRAL at sf0.1
-  // (q24/q55/q61/q72 within noise, 3.39s vs 3.29–3.65s) — healthy banding
-  // keeps candidate pairs ≈ true near-dups, so per-pair cost isn't yet the
-  // multiplied term the way it is in q60's attribute-blocked join (where
-  // the same kernel family measured 2.8×). Kept because the per-pair term
-  // is what GROWS with corpus duplication rate, and the kernel's
-  // O(|A|+|B|) primitive merge bounds it.
+  // Bit-identical jaccard for non-empty unions (intersection/union counts
+  // are exact string equality either way); for the empty-vs-empty pair the
+  // kernel returns 1.0 where the HOF form's 0/0 division returned NULL —
+  // banding can't produce such a pair (no shingles → no band collisions),
+  // but public [[jaccardVerify]]/[[jaccardVerifyDocs]] callers passing
+  // their own pairs should know the convention (two empty sets count as
+  // identical, matching SimHash/embedding-dedup semantics).
+  // Round-8 matched-session A/B (min-of-5 × 3 interleaved Bench sessions,
+  // sf0.1): kernel q24 mins 0.527/0.527/0.639 vs HOF 0.567/0.639/0.666 —
+  // kernel ≤ HOF on every paired session; the r7 driver-bench q24/q36
+  // upticks tracked a HOST-wide small-query inflation (r6→r7 per-query
+  // table shows +20–60% on most sub-0.2s queries with untouched code,
+  // e.g. q22 +59%, q23 +47%, q30 +54%), not this commit. Kept because the
+  // per-pair term is what GROWS with corpus duplication rate, and the
+  // kernel's O(|A|+|B|) primitive merge bounds it.
   private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
     val sorted = sets.select(col("id"), array_sort(col("sset")).as("sset"))
     pairs
@@ -195,7 +217,8 @@ object MinHashLsh {
       bandKeys(signatures(train, idCol, textCol, cfg), cfg),
       bandKeys(signatures(benchmark, idCol, textCol, cfg), cfg))
     val setsOf = (docs: DataFrame, side: Column) => {
-      val candIds = pairs.select(side.as("cid")).distinct()
+      // tautology filter = ReuseExchange enabler, see jaccardVerifyDocs
+      val candIds = pairs.filter(col("n_bands") >= 1).select(side.as("cid")).distinct()
       docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
         .select(col(idCol).as("id"),
           array_sort(array_distinct(

@@ -117,6 +117,19 @@ object Catalog {
   private def orderedWide(cols: String*)(df: DataFrame): DataFrame =
     df.orderBy(cols.map(col): _*)
 
+  /** [[ordered]] for a BOUNDED-key aggregate (a histogram whose key domain
+    * is fixed by the schema, e.g. a Hamming distance ∈ [0, 32]): instead of
+    * `repartition(1)` — an extra shuffle + stage after the aggregation —
+    * `coalesce(1)` narrows the aggregation's own shuffle read to one task,
+    * fusing final-agg + sort into the existing stage. Safe at any input
+    * scale ONLY because map-side partial aggregation bounds what that one
+    * task reads to (#map partitions × key domain) rows — which is why this
+    * variant is reserved for provably bounded key domains and `ordered()`
+    * stays the default.
+    */
+  private def orderedBounded(cols: String*)(df: DataFrame): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.map(col): _*)
+
   // ---------------------------------------------------------------- core
 
   /** A4/A5 family: filtered multi-aggregate group-by (pricing summary). */
@@ -991,7 +1004,8 @@ object Catalog {
     sh.crossJoin(broadcast(ref))
       .select(graft.llm.SimHash.hamming(col("simhash"), col("ref_hash")).as("dist"))
       .groupBy("dist").agg(count(lit(1)).as("n"))
-      .transform(ordered("dist"))
+      // dist ∈ [0, 32] → 33 keys max: bounded-histogram single-task finish
+      .transform(orderedBounded("dist"))
   }
 
   // ------------------------------ engine completeness beyond the reference
