@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed per-partition in batches.
   *
   * The Spark-side design is real and tested: schema, partitioning, batch
-  * iteration, metadata extraction as codegen'd expressions. The actual media
-  * decode is STUBBED (no image/audio libraries in this environment) behind
-  * [[FakeDecoder]] — a deterministic stand-in with the same signature a real
-  * decoder (javax.imageio / ffmpeg-bound) would have. Swap `decodeImage`
-  * for a real implementation and nothing else changes.
+  * iteration, metadata extraction as codegen'd expressions. CONTAINER
+  * METADATA is parsed for real, pure-JVM, for every major format — PNG/JPEG
+  * ([[ImageHeaders]]), WAV/RIFF ([[WavHeaders]]), MP4/ISO-BMFF
+  * ([[Mp4Headers]]) — so dims, sample rates, durations, and frame counts
+  * come off the actual bytes. Only PIXEL/SAMPLE decode (which needs codec
+  * libraries this environment doesn't ship) is stubbed behind
+  * [[FakeDecoder]], and only for payloads no header parser recognizes.
+  * Swap `decodeImage`/`resize` for a real implementation and nothing else
+  * changes.
   *
   * Scale notes: binary payloads ride in the same parquet row group as their
   * metadata; `maxPartitionBytes` bounds per-task memory; decode happens via
@@ -25,10 +29,17 @@ object Multimodal {
   /** A media row: opaque bytes + envelope metadata. */
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 
-  /** Decoded media metadata (what a real decoder would return). */
+  /** Decoded media metadata (what a real decoder would return).
+    * Field applicability is per-container: images carry (width, height) and
+    * n_frames = 1; WAV audio carries sample_rate / duration_s and
+    * n_frames = PCM frame count; MP4 video carries (width, height) from
+    * tkhd, duration_s from mvhd, and n_frames = stsz sample count.
+    * Inapplicable fields are 0 / 0.0.
+    */
   case class MediaMeta(
       media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int, sha: String)
+      width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, duration_s: Double, sha: String)
 
   /** Real, pure-JVM image header parsing — no decode libraries needed.
     * Reads (width, height) straight out of the container header: PNG's IHDR
@@ -82,8 +93,142 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: deterministic fake dimensions derived from the payload.
-    * A real implementation would parse the container header here.
+  /** Real, pure-JVM WAV/RIFF header parsing (same spirit as [[ImageHeaders]]:
+    * container metadata straight off the bytes, no codec libraries). RIFF is
+    * little-endian: "RIFF" + chunk walk; the `fmt ` chunk carries channel
+    * count / sample rate / block align, the `data` chunk's byte length over
+    * block align is the PCM frame count. Chunks are word-aligned (odd sizes
+    * pad one byte). Truncated or non-WAVE input returns None.
+    */
+  object WavHeaders {
+    final case class WavInfo(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, nFrames: Long) {
+      def durationSec: Double =
+        if (sampleRate > 0) nFrames.toDouble / sampleRate else 0.0
+    }
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16).toLong |
+        (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+    private def fourCC(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def info(b: Array[Byte]): Option[WavInfo] = {
+      if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE") return None
+      var i = 12
+      var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+      var dataBytes = -1L
+      while (i + 8 <= b.length) {
+        val id = fourCC(b, i)
+        val size = le32(b, i + 4)
+        val payload = i + 8
+        if (id == "fmt " && payload + 16 <= b.length) {
+          channels = le16(b, payload + 2)
+          rate = le32(b, payload + 4).toInt
+          blockAlign = le16(b, payload + 12)
+          bits = le16(b, payload + 14)
+        } else if (id == "data") {
+          // the data payload may be truncated or absent in a header-only
+          // fixture; the declared size is still the authoritative length
+          dataBytes = size
+        }
+        i = payload + size.toInt + (size.toInt & 1) // word alignment
+      }
+      if (rate > 0 && blockAlign > 0 && dataBytes >= 0)
+        Some(WavInfo(rate, channels, bits, dataBytes / blockAlign))
+      else None
+    }
+  }
+
+  /** Real, pure-JVM MP4 (ISO BMFF) box parsing: big-endian u32 size + fourcc
+    * box walk, recursing through moov → trak → mdia → minf → stbl. Extracts
+    * presentation duration from `mvhd` (duration / timescale, v0 and v1
+    * layouts), track display dims from `tkhd` (16.16 fixed point), and the
+    * frame count from `stsz`'s sample_count. A 64-bit `size == 1` largesize
+    * or `size == 0` (to-end-of-file) box stops the walk conservatively.
+    */
+  object Mp4Headers {
+    final case class Mp4Info(width: Int, height: Int,
+        durationSec: Double, nSamples: Long)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+        u8(b, i + 3)) & 0xffffffffL
+    private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+    private def fourCC(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private final class Acc {
+      var width = 0; var height = 0
+      var durationSec = 0.0; var nSamples = 0L
+      var sawMoov = false
+    }
+
+    // the container boxes we recurse into on the moov → stbl spine
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    private def walk(b: Array[Byte], from: Int, until: Int, acc: Acc): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be32(b, i)
+        val name = fourCC(b, i + 4)
+        if (size < 8 || i + size > until) return // largesize/EOF box or truncated
+        val payload = i + 8
+        name match {
+          case c if containers.contains(c) =>
+            if (c == "moov") acc.sawMoov = true
+            walk(b, payload, i + size.toInt, acc)
+          case "mvhd" if payload + 4 <= until =>
+            val v = u8(b, payload)
+            if (v == 0 && payload + 20 <= until) {
+              val timescale = be32(b, payload + 12)
+              val duration = be32(b, payload + 16)
+              if (timescale > 0) acc.durationSec = duration.toDouble / timescale
+            } else if (v == 1 && payload + 32 <= until) {
+              val timescale = be32(b, payload + 20)
+              val duration = be64(b, payload + 24)
+              if (timescale > 0) acc.durationSec = duration.toDouble / timescale
+            }
+          case "tkhd" =>
+            val v = u8(b, payload)
+            // width/height close the box: v0 payload offset 76, v1 offset 88
+            val off = if (v == 1) payload + 88 else payload + 76
+            if (off + 8 <= until) {
+              // 16.16 fixed point; display dims keep the integer part
+              val w = (be32(b, off) >> 16).toInt
+              val h = (be32(b, off + 4) >> 16).toInt
+              // an audio trak's tkhd carries 0×0 — keep the first video one
+              if (w > 0 && h > 0 && acc.width == 0) { acc.width = w; acc.height = h }
+            }
+          case "stsz" if payload + 12 <= until =>
+            if (acc.nSamples == 0L) acc.nSamples = be32(b, payload + 8)
+          case _ => () // leaf box we don't need
+        }
+        i += size.toInt
+      }
+    }
+
+    def info(b: Array[Byte]): Option[Mp4Info] = {
+      if (b.length < 12) return None
+      // ISO BMFF files open with an ftyp box (styp for segments)
+      val first = fourCC(b, 4)
+      if (first != "ftyp" && first != "styp") return None
+      val acc = new Acc
+      walk(b, 0, b.length, acc)
+      if (acc.sawMoov) Some(Mp4Info(acc.width, acc.height, acc.durationSec, acc.nSamples))
+      else None
+    }
+  }
+
+  /** STUB decoder — now the UNKNOWN-FORMAT fallback only (the test corpus's
+    * text-bytes payloads and any container [[ImageHeaders]]/[[WavHeaders]]/
+    * [[Mp4Headers]] don't recognize): deterministic fake dimensions derived
+    * from the payload. A real pixel/sample decoder would replace this; all
+    * recognized containers already take the real header path.
     */
   object FakeDecoder {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -147,7 +292,14 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val (_, _, frames) = FakeDecoder.decodeImage(r.content)
+          // real frame count when the payload is a recognized MP4 (stsz
+          // sample count); still images are a single frame; only
+          // unrecognized payloads fall back to the stub
+          val frames = Mp4Headers.info(r.content) match {
+            case Some(mp4) => math.min(mp4.nSamples, Int.MaxValue.toLong).toInt
+            case None if ImageHeaders.dimensions(r.content).isDefined => 1
+            case None => FakeDecoder.decodeImage(r.content)._3
+          }
           (0 until frames by everyN).iterator.map { i =>
             val len = math.max(1, r.content.length)
             val start = (i * 17) % len
@@ -194,10 +346,11 @@ object Multimodal {
   }
 
   /** Batched decode pass: mapPartitions over the typed Dataset so decoder
-    * state is per-partition, not per-row. Image dimensions come from the
-    * REAL header parse ([[ImageHeaders]]: PNG IHDR / JPEG SOF) whenever the
-    * payload is a recognized container; only unrecognized payloads (audio/
-    * video, and the test corpus's text stand-ins) fall back to the stub.
+    * state is per-partition, not per-row. Every recognized container takes a
+    * REAL pure-JVM header parse — PNG IHDR / JPEG SOFn ([[ImageHeaders]]),
+    * WAV/RIFF fmt+data ([[WavHeaders]]), MP4 mvhd/tkhd/stsz ([[Mp4Headers]])
+    * — and only unrecognized payloads (the test corpus's text stand-ins)
+    * fall back to the [[FakeDecoder]] stub.
     */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -207,13 +360,25 @@ object Multimodal {
         // per-partition decoder context would be initialized here
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
-          val (w, h, f) = ImageHeaders.dimensions(r.content) match {
-            case Some((pw, ph)) => (pw, ph, 1) // still image: one frame
-            case None           => FakeDecoder.decodeImage(r.content)
+          val (w, h, f, rate, dur) = ImageHeaders.dimensions(r.content) match {
+            case Some((pw, ph)) => (pw, ph, 1, 0, 0.0) // still image: one frame
+            case None => WavHeaders.info(r.content) match {
+              case Some(wav) =>
+                val frames = math.min(wav.nFrames, Int.MaxValue.toLong).toInt
+                (0, 0, frames, wav.sampleRate, wav.durationSec)
+              case None => Mp4Headers.info(r.content) match {
+                case Some(mp4) =>
+                  val frames = math.min(mp4.nSamples, Int.MaxValue.toLong).toInt
+                  (mp4.width, mp4.height, frames, 0, mp4.durationSec)
+                case None =>
+                  val (fw, fh, ff) = FakeDecoder.decodeImage(r.content)
+                  (fw, fh, ff, 0, 0.0)
+              }
+            }
           }
           digest.reset()
           val sha = digest.digest(r.content).map("%02x".format(_)).mkString
-          MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, h, f, sha)
+          MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, h, f, rate, dur, sha)
         }
       }
   }

@@ -384,6 +384,75 @@ class LlmSpec extends SparkSpec {
     assert(meta(1).width == 64 + n % 1216) // stub fallback unchanged
   }
 
+  test("multimodal: real WAV/RIFF and MP4 header decode") {
+    import java.io.ByteArrayOutputStream
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+
+    // hand-built canonical WAV header: PCM, stereo, 44.1 kHz, 16-bit, and a
+    // `data` chunk declaring 88200 bytes = 22050 frames = 0.5 s (header-only
+    // fixture: the declared size is authoritative, payload absent)
+    val wav = {
+      val o = new ByteArrayOutputStream()
+      o.write(cc("RIFF")); o.write(le32(36 + 88200)); o.write(cc("WAVE"))
+      o.write(cc("fmt ")); o.write(le32(16))
+      o.write(le16(1)); o.write(le16(2))          // PCM, 2 channels
+      o.write(le32(44100)); o.write(le32(176400)) // rate, byte rate
+      o.write(le16(4)); o.write(le16(16))         // block align, bits
+      o.write(cc("data")); o.write(le32(88200))
+      o.toByteArray
+    }
+    val wavInfo = Multimodal.WavHeaders.info(wav)
+    assert(wavInfo.contains(Multimodal.WavHeaders.WavInfo(44100, 2, 16, 22050L)))
+    assert(wavInfo.get.durationSec == 0.5)
+
+    // hand-built minimal MP4: ftyp + moov(mvhd[timescale 1000, duration
+    // 2500] + trak(tkhd[640×360 fixed 16.16] + mdia(minf(stbl(stsz[120])))))
+    val mp4 = {
+      def box(name: String, payload: Array[Byte]): Array[Byte] =
+        be32(8L + payload.length) ++ cc(name) ++ payload
+      val mvhd = box("mvhd", new Array[Byte](12) ++ be32(1000) ++ be32(2500) ++
+        new Array[Byte](80)) // version 0; rest of the v0 payload zeroed
+      val tkhd = box("tkhd", new Array[Byte](76) ++
+        be32(640L << 16) ++ be32(360L << 16))
+      val stsz = box("stsz", new Array[Byte](4) ++ be32(0) ++ be32(120))
+      val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+      box("ftyp", cc("isom") ++ be32(1)) ++ box("moov", mvhd ++ trak)
+    }
+    val mp4Info = Multimodal.Mp4Headers.info(mp4)
+    assert(mp4Info.contains(Multimodal.Mp4Headers.Mp4Info(640, 360, 2.5, 120L)))
+
+    // negatives: unrecognized and truncated inputs stay None
+    assert(Multimodal.WavHeaders.info("plain text bytes".getBytes).isEmpty)
+    assert(Multimodal.WavHeaders.info(wav.take(10)).isEmpty)
+    assert(Multimodal.Mp4Headers.info("plain text bytes".getBytes).isEmpty)
+    assert(Multimodal.Mp4Headers.info(mp4.take(6)).isEmpty)
+
+    // through the Spark decode pass: each container reports its REAL
+    // metadata; the text payload is the only row on the stub fallback
+    val media = Seq((1L, "audio", wav), (2L, "video", mp4),
+        (3L, "image", "not a container".getBytes))
+      .toDF("media_id", "kind", "content")
+    val meta = Multimodal.decodeMeta(spark, media).orderBy("media_id").collect()
+    assert(meta(0).sample_rate == 44100 && meta(0).duration_s == 0.5 &&
+      meta(0).n_frames == 22050 && meta(0).width == 0)
+    assert(meta(1).width == 640 && meta(1).height == 360 &&
+      meta(1).n_frames == 120 && meta(1).duration_s == 2.5 && meta(1).sample_rate == 0)
+    assert(meta(2).sample_rate == 0 && meta(2).duration_s == 0.0 &&
+      meta(2).width == 64 + "not a container".getBytes.length % 1216)
+
+    // frame sampling reads the MP4's true stsz count: 120 frames @ every
+    // 30th → indices 0, 30, 60, 90
+    val frames = Multimodal.sampleFrames(spark, media.filter($"media_id" === 2L), everyN = 30)
+      .collect().map(_.frame_idx).sorted
+    assert(frames.toSeq == Seq(0, 30, 60, 90))
+  }
+
   test("chunking: full coverage, overlap, and the short-doc single chunk") {
     // 10 tokens, size 4, stride 3 → chunks at 0,3,6 (ceil((10-4)/3)+1 = 3)
     val doc = (0 until 10).map(i => s"w$i").mkString(" ")
