@@ -54,8 +54,19 @@ object BloomKernels {
     }
   }
 
-  /** True iff every probe bit of `x` is set (never false for inserted x). */
+  /** True iff every probe bit of `x` is set (never false for inserted x).
+    * Guards the self-describing layout up front: the SQL-registered probe
+    * accepts any binary column, and a malformed sketch would otherwise
+    * surface as an ArrayIndexOutOfBounds (empty input reading byte 0) or an
+    * ArithmeticException (1-byte input giving m = 0 inside remainderUnsigned)
+    * deep in an executor's codegen stack.
+    */
   def mightContain(sketch: Array[Byte], x: Long): Boolean = {
+    if (sketch.length < 2)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain: sketch must be >= 2 bytes (byte 0 = probe " +
+          s"count, bytes 1.. = bit array), got ${sketch.length}; build the " +
+          "sketch with bloom_agg")
     val k = sketch(0) & 0xff
     val m = (sketch.length - 1).toLong << 3
     val h2 = fmix64(x)
@@ -156,6 +167,49 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[BloomMightContain]] over a BROADCAST sketch instead of a plan literal.
+  *
+  * A literal sketch is the fastest probe at small sizes (a codegen constant
+  * reference), but it is serialized into the plan and into every task
+  * binary: at the ~GB sketches a 10⁹-gram benchmark set implies, that
+  * either bloats task serialization catastrophically or overflows the task
+  * size limit outright. This variant carries a `Broadcast[Array[Byte]]`
+  * handle — the bytes ship once per executor via the torrent broadcast
+  * machinery, and codegen dereferences the handle through a plan reference
+  * object, so the inner loop is the same k bit-tests on a local byte array.
+  */
+case class BloomMightContainBroadcast(
+    sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a pre-hashed long (use xxhash64), got ${child.dataType}")
+
+  override protected def nullSafeEval(x: Any): Any =
+    BloomKernels.mightContain(sketch.value, x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the broadcast handle rides the plan's reference array (same mechanism
+    // Spark uses for broadcast-hash-join relations); .value() resolves to
+    // the executor-local bytes, fetched once per executor
+    val bcRef = ctx.addReferenceObj("bloomSketchBc", sketch,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Byte]]].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.BloomKernels.mightContain(" +
+        s"(byte[]) $bcRef.value(), $x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BloomSketch {
 
   /** Register SQL forms: bloom_agg(x, 'numBytes,numHashes'),
@@ -206,4 +260,14 @@ object BloomSketch {
     RegisterOnce("bloom")(register)
     org.apache.spark.sql.functions.call_function("bloom_might_contain", sketch, x)
   }
+
+  /** Probe against a broadcast sketch (the large-sketch path — see
+    * [[BloomMightContainBroadcast]]). Bit-identical verdicts to the literal
+    * probe for the same sketch bytes.
+    */
+  def mightContainBroadcast(
+      sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]], x: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      BloomMightContainBroadcast(sketch,
+        org.apache.spark.sql.GraftSqlShims.expression(x)))
 }

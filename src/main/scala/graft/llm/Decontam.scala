@@ -74,13 +74,24 @@ object Decontam {
     * that the exact join then discards — results are bit-identical to the
     * exact form, which is why the same DuckDB oracle verifies both (q68).
     */
+  /** @param literalMaxBytes sketches at or below this size embed as a plan
+    *                        literal (fastest probe: a codegen constant);
+    *                        larger sketches switch to a broadcast variable
+    *                        ([[graft.functions.BloomMightContainBroadcast]])
+    *                        — a ~GB sketch serialized into every task binary
+    *                        would bloat or break task shipping, while a
+    *                        torrent broadcast ships it once per executor.
+    *                        Verdicts are bit-identical on both paths
+    *                        (spec-pinned). Default 8 MiB.
+    */
   def bloomDecontaminate(
       train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       n: Int = 8,
       minContainment: Double = 0.0,
       maxTrainDf: Option[Long] = None,
-      expectedBenchmarkGrams: Long = 1L << 20): DataFrame = {
+      expectedBenchmarkGrams: Long = 1L << 20,
+      literalMaxBytes: Int = 8 << 20): DataFrame = {
     val bg = grams(benchmark, idCol, "b", textCol, n)
     // The sketch is a driver-sized MODEL ARTIFACT (one row, MBs), same
     // class as the IVF quantizer: built by a distributed aggregate, then
@@ -99,6 +110,15 @@ object Decontam {
       graft.functions.BloomSketch
         .bloomAggFor(xxhash64(col("gid")), expectedBenchmarkGrams).as("__bf"))
       .head().getAs[Array[Byte]](0)
+    // Literal vs broadcast is purely a SHIPPING decision (see param doc):
+    // the probe kernel and its verdicts are identical either way.
+    val probe: Column => Column =
+      if (sketchBytes.length <= literalMaxBytes)
+        x => graft.functions.BloomSketch.mightContain(lit(sketchBytes), x)
+      else {
+        val bc = train.sparkSession.sparkContext.broadcast(sketchBytes)
+        x => graft.functions.BloomSketch.mightContainBroadcast(bc, x)
+      }
     // Bloom BEFORE capHot: the probe verdict is a pure function of gid
     // (every occurrence of a gid passes or fails together), so hot-df
     // counts over the survivors equal the full-corpus counts for every
@@ -107,7 +127,7 @@ object Decontam {
     // training grams the sketch exists to avoid.
     val tg = capHot(
       grams(train, idCol, "a", textCol, n)
-        .filter(graft.functions.BloomSketch.mightContain(lit(sketchBytes), xxhash64(col("gid")))),
+        .filter(probe(xxhash64(col("gid")))),
       maxTrainDf)
     overlapFromGrams(tg, bg, minContainment)
   }

@@ -145,6 +145,31 @@ class TrainingOpsSpec extends SparkSpec {
       .orderBy("a", "b").collect().toSeq
     assert(exact.nonEmpty)          // the fixture does overlap
     assert(bloom == exact)          // FP-only pre-filter: results identical
+
+    // literalMaxBytes = 0 forces the LARGE-sketch path (broadcast variable
+    // + BloomMightContainBroadcast instead of a plan literal): verdicts —
+    // and therefore results — must be bit-identical to both other forms
+    val bloomBc = Decontam.bloomDecontaminate(train, bench, "doc_id", "text", n = 6,
+        expectedBenchmarkGrams = 1024, literalMaxBytes = 0)
+      .orderBy("a", "b").collect().toSeq
+    assert(bloomBc == exact)
+  }
+
+  test("bloom probe rejects malformed sketches with a descriptive error") {
+    import graft.functions.BloomKernels
+    // empty input previously read byte 0 out of bounds; a 1-byte sketch
+    // previously divided by m = 0 inside codegen — both now name bloom_agg
+    for (bad <- Seq(Array.emptyByteArray, Array[Byte](7))) {
+      val e = intercept[IllegalArgumentException](BloomKernels.mightContain(bad, 42L))
+      assert(e.getMessage.contains("bloom_agg"))
+    }
+    // and through the SQL-registered form on an executor
+    graft.functions.BloomSketch.register(spark)
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x")
+        .selectExpr("bloom_might_contain(cast('' as binary), x)").collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("sharding: pos is a total permutation, shards balance, distributed form ≡ global window") {
