@@ -20,11 +20,26 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint`ed so lineage stays O(1) instead of O(rounds).
   *
   * For adversarial long-chain graphs (diameter ≫ log n — not a shape
-  * near-dup graphs take), the classic fix is pointer-doubling (large-star /
-  * small-star); `maxIters` bounds the work and fails loudly rather than
-  * silently emitting partial clusters.
+  * near-dup graphs take), the classic fix is pointer-doubling, available
+  * here as [[DedupCluster.AlternatingStar]] (the large-star/small-star
+  * alternation of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): rounds grow with log² of the longest chain instead of
+  * its length, at the cost of one extra join-shaped phase per round.
+  * `maxIters` bounds the work on both algorithms and fails loudly rather
+  * than silently emitting partial clusters.
   */
 object DedupCluster {
+
+  /** Component algorithm choice. [[Propagation]] (default): one join + one
+    * agg per round, rounds = graph diameter — optimal for the near-dup
+    * regime where clusters are small and dense. [[AlternatingStar]]:
+    * large-star/small-star pointer doubling, rounds = O(log² chain) — the
+    * escape hatch for adversarial long-chain graphs that blow past
+    * `maxIters` under propagation.
+    */
+  sealed trait Algorithm
+  case object Propagation extends Algorithm
+  case object AlternatingStar extends Algorithm
 
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * Local checkpoints live as persisted RDD blocks outside the SQL
@@ -48,7 +63,17 @@ object DedupCluster {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      algorithm: Algorithm = Propagation): DataFrame = algorithm match {
+    case Propagation     => componentsPropagation(pairs, aCol, bCol, maxIters)
+    case AlternatingStar => componentsStar(pairs, aCol, bCol, maxIters)
+  }
+
+  private def componentsPropagation(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int): DataFrame = {
     // undirected edge list, both directions, deduped once
     val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
@@ -69,7 +94,7 @@ object DedupCluster {
         throw new IllegalStateException(
           s"DedupCluster.components did not converge in $maxIters rounds — " +
             "graph diameter exceeds the near-dup regime; raise maxIters or " +
-            "switch to a pointer-doubling variant")
+            "pass algorithm = DedupCluster.AlternatingStar (pointer doubling)")
       // One join + one aggregate per round: neighbors' reps are propagated
       // across edges, the node's own row rides along through a union (its
       // prior rep doubling as the `__old` marker — exactly one non-null per
@@ -93,6 +118,94 @@ object DedupCluster {
       done = changed == 0L
     }
     edges.unpersist()
+    labels
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al., SoCC'14).
+    *
+    * The edge set is kept CANONICAL — (hi, lo) with hi > lo, distinct —
+    * and each round applies:
+    *
+    *  - large-star: over the symmetric adjacency, every node u computes
+    *    m = min(u ∪ Γ(u)) and re-points every LARGER neighbor v > u at m
+    *    (emits (v, m); v > u ≥ m keeps the canonical orientation);
+    *  - small-star: per hi-node, m = min of its smaller neighbors, every
+    *    other smaller neighbor and hi itself re-point at m.
+    *
+    * Both phases strictly shrink a component's potential (sum of
+    * node-to-root distances), and at the fixpoint the edge set is exactly
+    * the star {(v, min of v's component)} — so labels fall out of the last
+    * edge set with no extra pass. Convergence is detected by an
+    * order-independent fingerprint (count + xor of per-edge xxhash64) of
+    * the canonical set; each round is two join-shaped phases, still no
+    * driver-side graph state, same O(1) lineage via released
+    * localCheckpoints as the propagation loop.
+    */
+  private def componentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val nodes = pairs.select(a.as("id")).union(pairs.select(b.as("id")))
+      .distinct().persist()
+    var edges = pairs
+      .select(greatest(a, b).as("hi"), least(a, b).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      // (edges are distinct, so xor cancellation needs a hash collision)
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val rePointed = e.join(m, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      rePointed.union(m.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    var fp = fingerprint(edges)
+    var iters = 0
+    var done = false
+    while (!done) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"DedupCluster.components(AlternatingStar) did not converge in " +
+            s"$maxIters rounds — raise maxIters")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextFp = fingerprint(next)
+      freeCheckpoint(edges)
+      edges = next
+      iters += 1
+      done = nextFp == fp
+      fp = nextFp
+    }
+    // fixpoint edge set IS the star graph: hi → component min. Roots (and
+    // self-pair singletons) have no outgoing star edge — they label
+    // themselves.
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("__rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+    nodes.unpersist()
     labels
   }
 

@@ -517,6 +517,35 @@ class LlmSpec extends SparkSpec {
     assert(after - before <= 1, s"leaked checkpoint RDDs: $before -> $after")
   }
 
+  test("dedup clusters: alternating-star escape hatch for adversarial chains") {
+    // diameter-59 path graph: propagation needs ~59 rounds and must fail
+    // LOUDLY at the default 25, naming the escape hatch
+    val longChain = (0 until 59).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val boom = intercept[IllegalStateException] {
+      DedupCluster.components(longChain, "a", "b").collect()
+    }
+    assert(boom.getMessage.contains("AlternatingStar"))
+
+    // pointer doubling converges well inside the same budget (O(log²) vs
+    // O(diameter) rounds) and labels the whole chain with its min
+    val starComps = DedupCluster
+      .components(longChain, "a", "b", algorithm = DedupCluster.AlternatingStar)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starComps.size == 60 && starComps.forall(_._2 == 0L))
+
+    // on normal (near-dup-shaped) fixtures both algorithms agree exactly —
+    // multi-cluster, reversed pairs, duplicate edges, self-pair singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L),
+      (2L, 1L), (30L, 30L)).toDF("a", "b")
+    val prop = DedupCluster.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val star = DedupCluster
+      .components(pairs, "a", "b", algorithm = DedupCluster.AlternatingStar)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(star == prop)
+    assert(star.contains(30L -> 30L)) // self-pair singleton labels itself
+  }
+
   test("stratified sample: deterministic, subset-monotone, rate-proportional") {
     val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
