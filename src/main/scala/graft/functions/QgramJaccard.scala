@@ -23,24 +23,61 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics match `charGrams` exactly (grams = `substr(s, i, q)` for
   * i ∈ [1, max(len−q+1, 1)], distinct — strings shorter than q yield the
   * single truncated gram), so `jac = |A∩B| / (|A|+|B|−|A∩B|)` is the
-  * identical double. Char basis is UTF-16 units: identical to engine
-  * semantics for ASCII/BMP text (the record-linkage domain); supplementary
-  * planes would need codepoint packing.
+  * identical double. Gram basis is Unicode CODE POINTS — the unit Spark's
+  * `substr`/`length` (and DuckDB's) slice by — so supplementary-plane text
+  * (emoji, CJK ext-B) grams identically to the declarative form. Packing
+  * is collision-free for q ≤ 3: a leading-1 sentinel plus 21 bits per code
+  * point (max 1+63 = 64), where the sentinel's bit position encodes the
+  * gram LENGTH, so a truncated short-string gram can never alias a
+  * NUL-prefixed longer gram. q = 4 cannot fit four 21-bit code points in a
+  * long: it packs 16 bits per code point (sentinel on truncated grams
+  * only) and REJECTS supplementary-plane input loudly rather than
+  * silently mis-gramming it; the residual q = 4 ambiguity (a NUL-then-
+  * U+0001-prefixed full gram aliasing a sentineled truncated gram)
+  * requires NUL bytes inside text and is accepted as out-of-domain.
   */
 object QgramKernels {
 
-  /** Sorted distinct packed gram codes of `s`. */
+  /** Sorted distinct packed gram codes of `s` (see object doc for the
+    * code-point basis and the collision-free packing).
+    */
   def gramCodes(s: UTF8String, q: Int): Array[Long] = {
     val str = s.toString
-    val n = str.length
+    // one pass UTF-16 → code points (the gram unit; see object doc)
+    val cps = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0
+    var k = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      cps(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val n = cps.length
     val cnt = math.max(n - q + 1, 1)
     val raw = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
-      var g = 0L
-      var j = i
       val end = math.min(i + q, n)
-      while (j < end) { g = (g << 16) | str.charAt(j).toLong; j += 1 }
+      var g = 0L
+      if (q <= 3) {
+        g = 1L // length-encoding sentinel
+        var j = i
+        while (j < end) { g = (g << 21) | cps(j).toLong; j += 1 }
+      } else {
+        if (end - i < q) g = 1L // sentinel on the single truncated gram
+        var j = i
+        while (j < end) {
+          val cp = cps(j)
+          if (cp > 0xffff)
+            throw new IllegalArgumentException(
+              "char_gram_codes: q = 4 packs 16 bits per code point and cannot " +
+                f"represent supplementary-plane character U+$cp%04X; use q <= 3 " +
+                "(21-bit code-point packing) or sorted_strings_jaccard")
+          g = (g << 16) | cp.toLong
+          j += 1
+        }
+      }
       raw(i) = g
       i += 1
     }

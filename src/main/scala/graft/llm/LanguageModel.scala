@@ -51,6 +51,16 @@ object LanguageModel {
     * document's total bigram count separately
     * (`size(wordShingles(text, 2))`) and gate on the coverage ratio
     * before trusting `avg_logp`.
+    *
+    * Cross-engine caveat: the scale-4 floor makes the SUM order-independent
+    * (exact long addition), but each per-bigram term still passes through
+    * `ln` — and IEEE 754 does not require correctly-rounded `ln`, so an
+    * engine pair whose libm implementations disagree in the last ulp could
+    * round a log-prob landing within an ulp of an integer scale-4 boundary
+    * to adjacent longs. Java's `Math.log` and DuckDB's libm agree on every
+    * value in the test corpora (q71 hash-matches at three SFs); a gate
+    * comparing against a third engine should allow ±1 on `logsum4` rather
+    * than assume bit equality.
     */
   def scoreBigrams(
       docs: DataFrame, idCol: String, textCol: String,

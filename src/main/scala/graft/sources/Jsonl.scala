@@ -45,9 +45,15 @@ object Jsonl {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.textFile(path).toDF("__line")
       .filter(length(trim(col("__line"))) > 0)
-      .select(from_json(col("__line"), schemaWithQuarantine(schema),
+      .select(col("__line"), from_json(col("__line"), schemaWithQuarantine(schema),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
-      .select(col("__j.*"))
+      // A line holding the JSON literal `null` parses to a NULL struct —
+      // every field INCLUDING the corrupt column reads NULL, which would
+      // sail through as a silently-clean all-NULL row and break the
+      // never-silently-drop contract. Route the raw line to quarantine.
+      .select(schema.fields.map(f => col("__j").getField(f.name).as(f.name)) :+
+        when(col("__j").isNull, col("__line"))
+          .otherwise(col("__j").getField(CorruptCol)).as(CorruptCol): _*)
 
   /** (clean rows without the quarantine column, quarantined raw lines).
     * The split is by CORRUPTION only — schema-drifted rows (missing

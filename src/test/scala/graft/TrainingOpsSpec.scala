@@ -272,7 +272,8 @@ class TrainingOpsSpec extends SparkSpec {
       """{"doc_id": 1, "text": "good line", "lang": "en"}""",
       """{"doc_id": 2, "text": "drifted line"}""",          // missing field → NULL, stays clean
       """{"doc_id": 3, "text": "truncated""",               // corrupt JSON
-      """not json at all""")
+      """not json at all""",
+      """null""")          // JSON literal null: a NULL struct, not a clean row
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
       lines.mkString("\n").getBytes("UTF-8"))
     val gz = new GZIPOutputStream(new java.io.FileOutputStream(new java.io.File(dir, "part-1.jsonl.gz")))
@@ -289,8 +290,11 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cleanRows(2).getAs[String]("text") == "gzipped")        // .gz read transparently
 
     val badRows = bad.collect().map(_.getAs[String]("raw_line"))
-    assert(badRows.length == 2)
+    assert(badRows.length == 3)
     assert(badRows.exists(_.contains("truncated")) && badRows.contains("not json at all"))
+    // the `null` literal is quarantined as its raw line — previously it
+    // parsed to a NULL struct and masqueraded as a clean all-NULL row
+    assert(badRows.contains("null"))
   }
 
   test("shard write: one file per shard, line order is training order") {
@@ -320,7 +324,10 @@ class TrainingOpsSpec extends SparkSpec {
     import graft.functions.QgramKernels
     val strs = Seq("", "a", "ab", "aa", "abcabc", "spark native engine",
       "engine native spark", "xyxyxyxyxy", "polished steel wheel", "steel wheel polish",
-      "a b c", "identical", "identical")
+      "a b c", "identical", "identical",
+      // supplementary planes (code-point gram basis, 21-bit packing) and
+      // the truncated-vs-NUL-prefixed aliasing the sentinel prevents
+      "a😀b", "😀😀", "𝒳y", "\u0000a")
     val pairs = for (x <- strs; y <- strs) yield (x, y)
     val df = pairs.toDF("x", "y")
     val r = df.select(
@@ -332,6 +339,24 @@ class TrainingOpsSpec extends SparkSpec {
         TextAnalysis.charGrams(col("y"), 2)).as("hof")).collect()
     r.foreach(row => assert(row.getDouble(0) == row.getDouble(1),
       s"kernel ${row.getDouble(0)} != hof ${row.getDouble(1)}"))
+
+    // the length sentinel keeps a short string's truncated gram distinct
+    // from a NUL-prefixed full gram (the old 16-bit packing aliased these)
+    val collide = Seq(("a", "\u0000a")).toDF("x", "y").select(
+      QgramKernels.sortedCodesJaccard(
+        QgramKernels.charGramCodes(col("x"), 2),
+        QgramKernels.charGramCodes(col("y"), 2))).collect()(0).getDouble(0)
+    assert(collide == 0.0)
+
+    // q = 4 cannot pack supplementary-plane code points: loud rejection,
+    // never a silent mis-gram
+    val boom = intercept[Exception] {
+      Seq(Tuple1("abc😀def")).toDF("s")
+        .select(QgramKernels.charGramCodes(col("s"), 4)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("supplementary")))
   }
 
   test("mixing SQL twin matches the Column form") {
