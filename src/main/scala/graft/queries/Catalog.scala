@@ -1301,6 +1301,20 @@ object Catalog {
   /** Statistical aggregate family: sample stddev/variance, correlation and
     * covariance (Welford-style one-pass in both engines; 4-decimal rounding
     * absorbs accumulation-order ulps).
+    *
+    * Determinism caveat: unlike the money aggregates (exact integer cents,
+    * order-independent on any merge tree), these moments stay DOUBLE — the
+    * Welford merge is associativity-dependent in its last ulps, so a group
+    * whose true moment sits within an ulp of an r4 half-boundary could in
+    * principle round differently under different partition merge trees.
+    * PropertySpec ("numeric-stats family") pins the practical story:
+    * identical r4 results across 1/3/8/17-partition merge trees for all
+    * four aggregates on seeded money-shaped data, and exactly-representable
+    * boundary moments floor deterministically in any engine. If a use case
+    * ever needs bit-guaranteed moments, the escape hatch is the DECIMAL
+    * formulation (accumulate Σx, Σx², Σxy as DECIMAL(38) and derive the
+    * moments at the end — exact, order-independent, ~10–15% slower and
+    * off the codegen fast path; the same trade sumMoney already documents).
     */
   val q47 = q(
     "q47_numeric_stats",
