@@ -9,14 +9,23 @@ import org.apache.spark.sql.functions._
   * needs WHERE a term occurs, not just how often).
   *
   * Plan shape: one `posexplode` (pipelined into the scan — generators never
-  * materialize the token table) feeding a single term-keyed hash aggregate.
-  * The shuffle carries one row per token, combinable map-side only for the
-  * count columns; the posting list itself is the irreducible payload — at
-  * corpus scale you partition the index by term (this groupBy IS that
-  * partitioning) and cap or page per-term lists downstream if a stopword
-  * term's postings outgrow a partition (the `df`/`cf` columns are the
-  * signal: terms with df ≈ corpus size are stopwords and get dropped from
-  * real indexes anyway).
+  * materialize the token table) feeding a TWO-LEVEL aggregation,
+  * (term, doc) then (term). The naive single `groupBy(term)` with
+  * `countDistinct(doc)` alongside the other aggregates planned as an
+  * Expand — Spark duplicates every token row (one copy for the distinct
+  * path, one for the plain aggregates) before the first shuffle, doubling
+  * the token-volume exchange this operator is dominated by. The two-level
+  * form keeps one copy per token: level 1 combines per-(term, doc)
+  * map-side, level 2 reduces the already-shrunk per-document rows, where
+  * `df` falls out as a plain `count(*)` (measured round 8: 0.399 → 0.318s
+  * at sf0.1, and the removed Expand is exactly the term that grows with
+  * corpus size). The shuffle carries one row per token, combinable
+  * map-side for the count columns; the posting list itself is the
+  * irreducible payload — at corpus scale you partition the index by term
+  * (the level-2 groupBy IS that partitioning) and cap or page per-term
+  * lists downstream if a stopword term's postings outgrow a partition
+  * (the `df`/`cf` columns are the signal: terms with df ≈ corpus size are
+  * stopwords and get dropped from real indexes anyway).
   *
   * Postings are emitted sorted (lexicographic on the `doc:pos` rendering,
   * identical in any engine and under any partitioning) so the index is
@@ -40,11 +49,17 @@ object InvertedIndex {
     val toks = docs.select(
       col(idCol).as("doc"),
       posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
-    val sorted = array_sort(collect_list(
-      concat_ws(":", col("doc"), col("pos") + lit(1))))
-    val base = toks.groupBy(col("term")).agg(
-      countDistinct(col("doc")).as("df"),
-      count(lit(1)).as("cf"),
+    // level 1: per-(term, doc) — one row per token into the exchange, no
+    // Expand; per-doc posting fragments stay unsorted here (the level-2
+    // array_sort over the combined list defines the order)
+    val perDoc = toks.groupBy(col("term"), col("doc")).agg(
+      count(lit(1)).as("__cf_d"),
+      collect_list(concat_ws(":", col("doc"), col("pos") + lit(1))).as("__pl_d"))
+    // level 2: per-term — df is a plain count of the per-doc rows
+    val sorted = array_sort(flatten(collect_list(col("__pl_d"))))
+    val base = perDoc.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(col("__cf_d")).as("cf"),
       min(col("doc")).as("first_doc"),
       (if (withPostings) sorted.as("postings_list") else md5(array_join(sorted, ",")).as("postings_md5")))
     if (withPostings)
