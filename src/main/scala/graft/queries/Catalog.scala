@@ -2185,15 +2185,50 @@ object Catalog {
       .transform(ordered("qid", "rank"))
   }
 
+  /** Pointer-doubling connected components (`DedupCluster.AlternatingStar`)
+    * on an ADVERSARIAL graph the default propagation provably cannot
+    * converge on inside its round budget: a diameter-59 chain (doc ids
+    * 0–59) plus eleven 2-node jump components. Propagation needs
+    * rounds = diameter (59 > maxIters 25, loud failure — LlmSpec pins it);
+    * the large-star/small-star alternation converges in O(log² chain)
+    * rounds and its fixpoint star edges ARE the labels. The DuckDB twin is
+    * the natural recursive-CTE transitive closure — tiny here (60-node
+    * chain), quadratic in general, which is exactly why the distributed
+    * side uses doubling instead.
+    */
+  val q74 = q(
+    "q74_star_components",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |chain AS (SELECT doc_id AS a, doc_id + 1 AS b FROM ids WHERE doc_id < 59),
+      |jumps AS (SELECT doc_id AS a, doc_id * 3 AS b FROM ids WHERE doc_id BETWEEN 70 AND 80),
+      |pairs AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM jumps),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT x AS id, x AS r FROM edges
+      |          UNION
+      |          SELECT e.x, r.r FROM edges e JOIN reach r ON r.id = e.y)
+      |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val chain = ids.filter(col("doc_id") < 59)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    val jumps = ids.filter(col("doc_id").between(70, 80))
+      .select(col("doc_id").as("a"), (col("doc_id") * 3).as("b"))
+    graft.llm.DedupCluster.components(chain.unionByName(jumps), "a", "b",
+        algorithm = graft.llm.DedupCluster.AlternatingStar)
+      .transform(ordered("id"))
+  }.copy(eagerBuild = true) // star rounds run driver-side actions at build
+                            // time, same regime as q61's propagation
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
     * family (`MinHashLsh.Config(hashFamily = Xx)`). DuckDB 1.0 cannot
     * express xxhash64, so such an entry could only be a rows-only check
     * that inflates the benchmarked total with no oracle-side twin; the
-    * family is instead exercised by LlmSpec, measured head-to-head against
-    * the md5 family in SCALE.md (0.584s vs 0.687s at sf0.1), and shares
-    * every line of the LSH pipeline q24 hash-verifies cross-engine.
+    * family is instead a STANDING TWIN-LESS BENCH LINE (`graft.Bench`
+    * `extra.x_minhash_xx`, outside the oracle total, with both families'
+    * verified-pair counts as a self-consistency signal), exercised by
+    * LlmSpec, and shares every line of the LSH pipeline q24 hash-verifies
+    * cross-engine.
     */
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -2202,5 +2237,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }
