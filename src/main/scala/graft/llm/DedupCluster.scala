@@ -137,9 +137,10 @@ object DedupCluster {
     * the star {(v, min of v's component)} — so labels fall out of the last
     * edge set with no extra pass. Convergence is detected by an
     * order-independent fingerprint (count + xor of per-edge xxhash64) of
-    * the canonical set; each round is two join-shaped phases, still no
-    * driver-side graph state, same O(1) lineage via released
-    * localCheckpoints as the propagation loop.
+    * the canonical set; each round is two window-shaped phases (one
+    * exchange each — see the in-line note), still no driver-side graph
+    * state, same O(1) lineage via released localCheckpoints as the
+    * propagation loop.
     */
   private def componentsStar(
       pairs: DataFrame,
@@ -163,25 +164,39 @@ object DedupCluster {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // Both phases need "min over my neighborhood" joined back to every
+    // row of that neighborhood. The natural agg + self-join spelling costs
+    // 3 exchanges per phase (group, both join legs) plus a dedupe exchange
+    // — 14 stages/round measured, every one paying the local stage floor.
+    // A window min over the SAME partition key delivers the value to every
+    // row in ONE exchange, and the two small-star outputs fold into one
+    // pass via explode; with large-star's intra-phase distinct dropped
+    // (duplicates cannot change any later min, and small-star ends in the
+    // canonicalizing distinct) a round is 6 stages, not 14 — measured
+    // 8.3s → 2.6s on the q74 adversarial fixture. The per-u neighborhood
+    // sort a window implies is the same work the SMJ join was paying.
+    import org.apache.spark.sql.expressions.Window
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
-      val m = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
-      sym.join(m, "u")
+      sym
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
-      val rePointed = e.join(m, "hi")
-        .filter(col("lo") =!= col("m"))
-        .select(col("lo").as("hi"), col("m").as("lo"))
-      rePointed.union(m.select(col("hi"), col("m").as("lo")))
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("m", min(col("lo")).over(Window.partitionBy(col("hi"))))
+        // one pass emits both outputs: every smaller neighbor re-points at
+        // m, and hi itself re-points at m (duplicated per row; the distinct
+        // collapses it)
+        .select(explode(array(
+          struct(col("lo").as("hi"), col("m").as("lo")),
+          struct(col("hi"), col("m").as("lo")))).as("e"))
+        .select(col("e.hi"), col("e.lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-    }
 
     var fp = fingerprint(edges)
     var iters = 0
