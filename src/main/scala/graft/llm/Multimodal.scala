@@ -120,7 +120,8 @@ object Multimodal {
       var i = 12
       var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
       var dataBytes = -1L
-      while (i + 8 <= b.length) {
+      var walking = true
+      while (walking && i + 8 <= b.length) {
         val id = fourCC(b, i)
         val size = le32(b, i + 4)
         val payload = i + 8
@@ -134,7 +135,13 @@ object Multimodal {
           // fixture; the declared size is still the authoritative length
           dataBytes = size
         }
-        i = payload + size.toInt + (size.toInt & 1) // word alignment
+        // strict-progress guard: a corrupt u32 size near 2³² wraps
+        // `size.toInt` negative and would otherwise stall or rewind the
+        // walk — an executor hang on crafted input. Declared sizes are
+        // still recorded above; only the WALK stops.
+        val next = payload.toLong + size + (size & 1L) // word alignment
+        if (next <= i || next > Int.MaxValue) walking = false
+        else i = next.toInt
       }
       if (rate > 0 && blockAlign > 0 && dataBytes >= 0)
         Some(WavInfo(rate, channels, bits, dataBytes / blockAlign))

@@ -74,6 +74,31 @@ class RobustnessSpec extends SparkSpec {
     assert(out.forall(_ == 0))
   }
 
+  test("container header parsers terminate and never throw on arbitrary bytes") {
+    // header parsers run inside executor tasks over UNTRUSTED payloads:
+    // any input must finish promptly as Some(...) or None — a crafted
+    // chunk size (e.g. a u32 near 2³², wrapping toInt negative) once
+    // stalled the WAV chunk walk forever
+    val rnd = new scala.util.Random(8L)
+    val prefixes = Seq(
+      Array.emptyByteArray,
+      "RIFF".getBytes ++ Array.fill(8)(0xff.toByte) ++ "WAVE".getBytes,
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes,
+      Array(0x89.toByte) ++ "PNG".getBytes,
+      Array(0xff.toByte, 0xd8.toByte))
+    for (p <- prefixes; n <- Seq(0, 3, 17, 64, 256)) {
+      val bytes = p ++ Array.fill(n)(rnd.nextInt().toByte)
+      Multimodal.ImageHeaders.dimensions(bytes)
+      Multimodal.WavHeaders.info(bytes)
+      Multimodal.Mp4Headers.info(bytes)
+    }
+    // the specific wrap case: a WAVE file whose first chunk declares size
+    // 0xFFFFFFFF — the walk must stop, not rewind
+    val wrap = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "data".getBytes ++ Array.fill(4)(0xff.toByte) ++ Array.fill(16)(0.toByte)
+    assert(Multimodal.WavHeaders.info(wrap).isEmpty) // no fmt chunk seen
+  }
+
   test("quantizerFor retrains when the data under a path changes") {
     val dir = Files.createTempDirectory("graft_quant_").toFile.getAbsolutePath
     def write(labels: Seq[String]): Unit =
