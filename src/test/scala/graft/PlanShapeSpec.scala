@@ -72,6 +72,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q24: verify path REUSES the candidate pipeline's exchange") {
+    // the round-8 tautology filter (MinHashLsh.jaccardVerifyDocs) exists so
+    // the broadcast candidate-id build shares the candidate aggregation's
+    // shuffle with the verify stream instead of re-running the whole
+    // signature pass — pinned here so column pruning can't silently break
+    // the canonical-equality that ReuseExchange depends on
+    // static ReuseExchange is what the AQE-off bench regime relies on;
+    // with AQE on the same reuse happens at runtime via query stages
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q24_minhash_lsh")
+      // the specific reuse: ReusedExchange nodes over the (a, b, count)
+      // candidate-pair aggregation — not merely the band-keys broadcast
+      // reuse (both verify-side set builders share it: one direct, one via
+      // the candidate-id union)
+      assert("ReusedExchange \\[a#\\d+L, b#\\d+L".r.findAllIn(p).length >= 2,
+        "candidate pipeline exchange no longer reused in the verify path")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("q41: ranking shuffle carries no embedding arrays") {
     val p = planOf("q41_ivf_ann")
     // the window's exchange partitions by the left id only after vectors
