@@ -162,4 +162,21 @@ class TpgPipelineSpec extends SparkSpec {
     assert(stops.orderBy("stop_id").collect().map(_.getString(0)).sameElements(Array("s1", "s2")))
     assert(routes.collect()(0).getAs[String]("feed_version") == "2024-06")
   }
+
+  test("Logging: rotating file handler rotates, format matches, setup is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_logs_").toString
+    // tiny rotation budget so a few records span generations
+    val log = Logging.setup(name = "etl_test", logDir = dir,
+      maxBytes = 512, backupCount = 2, toConsole = false)
+    val again = Logging.setup(name = "etl_test", logDir = dir)
+    assert(again eq log)
+    assert(log.getHandlers.length == 1) // idempotent: no duplicate handlers
+    (1 to 60).foreach(i => log.info(s"record $i with some padding to force rotation"))
+    log.getHandlers.foreach(_.flush())
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.matches("log_etl_test\\.\\d\\.log")) >= 2, files.mkString(","))
+    val first = scala.io.Source.fromFile(s"$dir/${files.head}").getLines().toSeq
+    assert(first.exists(_.matches(
+      "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} \\[INFO\\] etl_test: record .*")))
+  }
 }
