@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * PAIR — the multiplied cost center of a blocked similarity join. These
   * kernels split the work the way the join multiplies it: per ROW, encode
   * the distinct q-grams once as a SORTED primitive long array
-  * ([[CharGramCodes]]; each gram packs into 16 bits/char, q ≤ 4); per
-  * PAIR, a two-pointer merge counts the intersection with zero allocation
+  * ([[CharGramCodes]]; sentinel + 21 bits per code point for q ≤ 3,
+  * 16 bits per BMP code point for q = 4 — details below); per PAIR, a
+  * two-pointer merge counts the intersection with zero allocation
   * ([[SortedCodesJaccard]]).
   *
   * Semantics match `charGrams` exactly (grams = `substr(s, i, q)` for

@@ -111,7 +111,11 @@ object Decontam {
         .bloomAggFor(xxhash64(col("gid")), expectedBenchmarkGrams).as("__bf"))
       .head().getAs[Array[Byte]](0)
     // Literal vs broadcast is purely a SHIPPING decision (see param doc):
-    // the probe kernel and its verdicts are identical either way.
+    // the probe kernel and its verdicts are identical either way. The
+    // broadcast's lifetime is tied to the returned plan: Spark's
+    // ContextCleaner reclaims the blocks once the plan (the only holder of
+    // the handle) becomes unreachable, so per-shard calls don't accumulate
+    // sketches beyond the plans a caller actually keeps alive.
     val probe: Column => Column =
       if (sketchBytes.length <= literalMaxBytes)
         x => graft.functions.BloomSketch.mightContain(lit(sketchBytes), x)

@@ -55,10 +55,12 @@ object InvertedIndex {
     val perDoc = toks.groupBy(col("term"), col("doc")).agg(
       count(lit(1)).as("__cf_d"),
       collect_list(concat_ws(":", col("doc"), col("pos") + lit(1))).as("__pl_d"))
-    // level 2: per-term — df is a plain count of the per-doc rows
+    // level 2: per-term — df counts the per-doc rows; count(doc) (not
+    // count(*)) so a NULL-id document's group is excluded, exactly as
+    // countDistinct(doc) excluded NULLs in the single-level form
     val sorted = array_sort(flatten(collect_list(col("__pl_d"))))
     val base = perDoc.groupBy(col("term")).agg(
-      count(lit(1)).as("df"),
+      count(col("doc")).as("df"),
       sum(col("__cf_d")).as("cf"),
       min(col("doc")).as("first_doc"),
       (if (withPostings) sorted.as("postings_list") else md5(array_join(sorted, ",")).as("postings_md5")))

@@ -149,9 +149,13 @@ object MinHashLsh {
     // equal, and ReuseExchange can no longer share the candidate pipeline's
     // shuffle between the verify stream and this broadcast build — the
     // whole signature pass (the dominant md5 cost) would run twice.
-    // Measured round 8 (sf0.1, matched session): q24 0.61→0.48s.
-    val candIds = pairs.filter(col("n_bands") >= 1).select(col("a").as("cid"))
-      .union(pairs.filter(col("n_bands") >= 1).select(col("b").as("cid"))).distinct()
+    // Measured round 8 (sf0.1, matched session): q24 0.61→0.48s. Applied
+    // only when the column exists: externally-built (a, b) pair frames
+    // remain valid input and simply don't have a pipeline to share.
+    val keepRef = (p: DataFrame) =>
+      if (p.columns.contains("n_bands")) p.filter(col("n_bands") >= 1) else p
+    val candIds = keepRef(pairs).select(col("a").as("cid"))
+      .union(keepRef(pairs).select(col("b").as("cid"))).distinct()
     val sets = docs
       .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"),

@@ -125,7 +125,9 @@ object Multimodal {
         val id = fourCC(b, i)
         val size = le32(b, i + 4)
         val payload = i + 8
-        if (id == "fmt " && payload + 16 <= b.length) {
+        // the size >= 16 gate keeps a truncated fmt chunk from silently
+        // reading the NEXT chunk's header bytes as format fields
+        if (id == "fmt " && size >= 16 && payload + 16 <= b.length) {
           channels = le16(b, payload + 2)
           rate = le32(b, payload + 4).toInt
           blockAlign = le16(b, payload + 12)
@@ -135,12 +137,13 @@ object Multimodal {
           // fixture; the declared size is still the authoritative length
           dataBytes = size
         }
-        // strict-progress guard: a corrupt u32 size near 2³² wraps
-        // `size.toInt` negative and would otherwise stall or rewind the
-        // walk — an executor hang on crafted input. Declared sizes are
-        // still recorded above; only the WALK stops.
+        // progress guard: size is a masked non-negative Long, so `next`
+        // always advances past i — but a corrupt u32 near 2³² would wrap
+        // `toInt` negative and stall or rewind the walk (an executor hang
+        // on crafted input); the Int.MaxValue bound stops it. Declared
+        // sizes are still recorded above; only the WALK stops.
         val next = payload.toLong + size + (size & 1L) // word alignment
-        if (next <= i || next > Int.MaxValue) walking = false
+        if (next > Int.MaxValue) walking = false
         else i = next.toInt
       }
       if (rate > 0 && blockAlign > 0 && dataBytes >= 0)
@@ -174,11 +177,25 @@ object Multimodal {
       var durationSec = 0.0; var nSamples = 0L
       var sawMoov = false
     }
+    // per-trak sub-accumulator: dims and sample count must come from the
+    // SAME track, or an audio trak preceding the video trak would donate
+    // its (huge) AAC sample count as the video frame count
+    private final class TrakAcc {
+      var width = 0; var height = 0
+      var nSamples = 0L
+    }
 
     // the container boxes we recurse into on the moov → stbl spine
     private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
-    private def walk(b: Array[Byte], from: Int, until: Int, acc: Acc): Unit = {
+    // the real spine is 5 levels (moov→trak→mdia→minf→stbl); the bound
+    // only exists so a crafted deeply-nested container chain cannot drive
+    // the recursion into a StackOverflowError inside an executor task
+    private val MaxDepth = 8
+
+    private def walk(b: Array[Byte], from: Int, until: Int, acc: Acc,
+        trak: TrakAcc, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var i = from
       while (i + 8 <= until) {
         val size = be32(b, i)
@@ -186,9 +203,21 @@ object Multimodal {
         if (size < 8 || i + size > until) return // largesize/EOF box or truncated
         val payload = i + 8
         name match {
+          case "trak" =>
+            val sub = new TrakAcc
+            walk(b, payload, i + size.toInt, acc, sub, depth + 1)
+            // first VIDEO trak wins outright (dims + its own sample count);
+            // a dimension-less trak (audio) only donates a provisional
+            // sample count until a video trak shows up
+            if (sub.width > 0 && acc.width == 0) {
+              acc.width = sub.width; acc.height = sub.height
+              acc.nSamples = sub.nSamples
+            } else if (acc.width == 0 && acc.nSamples == 0L) {
+              acc.nSamples = sub.nSamples
+            }
           case c if containers.contains(c) =>
             if (c == "moov") acc.sawMoov = true
-            walk(b, payload, i + size.toInt, acc)
+            walk(b, payload, i + size.toInt, acc, trak, depth + 1)
           case "mvhd" if payload + 4 <= until =>
             val v = u8(b, payload)
             if (v == 0 && payload + 20 <= until) {
@@ -200,7 +229,7 @@ object Multimodal {
               val duration = be64(b, payload + 24)
               if (timescale > 0) acc.durationSec = duration.toDouble / timescale
             }
-          case "tkhd" =>
+          case "tkhd" if trak != null && payload < until =>
             val v = u8(b, payload)
             // width/height close the box: v0 payload offset 76, v1 offset 88
             val off = if (v == 1) payload + 88 else payload + 76
@@ -209,10 +238,10 @@ object Multimodal {
               val w = (be32(b, off) >> 16).toInt
               val h = (be32(b, off + 4) >> 16).toInt
               // an audio trak's tkhd carries 0×0 — keep the first video one
-              if (w > 0 && h > 0 && acc.width == 0) { acc.width = w; acc.height = h }
+              if (w > 0 && h > 0 && trak.width == 0) { trak.width = w; trak.height = h }
             }
-          case "stsz" if payload + 12 <= until =>
-            if (acc.nSamples == 0L) acc.nSamples = be32(b, payload + 8)
+          case "stsz" if trak != null && payload + 12 <= until =>
+            if (trak.nSamples == 0L) trak.nSamples = be32(b, payload + 8)
           case _ => () // leaf box we don't need
         }
         i += size.toInt
@@ -225,7 +254,7 @@ object Multimodal {
       val first = fourCC(b, 4)
       if (first != "ftyp" && first != "styp") return None
       val acc = new Acc
-      walk(b, 0, b.length, acc)
+      walk(b, 0, b.length, acc, null, 0)
       if (acc.sawMoov) Some(Mp4Info(acc.width, acc.height, acc.durationSec, acc.nSamples))
       else None
     }

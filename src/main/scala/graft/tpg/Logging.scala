@@ -15,6 +15,14 @@ import java.util.logging.{ConsoleHandler, FileHandler, Formatter, Level, LogReco
   */
 object Logging {
 
+  // JUL's LogManager holds named loggers only WEAKLY (JDK-6274920): if the
+  // caller drops the returned reference, a GC can collect the logger and
+  // its handlers, silently swallowing subsequent log lines (and a re-setup
+  // would open a second FileHandler against the stale lock file). Pinning
+  // every configured logger here mirrors the reference's module-level
+  // logger lifetime.
+  private val pinned = new java.util.concurrent.ConcurrentHashMap[String, Logger]()
+
   /** `ts [LEVEL] name: message` — the reference's format string
     * (`utils_logging.py:29`) minus python's funcName, which JUL does not
     * reliably carry.
@@ -48,6 +56,7 @@ object Logging {
       maxBytes: Int = 5000000,
       backupCount: Int = 3): Logger = {
     val logger = Logger.getLogger(name)
+    pinned.putIfAbsent(name, logger)
     if (logger.getHandlers.nonEmpty) return logger // idempotent, like the reference
 
     val lvl = level.toUpperCase match {

@@ -42,6 +42,15 @@ class LlmSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") == 1.0)
     assert(exact.getAs[Long]("n_bands") == 4L)
     assert(!pairSet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
+
+    // externally-built (a, b)-only pair frames stay valid verify input:
+    // the ReuseExchange tautology filter must only apply when the pairs
+    // actually carry the pipeline's n_bands column
+    val external = Seq((0L, 3L)).toDF("a", "b")
+    val verified = MinHashLsh
+      .jaccardVerifyDocs(external, docs, "doc_id", "text", MinHashLsh.Config())
+      .collect()
+    assert(verified.length == 1 && verified(0).getAs[Double]("jaccard") == 1.0)
   }
 
   test("simhash: deterministic, near-dups within small hamming distance") {
@@ -451,6 +460,45 @@ class LlmSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(spark, media.filter($"media_id" === 2L), everyN = 30)
       .collect().map(_.frame_idx).sorted
     assert(frames.toSeq == Seq(0, 30, 60, 90))
+  }
+
+  test("multimodal: MP4 parser track-awareness and malformed-input hardening") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ cc(name) ++ payload
+    val ftyp = box("ftyp", cc("isom") ++ be32(1))
+    def stszOf(n: Long) = box("stsz", new Array[Byte](4) ++ be32(0) ++ be32(n))
+    def trakOf(dims: Option[(Int, Int)], samples: Long) = {
+      val tkhd = box("tkhd", new Array[Byte](76) ++ (dims match {
+        case Some((w, h)) => be32(w.toLong << 16) ++ be32(h.toLong << 16)
+        case None         => be32(0) ++ be32(0) // audio trak: 0×0 dims
+      }))
+      box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stszOf(samples)))))
+    }
+
+    // audio trak FIRST: its 430k-sample stsz must not become the video
+    // frame count — dims and samples must come from the same (video) trak
+    val audioFirst = ftyp ++ box("moov",
+      trakOf(None, 430000L) ++ trakOf(Some((640, 360)), 300L))
+    assert(Multimodal.Mp4Headers.info(audioFirst)
+      .contains(Multimodal.Mp4Headers.Mp4Info(640, 360, 0.0, 300L)))
+    // audio-only file: the audio trak's count is the honest frame count
+    val audioOnly = ftyp ++ box("moov", trakOf(None, 430000L))
+    assert(Multimodal.Mp4Headers.info(audioOnly).get.nSamples == 430000L)
+
+    // header-only tkhd box ending exactly at the buffer end: must parse
+    // (to None-ish fields), never throw reading the version byte
+    val bareTkhd = ftyp ++ box("moov", box("trak", be32(8) ++ cc("tkhd")))
+    assert(Multimodal.Mp4Headers.info(bareTkhd).isDefined) // sawMoov, no dims
+
+    // a crafted deeply-nested container chain must terminate promptly
+    // (depth bound), not drive the recursive walk into a stack overflow
+    val depth = 5000
+    val innermost = stszOf(7L)
+    val nested = (1 to depth).foldLeft(innermost)((inner, _) => box("moov", inner))
+    assert(Multimodal.Mp4Headers.info(ftyp ++ nested).isDefined)
   }
 
   test("chunking: full coverage, overlap, and the short-doc single chunk") {

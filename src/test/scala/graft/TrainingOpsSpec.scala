@@ -55,6 +55,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 6)
   }
 
+  test("inverted index: NULL doc ids count toward cf but never df (countDistinct parity)") {
+    val docs = Seq((Some(1L), "x y"), (None, "x")).toDF("doc_id", "text")
+    val idx = InvertedIndex.postings(docs, "doc_id", "text")
+      .orderBy("term").collect().map(r => r.getAs[String]("term") -> r).toMap
+    // the NULL-id doc's token raises cf but not df — the two-level rewrite
+    // must preserve countDistinct's NULL exclusion
+    assert(idx("x").getAs[Long]("df") == 1L)
+    assert(idx("x").getAs[Long]("cf") == 2L)
+    assert(idx("y").getAs[Long]("df") == 1L && idx("y").getAs[Long]("cf") == 1L)
+  }
+
   test("inverted index: df, cf, and 1-based positions") {
     val docs = Seq((10L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
     val idx = InvertedIndex.postings(docs, "doc_id", "text", withPostings = true)
