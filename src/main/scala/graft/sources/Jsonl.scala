@@ -43,7 +43,19 @@ object Jsonl {
     * with no such restriction, so the split below stays a pure scan.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.textFile(path).toDF("__line")
+    parse(spark.read.textFile(path).toDF("__line"), schema)
+
+  /** Structured-Streaming twin of [[read]]: same text-scan + `from_json`
+    * parse, same quarantine semantics, per micro-batch (the parse is
+    * stateless Column expressions, so it lifts unchanged — spec-pinned
+    * batch ≡ stream in StreamingSpec). Pair with `maxFilesPerTrigger` to
+    * bound micro-batch size on a large corpus drop.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parse(spark.readStream.text(path).withColumnRenamed("value", "__line"), schema)
+
+  private def parse(lines: DataFrame, schema: StructType): DataFrame =
+    lines
       .filter(length(trim(col("__line"))) > 0)
       .select(col("__line"), from_json(col("__line"), schemaWithQuarantine(schema),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))

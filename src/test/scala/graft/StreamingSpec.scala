@@ -198,6 +198,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(0).getAs[String]("red").contains("<IP>"))
   }
 
+  test("streaming JSONL source: quarantine semantics identical to the batch read") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream_").toFile
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good", "lang": "en"}""",
+      """{"doc_id": 2, "text": "drifted"}""",
+      """{"doc_id": 3, "text": "trunca""",
+      """not json""",
+      """null""")
+    java.nio.file.Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+
+    val q = graft.sources.Jsonl.readStream(spark, dir.getAbsolutePath, schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("jsonl_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("jsonl_stream")
+    val batch = graft.sources.Jsonl.read(spark, dir.getAbsolutePath, schema)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(streamed) == canon(batch))
+    // and the contract itself holds on the streamed side: 2 clean rows,
+    // 3 quarantined (truncated JSON, non-JSON, and the null literal)
+    assert(streamed.filter(col(graft.sources.Jsonl.CorruptCol).isNull).count() == 2L)
+    assert(streamed.filter(col(graft.sources.Jsonl.CorruptCol).isNotNull).count() == 3L)
+  }
+
   test("streaming dedupe drops repeated business keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
