@@ -160,6 +160,46 @@ object TextAnalysis {
   def distinctWordCount(text: Column): Column =
     size(array_distinct(words(text)))
 
+  /** Per-document duplicated-passage profile — the practical, distributed
+    * form of exact-substring dedup (the suffix-array recipe of
+    * "Deduplicating Training Data Makes Language Models Better" finds long
+    * substrings repeated ACROSS documents; its working approximation at
+    * corpus scale is long word n-grams, the same unit the GPT-3-style
+    * decontamination uses): for every document, how many of its distinct
+    * n-grams also occur in at least `minDf − 1` OTHER documents, and what
+    * fraction of the document that is. High `dup_frac` = the document is
+    * largely stitched from passages the corpus already contains —
+    * boilerplate, mirrors, templated spam — the rows an exact-substring
+    * dedup pass would cut.
+    *
+    * Scale shape: the distinct (doc, gram-md5) stream feeds both the gram
+    * document-frequency aggregate (map-side combinable) and the join back
+    * to the per-doc rows. The stream is pipelined map work off the scan
+    * and is RECOMPUTED per consumer — materializing it behind its own
+    * exchange would save one explode+md5 pass at the price of a third
+    * full gram-volume shuffle, the wrong trade at corpus scale (both
+    * existing shuffles carry 16-byte keys, never text). Same cost model
+    * as [[tfIdf]]'s df join, deliberately: gram df IS term df at a longer
+    * n. Hot boilerplate grams fan out in the join exactly as far as they
+    * occur — which is the signal itself.
+    */
+  def duplicatedPassageProfile(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minDf: Long = 2): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextExprs.wordShingles(col(textCol), n))).as("g"))
+      .select(col(idCol), md5(col("g")).as("gid"))
+    val dfreq = grams.groupBy(col("gid")).agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, "gid")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum((col("gdf") >= minDf).cast("long")).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup") * lit(1.0) / col("n_grams"))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * non-alphanumerics, collapse whitespace runs, trim, and drop stopwords.
     * Two documents that differ only in casing, punctuation, spacing or

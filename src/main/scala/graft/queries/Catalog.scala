@@ -2218,6 +2218,36 @@ object Catalog {
   }.copy(eagerBuild = true) // star rounds run driver-side actions at build
                             // time, same regime as q61's propagation
 
+  /** Per-document duplicated-passage profile
+    * (`TextAnalysis.duplicatedPassageProfile`): the distributed
+    * approximation of exact-substring dedup — the fraction of each
+    * document's distinct 8-word grams that also occur in other documents.
+    * Ordered by worst offenders; gram df reuses q59/q62's cost model
+    * (16-byte md5 keys on both shuffles, never text).
+    */
+  val q75 = q(
+    "q75_dup_passages",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |               w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS g
+      |        FROM w)),
+      |df AS (SELECT gid, count(*) AS gdf FROM g GROUP BY gid)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CAST(df.gdf >= 2 AS BIGINT)) AS BIGINT) AS n_dup,
+      |       floor((sum(CAST(df.gdf >= 2 AS BIGINT)) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS dup_frac
+      |FROM g JOIN df USING (gid)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis
+      .duplicatedPassageProfile(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        r4(col("dup_frac")).as("dup_frac"))
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2237,5 +2267,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -540,6 +540,28 @@ class LlmSpec extends SparkSpec {
     assert(clash.getMessage.contains("chunk_ix"))
   }
 
+  test("duplicated-passage profile: shared n-grams count, unique text scores 0") {
+    // docs 1 and 2 share a verbatim 8-word passage inside otherwise
+    // different text; doc 3 is fully novel
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta theta $shared iota"),
+      (3L, "wholly original text with no repeated passage at all today"))
+      .toDF("doc_id", "text")
+    val prof = TextAnalysis.duplicatedPassageProfile(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_frac"))).toMap
+    // doc 1: 12 words → 5 distinct 8-grams, exactly one (the shared run) duplicated
+    assert(prof(1L)._1 == 5L && prof(1L)._2 == 1L && prof(1L)._3 == 0.2)
+    assert(prof(2L)._2 == 1L)
+    assert(prof(3L)._2 == 0L && prof(3L)._3 == 0.0)
+    // docs shorter than n words contribute no grams and no row
+    val short = TextAnalysis.duplicatedPassageProfile(
+      Seq((9L, "too short")).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+    assert(short.count() == 0L)
+  }
+
   test("dedup clusters: transitive closure, multiple components, determinism") {
     // chain 1-2-3-4 plus pair 10-11 plus pair (20,21) sharing nothing
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
