@@ -200,6 +200,47 @@ object TextAnalysis {
       .withColumn("dup_frac", col("n_dup") * lit(1.0) / col("n_grams"))
   }
 
+  /** Exact-substring dedup as a TRANSFORM — the companion of
+    * [[duplicatedPassageProfile]] that actually rewrites the corpus the way
+    * Lee et al.'s suffix-array dedup does: rather than dropping whole
+    * documents, remove the duplicated spans themselves. A word is removed
+    * when it is covered by any n-gram occurring ≥ `minDf` times in the
+    * corpus (total occurrences, within-doc repeats included — a doc that
+    * repeats its own boilerplate is deduplicated against itself); every
+    * document survives with its unique words, in original order.
+    *
+    * Scale shape: text never shuffles. The gram-occurrence stream
+    * (id, start, md5) is map work off the scan; the duplicate-gram filter is
+    * one 16-byte-key aggregate; covered starts come back as a per-document
+    * integer array (collect_set over a semi-join — bounded by the document's
+    * own gram count); the rewrite itself is a scan-time higher-order filter
+    * over `split(text)` against that array (O(words × dup-starts-per-doc),
+    * and dup starts are the rare case by construction). Compare the naive
+    * shape — explode every word, anti-join covered positions, re-aggregate
+    * with a sort — which shuffles the full text volume twice.
+    */
+  def removeDuplicatedPassages(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minDf: Long = 2): org.apache.spark.sql.DataFrame = {
+    val occ = docs.select(col(idCol),
+      posexplode(graft.functions.TextExprs.wordShingles(col(textCol), n)))
+      .select(col(idCol), col("pos").as("start"), md5(col("col")).as("gid"))
+    val dup = occ.groupBy(col("gid")).agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") >= minDf).select(col("gid"))
+    val dupStarts = occ.join(dup, Seq("gid"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("start")).as("dup_starts"))
+    val w = words(col(textCol))
+    val starts = coalesce(col("dup_starts"), array().cast("array<int>"))
+    val kept = filter(w, (word, i) =>
+      !exists(starts, s => s <= i && i <= s + lit(n - 1)))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        size(w).cast("long").as("n_words"),
+        (size(w) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * non-alphanumerics, collapse whitespace runs, trim, and drop stopwords.
     * Two documents that differ only in casing, punctuation, spacing or

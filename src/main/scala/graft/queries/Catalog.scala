@@ -2248,6 +2248,43 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Exact-substring dedup as a transform
+    * (`TextAnalysis.removeDuplicatedPassages`): remove every word covered by
+    * a corpus-duplicated 8-gram, keep documents with their unique words in
+    * order. The oracle reconstructs via position anti-semantics (NOT EXISTS
+    * against exploded covered positions) — the Spark side instead keeps text
+    * in the scan and filters with a higher-order function against a
+    * per-document covered-starts array; same result, no text shuffle.
+    */
+  val q76 = q(
+    "q76_dup_passage_removal",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (SELECT doc_id, i - 1 AS start,
+      |          md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |              w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]) AS gid
+      |        FROM w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
+      |dup AS (SELECT gid FROM occ GROUP BY gid HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT o.doc_id, o.start + u.s AS p
+      |        FROM occ o JOIN dup USING (gid),
+      |             unnest(generate_series(1, 8)) AS u(s)),
+      |pos AS (SELECT doc_id, t.p AS p, w[t.p] AS word
+      |        FROM w, unnest(generate_series(1, len(w))) AS t(p)),
+      |kept AS (SELECT doc_id, p, word FROM pos
+      |         WHERE NOT EXISTS (SELECT 1 FROM cov
+      |                           WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |               string_agg(word, ' ' ORDER BY p) AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.w) AS n_words,
+      |       len(w.w) - coalesce(a.n_kept, 0) AS n_removed,
+      |       coalesce(a.clean_text, '') AS clean_text
+      |FROM w LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis
+      .removeDuplicatedPassages(Tables.documents(s, d), "doc_id", "text")
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2267,5 +2304,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

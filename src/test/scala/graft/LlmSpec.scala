@@ -562,6 +562,45 @@ class LlmSpec extends SparkSpec {
     assert(short.count() == 0L)
   }
 
+  test("duplicated-passage removal: cuts covered spans, keeps unique words in order") {
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta theta $shared iota"),
+      (3L, "wholly original text with no repeated passage at all today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedPassages(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+         r.getAs[String]("clean_text"))).toMap
+    // doc 1: only the shared 8-gram is duplicated; its 8 words go, the
+    // unique flanks stay in order
+    assert(out(1L) == ((12L, 8L, "alpha beta gamma delta")))
+    assert(out(2L) == ((12L, 8L, "zeta eta theta iota")))
+    // fully novel doc unchanged
+    assert(out(3L)._2 == 0L &&
+      out(3L)._3 == "wholly original text with no repeated passage at all today")
+
+    // a document that repeats ITS OWN 8-gram is deduplicated against itself:
+    // both copies of "a b c d e f g h" are covered, the lone separator
+    // word is not (no duplicated gram's 8-word span reaches position 8)
+    val selfDup = "a b c d e f g h x a b c d e f g h"
+    val self = TextAnalysis.removeDuplicatedPassages(
+      Seq((7L, selfDup)).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+      .collect().head
+    assert(self.getAs[Long]("n_words") == 17L &&
+      self.getAs[Long]("n_removed") == 16L &&
+      self.getAs[String]("clean_text") == "x")
+
+    // docs shorter than n words pass through untouched (no grams, no row loss)
+    val short = TextAnalysis.removeDuplicatedPassages(
+      Seq((9L, "too short")).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+      .collect().head
+    assert(short.getAs[Long]("n_words") == 2L &&
+      short.getAs[Long]("n_removed") == 0L &&
+      short.getAs[String]("clean_text") == "too short")
+  }
+
   test("dedup clusters: transitive closure, multiple components, determinism") {
     // chain 1-2-3-4 plus pair 10-11 plus pair (20,21) sharing nothing
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
