@@ -2285,6 +2285,64 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** End-to-end corpus scrub through the composition API
+    * (`llm/CorpusPipeline`): quality gate → normalization dedup (keep
+    * lowest id) → exact-8-gram decontamination against a held-out bench
+    * slice → final projection, all composed as pipeline stages and
+    * oracle-checked as ONE query — the stages are individually verified by
+    * q57/q62-family entries; this entry pins that they compose without
+    * semantic drift. The pipeline spine adds nothing to the plan (plain
+    * lazy composition), so the scale story is the stages' own.
+    */
+  val q77 = q(
+    "q77_scrub_pipeline",
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |g1 AS (SELECT doc_id, text FROM t WHERE len(string_split(text, ' ')) >= 40),
+      |nrm AS (SELECT doc_id, text, md5(array_to_string(list_filter(
+      |          string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+      |          w -> NOT list_contains(['the','a','of','and','to'], w)), ' ')) AS nh
+      |        FROM g1),
+      |keep AS (SELECT nh, min(doc_id) AS doc_id FROM nrm GROUP BY nh),
+      |dd AS (SELECT n.doc_id, n.text FROM nrm n JOIN keep k ON n.doc_id = k.doc_id),
+      |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+      |tg AS (SELECT doc_id, md5(g) AS gid FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |               w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM tw)),
+      |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 7 = 0),
+      |bg AS (SELECT DISTINCT md5(g) AS gid FROM (
+      |        SELECT unnest(list_distinct(list_transform(
+      |          generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |               w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM bw)),
+      |bad AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gid))
+      |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+      |FROM dd d
+      |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.{CorpusPipeline, Decontam, TextAnalysis}
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val pipeline = CorpusPipeline()
+      .stage("gate")(_.filter(TextAnalysis.tokenCountWs(col("text")) >= 40))
+      .stage("dedupe")(df => graft.operators.Dedupe.topOnePerKey(
+        df, Seq(md5(TextAnalysis.normalized(col("text")))),
+        Seq(col("doc_id").asc)))
+      .stage("decontam", branching = true) { df =>
+        val bad = Decontam.exactNgramOverlap(df, bench, "doc_id", "text", n = 8)
+          .select(col("a").as("doc_id")).distinct()
+        df.join(bad, Seq("doc_id"), "left_anti")
+      }
+      .stage("project")(_.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words")))
+    pipeline(docs.filter(col("doc_id") % 7 =!= 0))
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2304,5 +2362,5 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }
