@@ -28,6 +28,28 @@ object Dedupe {
       .drop("__rn")
   }
 
+  /** Keep at most `k` rows per `keys`, top-k under `priority` ordering —
+    * the per-domain quota of web-corpus pipelines (cap each source's
+    * contribution so no single domain dominates the training mixture).
+    * Ties MUST be broken by a unique trailing ordering term, as with
+    * [[topOnePerKey]].
+    *
+    * Scale shape: Catalyst rewrites the `row_number ≤ k` filter into
+    * `WindowGroupLimit` (plan-asserted in OperatorsSpec) — each input
+    * partition keeps only its own top-k per key BEFORE the exchange, so
+    * the shuffle carries at most k·partitions rows per key, not the
+    * domain's full row count. A hot domain's cost is bounded by k, not by
+    * its corpus share.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], priority: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 1, s"topKPerKey needs k >= 1, got $k")
+    val w = Window.partitionBy(keys: _*).orderBy(priority: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Exact whole-row duplicate elimination (reference `drop_duplicates()`,
     * `01:160` etc.) — one shuffle on all columns.
     */

@@ -2343,6 +2343,25 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Per-domain quota (`operators/Dedupe.topKPerKey`): cap each source's
+    * contribution at the k best documents (by length, id tie-break) — the
+    * C4-style "no domain dominates the mixture" gate. Catalyst plans the
+    * rank filter as WindowGroupLimit: map-side top-k per source before the
+    * single key-partitioned exchange.
+    */
+  val q78 = q(
+    "q78_domain_cap",
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedupe.topKPerKey(Tables.documents(s, d),
+        Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .transform(ordered("source", "doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2362,5 +2381,6 @@ object Catalog {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
+    q78)
 }

@@ -42,6 +42,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(2) == "a")
   }
 
+  test("topKPerKey caps each key at k, keeps priority order, plans a group limit") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 20L), ("s1", 4L, 30L),
+      ("s2", 5L, 5L)).toDF("src", "id", "len")
+    val capped = Dedupe.topKPerKey(
+      df, Seq($"src"), Seq($"len".desc, $"id".asc), k = 2)
+    // s1's top-2 by (len desc, id asc): id 2 (30) then id 4 (30); s2 intact
+    assert(capped.orderBy("src", "id").select("id").as[Long].collect()
+      .sameElements(Array(2L, 4L, 5L)))
+    // k larger than any group is the identity
+    assert(Dedupe.topKPerKey(df, Seq($"src"), Seq($"id".asc), k = 99)
+      .count() == df.count())
+    assert(intercept[IllegalArgumentException](
+      Dedupe.topKPerKey(df, Seq($"src"), Seq($"id".asc), 0))
+      .getMessage.contains("k >= 1"))
+    // the scale claim: Catalyst turns the rank filter into a map-side
+    // WindowGroupLimit so the exchange carries at most k rows per key per
+    // input partition
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
   test("native percentile_array ≡ built-in percentile (incl. null groups)") {
     val rnd = new scala.util.Random(11)
     val df = ((1 to 5000).map { i =>
