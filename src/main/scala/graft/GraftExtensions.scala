@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain", "bloom_might_contain(sketch, x) - probe a bloom_agg sketch"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      info("mg_sketch", "mg_sketch(item, capacity) - Misra-Gries heavy-hitters summary as array<struct<item,lb>>"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), litInt(exprs(1)))))
   }
 
   private def litStr(e: Expression): String = e match {

@@ -2362,6 +2362,26 @@ object Catalog {
       .transform(ordered("source", "doc_id"))
   }
 
+  /** Exact corpus top-k frequent tokens in bounded memory
+    * (`llm/HeavyHitters.topKTokens`): Misra–Gries candidate sketch
+    * (capacity-bounded aggregate state regardless of vocabulary size) then
+    * an exact recount of candidates only, with an exactness certificate —
+    * the vocabulary/stopword-mining primitive. The oracle is the plain
+    * unbounded GROUP BY, which the certified two-pass result must equal
+    * exactly. Builder runs two driver actions (sketch collect +
+    * certificate) → eagerBuild.
+    */
+  val q79 = q(
+    "q79_top_tokens",
+    """SELECT token, n FROM (
+      |  SELECT w AS token, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w)
+      |ORDER BY n DESC, token LIMIT 10""".stripMargin) { (s, d) =>
+    graft.llm.HeavyHitters.topKTokens(
+      Tables.documents(s, d), col("text"), k = 10, capacity = 64)
+  }.copy(eagerBuild = true) // sketch pass + certificate are driver actions
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2382,5 +2402,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78)
+    q78, q79)
 }

@@ -763,4 +763,35 @@ class LlmSpec extends SparkSpec {
       .select(t.charGrams(col("s"), 2)).collect()(0).getSeq[String](0)
     assert(short == Seq("x"))
   }
+
+  test("heavy hitters: certified two-pass top-k ≡ exact, any partitioning, both membership paths") {
+    // skewed Zipf-ish corpus: token t{i} appears ~ 4000/i times, i in 1..200
+    // — 200 distinct, capacity 64 < distinct so the sketch genuinely lossy
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 200).flatMap(i => Seq.fill(4000 / i)(s"t$i"))
+    val shuffled = rnd.shuffle(words)
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10)
+    for (parts <- Seq(1, 3, 8); inListMax <- Seq(1000, 0)) {
+      // one "document" per 50 tokens so split() exercises the real path
+      val docsDf = shuffled.grouped(50).map(_.mkString(" ")).toSeq
+        .toDF("text").repartition(parts)
+      val got = HeavyHitters.topKTokens(
+        docsDf, col("text"), k = 10, capacity = 64, inListMax = inListMax)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exact, s"parts=$parts inListMax=$inListMax")
+    }
+    // capacity >= distinct: sketch is lossless, err = 0, fewer-than-k path
+    val tiny = Seq("a a a b b c").toDF("text")
+    val all = HeavyHitters.topKTokens(tiny, col("text"), k = 10, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // uncertifiable: uniform counts with a tiny sketch must refuse loudly,
+    // not return plausible-but-unprovable ranks
+    val uniform = (1 to 400).map(i => s"u$i").grouped(20)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val e = intercept[IllegalArgumentException](
+      HeavyHitters.topKTokens(uniform, col("text"), k = 10, capacity = 4))
+    assert(e.getMessage.contains("raise capacity"))
+  }
 }
