@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier, trained and scored entirely as
+  * DataFrame plans — the fastText-shaped "cheap linear classifier" slot of
+  * corpus pipelines (language ID, quality filtering, domain routing),
+  * minus the embedding layer: the MODEL IS A TABLE, training is two hash
+  * aggregates, scoring is an equi-join.
+  *
+  * Semantics: standard multinomial NB with add-one (Laplace) smoothing.
+  * With training vocabulary size V and per-class token total T_c,
+  * `P(t|c) = (count(t,c) + 1) / (T_c + V)`; class prior = doc-count share.
+  * A token with no (t, c) row — unseen for that class, or unseen entirely
+  * — contributes the smoothing floor `1 / (T_c + V)`.
+  *
+  * Scale shape: training = explode + groupBy(class, token) with map-side
+  * combine; the model stays DISTRIBUTED (a 10⁷-vocab × C-class model is a
+  * table, not a driver artifact). Scoring pre-aggregates each doc to
+  * (doc, token, multiplicity) so the model join carries distinct doc-terms
+  * — not raw token occurrences — and unseen-token mass is closed-form:
+  * `score(d, c) = prior4_c + Σ_matched m·lp4 + (M_d − cov)·lp0_c`, needing
+  * only the per-(doc, class) matched sums, never a dense doc×vocab frame.
+  * The class-stats frame (C rows) is the only broadcast.
+  *
+  * Determinism: every log term is rounded to a scale-4 LONG
+  * (`floor(ln(p)·10⁴ + 0.5)`, the [[LanguageModel]] convention) BEFORE
+  * summation, so scores are exact integer sums — order-independent and
+  * bit-reproducible cross-engine (same ±1-ulp `ln` caveat as q71,
+  * documented there). Argmax ties break by class name ascending.
+  */
+object NaiveBayes {
+
+  private def log4(x: Column): Column =
+    floor(log(x) * 10000 + 0.5).cast("long")
+
+  /** Train on `(labelCol, textCol)`: returns
+    * (tokenModel: (label, token, lp4), classStats: (label, prior4, lp0)).
+    * Both are lazy plans over `train` — nothing is collected.
+    */
+  def train(
+      trainDocs: DataFrame, labelCol: String, textCol: String,
+      tokenSep: String = " "): (DataFrame, DataFrame) = {
+    val tok = trainDocs.select(
+      col(labelCol).as("label"),
+      explode(split(col(textCol), tokenSep)).as("token"))
+    val cnt = tok.groupBy(col("label"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("label")).agg(sum(col("c")).as("t"))
+    val vocab = tok.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val pri = trainDocs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("dl"))
+    val ndocs = trainDocs.agg(count(lit(1)).as("d"))
+    val stats = tot.join(pri, "label")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(ndocs))
+      .select(
+        col("label"),
+        col("t"), col("v"),
+        log4(col("dl").cast("double") / col("d")).as("prior4"),
+        log4(lit(1.0) / (col("t") + col("v"))).as("lp0"))
+    val tokenModel = cnt.join(stats.select("label", "t", "v"), "label")
+      .select(
+        col("label"), col("token"),
+        log4((col("c") + lit(1.0)) / (col("t") + col("v"))).as("lp4"))
+    (tokenModel, stats.select("label", "prior4", "lp0"))
+  }
+
+  /** Per-(doc, class) integer scores: (idCol, label, score4). */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenModel: DataFrame, classStats: DataFrame,
+      tokenSep: String = " "): DataFrame = {
+    val docTok = docs
+      .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
+    val docM = docTok.groupBy(col(idCol)).agg(sum(col("m")).as("mm"))
+    val matched = docTok.join(tokenModel, "token")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("m") * col("lp4")).as("s"), sum(col("m")).as("cov"))
+    docM.crossJoin(broadcast(classStats))
+      .join(matched, Seq(idCol, "label"), "left")
+      .select(
+        col(idCol), col("label"),
+        (col("prior4") + coalesce(col("s"), lit(0L)) +
+          (col("mm") - coalesce(col("cov"), lit(0L))) * col("lp0")).as("score4"))
+  }
+
+  /** Argmax class per doc: (idCol, label, score4), ties → label asc. */
+  def predict(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenModel: DataFrame, classStats: DataFrame,
+      tokenSep: String = " "): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score4").desc, col("label").asc)
+    score(docs, idCol, textCol, tokenModel, classStats, tokenSep)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

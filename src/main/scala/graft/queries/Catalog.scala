@@ -2382,6 +2382,51 @@ object Catalog {
       Tables.documents(s, d), col("text"), k = 10, capacity = 64)
   }.copy(eagerBuild = true) // sketch pass + certificate are driver actions
 
+  /** Naive Bayes classifier (`llm/NaiveBayes`): self-train a multinomial
+    * NB on (lang, text) and predict each doc's language — the cheap-linear
+    * -classifier slot (language ID / quality routing) as pure plans: the
+    * model is a distributed table, scoring is an equi-join on distinct
+    * doc-terms, unseen-token mass is closed-form. Scale-4 integer log-probs
+    * make per-doc scores exact long sums (q71 convention), so the argmax
+    * and score hash-match DuckDB.
+    */
+  val q80 = q(
+    "q80_naive_bayes",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+      |pri AS (SELECT lang, count(*) AS dl FROM documents GROUP BY 1),
+      |nd AS (SELECT count(*) AS d FROM documents),
+      |stats AS (SELECT t.lang, t.t, v.v,
+      |    CAST(floor(ln(CAST(p.dl AS DOUBLE) / n.d) * 10000 + 0.5) AS BIGINT) AS prior4,
+      |    CAST(floor(ln(1.0 / (t.t + v.v)) * 10000 + 0.5) AS BIGINT) AS lp0
+      |  FROM tot t JOIN pri p ON t.lang = p.lang, vocab v, nd n),
+      |model AS (SELECT c.lang, c.token,
+      |    CAST(floor(ln((c.c + 1.0) / (s.t + s.v)) * 10000 + 0.5) AS BIGINT) AS lp4
+      |  FROM cnt c JOIN stats s ON c.lang = s.lang),
+      |doctok AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
+      |docm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS mm FROM doctok GROUP BY 1),
+      |matched AS (SELECT dt.doc_id, mo.lang,
+      |    CAST(sum(dt.m * mo.lp4) AS BIGINT) AS s,
+      |    CAST(sum(dt.m) AS BIGINT) AS cov
+      |  FROM doctok dt JOIN model mo ON dt.token = mo.token GROUP BY 1, 2),
+      |scores AS (SELECT dm.doc_id, st.lang,
+      |    st.prior4 + coalesce(ma.s, 0) + (dm.mm - coalesce(ma.cov, 0)) * st.lp0 AS score4
+      |  FROM docm dm CROSS JOIN stats st
+      |  LEFT JOIN matched ma ON ma.doc_id = dm.doc_id AND ma.lang = st.lang)
+      |SELECT doc_id, lang AS pred_lang, CAST(score4 AS BIGINT) AS score4 FROM (
+      |  SELECT doc_id, lang, score4,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score4 DESC, lang) AS rn
+      |  FROM scores) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (model, stats) = graft.llm.NaiveBayes.train(docs, "lang", "text")
+    graft.llm.NaiveBayes.predict(docs, "doc_id", "text", model, stats)
+      .select(col("doc_id"), col("label").as("pred_lang"), col("score4"))
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2402,5 +2447,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79)
+    q78, q79, q80)
 }

@@ -794,4 +794,55 @@ class LlmSpec extends SparkSpec {
       HeavyHitters.topKTokens(uniform, col("text"), k = 10, capacity = 4))
     assert(e.getMessage.contains("raise capacity"))
   }
+
+  test("naive bayes: local-math mirror, separability, unseen mass, ties, partitioning") {
+    val train = Seq(
+      (0L, "spam", "buy cheap pills now buy"),
+      (1L, "spam", "cheap pills cheap deal"),
+      (2L, "ham", "meeting notes for the team"),
+      (3L, "ham", "team lunch notes today"))
+      .toDF("doc_id", "lang", "text")
+    def run(parts: Int): Map[Long, (String, Long)] = {
+      val t = train.repartition(parts)
+      val (m, s) = NaiveBayes.train(t, "lang", "text")
+      NaiveBayes.predict(t, "doc_id", "text", m, s)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    }
+    val got = run(4)
+    // separable vocab: self-prediction recovers every label
+    assert(got(0L)._1 == "spam" && got(1L)._1 == "spam")
+    assert(got(2L)._1 == "ham" && got(3L)._1 == "ham")
+    assert(run(1) == got) // partition-invariant integer scores
+
+    // local mirror of the exact integer formula for doc 1 under "spam":
+    // V = distinct tokens in train, T = spam token total
+    val tokensOf = (s: String) => s.split(" ").toSeq
+    val allTok = Seq("buy cheap pills now buy", "cheap pills cheap deal",
+      "meeting notes for the team", "team lunch notes today").flatMap(tokensOf)
+    val v = allTok.distinct.size
+    val spamTok = Seq("buy cheap pills now buy", "cheap pills cheap deal").flatMap(tokensOf)
+    val tTot = spamTok.size
+    def l4(x: Double) = math.floor(math.log(x) * 10000 + 0.5).toLong
+    val c = spamTok.groupBy(identity).view.mapValues(_.size).toMap
+    val want = l4(2.0 / 4.0) + tokensOf("cheap pills cheap deal")
+      .map(t => l4((c.getOrElse(t, 0) + 1.0) / (tTot + v))).sum
+    assert(got(1L)._2 == want)
+
+    // all-unseen doc: score is exactly prior4 + M * lp0 per class; with
+    // equal priors and equal token totals... ham/spam differ, so just pin
+    // the closed form for one class via score()
+    val (m2, s2) = NaiveBayes.train(train, "lang", "text")
+    val novel = Seq((9L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val sc = NaiveBayes.score(novel, "doc_id", "text", m2, s2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val spamWant = l4(2.0 / 4.0) + 3L * l4(1.0 / (tTot + v))
+    assert(sc("spam") == spamWant)
+
+    // symmetric corpus → equal scores → tie broken by label asc
+    val sym = Seq((0L, "a", "x y"), (1L, "b", "x y")).toDF("doc_id", "lang", "text")
+    val (m3, s3) = NaiveBayes.train(sym, "lang", "text")
+    val pred = NaiveBayes.predict(sym, "doc_id", "text", m3, s3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(0L) == "a" && pred(1L) == "a")
+  }
 }
