@@ -64,6 +64,66 @@ object Mixing {
       .withColumn("copy_ix", explode(sequence(lit(1L), col("n_copies"))))
   }
 
+  /** Temperature-scaled mixture resampling — the multilingual/multi-domain
+    * rebalancing step (XLM-R / mT5 style): sources are kept with
+    * probability proportional to `n_s^alpha / n_s` so that the RESAMPLED
+    * mixture follows `p_s ∝ n_s^alpha` — alpha = 1 preserves natural
+    * proportions, alpha → 0 flattens toward uniform, boosting low-resource
+    * sources' relative share. `targetRows` sets the expected output size:
+    * `rate_s = min(1, targetRows · n_s^alpha / Z / n_s)` with
+    * `Z = Σ n_t^alpha` (a source too small to fill its quota caps at
+    * keep-everything; the realized total then undershoots `targetRows` —
+    * resampling never duplicates, use [[upsampleMix]] to oversample).
+    *
+    * Everything is IN-PLAN: per-source counts (one map-side-combined
+    * aggregate, C rows), the normalizer (1 row), and the rates are a
+    * broadcast C-row frame joined back onto the scan; the keep decision is
+    * the same deterministic `md5(salt|key)` keyspace draw as [[Splits]] —
+    * zero RNG state, subset-monotone in `targetRows` (raising the budget
+    * strictly grows every source's sample, keeping corpus scale-ups
+    * supersets of earlier ones).
+    *
+    * Cross-engine exactness: with alpha = 0.5 the power is `sqrt` — which
+    * IEEE 754 REQUIRES correctly rounded, so rates (and the derived hex
+    * thresholds) are bit-identical in any engine. Other alphas go through
+    * `pow`, which is not so guaranteed — last-ulp divergence could flip a
+    * key sitting exactly on a threshold; prefer 0.5 (the common LLM
+    * setting) where cross-engine reproducibility matters.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      alpha: Double,
+      targetRows: Long,
+      salt: String = "tmp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val clash = df.columns.toSeq.intersect(Seq("__ns", "__z", "__rate", "__th"))
+    require(clash.isEmpty,
+      s"temperatureResample input already has reserved column(s) ${clash.mkString(", ")}")
+
+    def nPow(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
+    val z = counts.agg(sum(nPow(col("__ns").cast("double"))).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(
+        col(strataCol),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * nPow(col("__ns").cast("double")) /
+            col("__z") / col("__ns")).as("__rate"))
+      .withColumn("__th",
+        when(col("__rate") >= 1.0, lit("g")) // sentinel: keep ALL (cf. Splits.hexThreshold)
+          .otherwise(format_string("%08x",
+            floor(col("__rate") * 4294967296.0).cast("long"))))
+    val bucket = substring(md5(concat(lit(s"$salt|"), col(keyCol).cast("string"))), 1, 8)
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(bucket < col("__th"))
+      .drop("__rate", "__th")
+  }
+
   /** SQL twin of the `n_copies` expression for cross-engine oracles
     * (DuckDB `unnest(generate_series(1, n_copies))` replays the explode;
     * `generate_series(1, 0)` is empty, so zero-copy rows vanish the same

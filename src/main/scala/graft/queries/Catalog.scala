@@ -2427,6 +2427,32 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Temperature-scaled mixture resampling (`llm/Mixing
+    * .temperatureResample`): rebalance sources toward p ∝ n^0.5 at a
+    * ~300-row budget — low-resource sources keep a larger fraction. All
+    * in-plan (counts → broadcast rates → md5-keyspace filter); alpha = 0.5
+    * rides sqrt's IEEE correct-rounding guarantee so thresholds are
+    * bit-identical cross-engine.
+    */
+  val q81 = q(
+    "q81_temperature_mix",
+    """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+      |z AS (SELECT sum(sqrt(CAST(ns AS DOUBLE))) AS z FROM n),
+      |r AS (SELECT source,
+      |    least(1.0, 300.0 * sqrt(CAST(ns AS DOUBLE)) / z.z / ns) AS rate
+      |  FROM n, z),
+      |t AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g'
+      |    ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS th
+      |  FROM r)
+      |SELECT d.doc_id, d.source, d.lang FROM documents d JOIN t ON d.source = t.source
+      |WHERE substr(md5('tmp|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.th
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.llm.Mixing.temperatureResample(
+      Tables.documents(s, d), "doc_id", "source", alpha = 0.5, targetRows = 300)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2447,5 +2473,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80)
+    q78, q79, q80, q81)
 }

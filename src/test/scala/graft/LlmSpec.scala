@@ -845,4 +845,51 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pred(0L) == "a" && pred(1L) == "a")
   }
+
+  test("temperature resample: local mirror, cap path, budget-monotone, flattens skew") {
+    // skewed strata: big=400 rows, mid=90, tiny=4
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 490).map(i => (i.toLong, "mid")) ++
+      (491 to 494).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("id", "src")
+
+    // local mirror of the exact keep-set (same md5 keyspace draw)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def localKeep(budget: Long): Set[Long] = {
+      val ns = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val z = ns.values.map(n => math.sqrt(n.toDouble)).sum
+      rows.filter { case (id, src) =>
+        val rate = math.min(1.0, budget * math.sqrt(ns(src).toDouble) / z / ns(src))
+        val th = if (rate >= 1.0) "g"
+          else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+        md5hex(s"tmp|$id").substring(0, 8) < th
+      }.map(_._1).toSet
+    }
+    val got100 = Mixing.temperatureResample(df, "id", "src", 0.5, 100)
+      .select("id").as[Long].collect().toSet
+    assert(got100 == localKeep(100))
+
+    // temperature flattening: tiny stratum keeps a larger FRACTION than big
+    val bySrc = Mixing.temperatureResample(df, "id", "src", 0.5, 100)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracBig = bySrc.getOrElse("big", 0L).toDouble / 400
+    val fracTiny = bySrc.getOrElse("tiny", 0L).toDouble / 4
+    assert(fracTiny > fracBig)
+    // tiny's rate caps at 1.0 under a large budget → all 4 kept ('g' path)
+    val big = Mixing.temperatureResample(df, "id", "src", 0.5, 5000)
+      .filter($"src" === "tiny").count()
+    assert(big == 4L)
+
+    // subset-monotone in the budget
+    val got300 = Mixing.temperatureResample(df, "id", "src", 0.5, 300)
+      .select("id").as[Long].collect().toSet
+    assert(got100.subsetOf(got300))
+    assert(got300 == localKeep(300))
+
+    // reserved-column clash fails loudly
+    val e = intercept[IllegalArgumentException](
+      Mixing.temperatureResample(df.withColumn("__th", lit(1)), "id", "src", 0.5, 10))
+    assert(e.getMessage.contains("__th"))
+  }
 }
