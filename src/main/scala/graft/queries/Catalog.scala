@@ -2453,6 +2453,35 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Vocabulary truncation (`llm/Vocab`): build the corpus vocabulary at a
+    * RELATIVE frequency threshold (0.2% of total tokens — scale-free, so
+    * the same query is non-degenerate at every SF) and rewrite each doc
+    * replacing OOV tokens with `<unk>` — word-LM preprocessing. Vocab stays
+    * a distributed table; rewrite = posexplode → left join → position-
+    * sorted reassembly, byte-identical cross-engine.
+    */
+  val q82 = q(
+    "q82_vocab_truncate",
+    """WITH cnt AS (SELECT w AS token, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |tot AS (SELECT sum(n) AS tt FROM cnt),
+      |voc AS (SELECT token FROM cnt, tot WHERE n >= 0.002 * tt),
+      |t AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |tok AS (SELECT doc_id, i, ws[i] AS token FROM t),
+      |rep AS (SELECT tok.doc_id, tok.i,
+      |    CASE WHEN v.token IS NULL THEN '<unk>' ELSE tok.token END AS tk,
+      |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM tok LEFT JOIN voc v ON tok.token = v.token)
+      |SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS new_text,
+      |    CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov
+      |FROM rep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = graft.llm.Vocab.buildRelative(docs, col("text"), 0.002)
+    graft.llm.Vocab.truncateToVocab(docs, "doc_id", col("text"), vocab)
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2473,5 +2502,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81)
+    q78, q79, q80, q81, q82)
 }

@@ -892,4 +892,32 @@ class LlmSpec extends SparkSpec {
       Mixing.temperatureResample(df.withColumn("__th", lit(1)), "id", "src", 0.5, 10))
     assert(e.getMessage.contains("__th"))
   }
+
+  test("vocab truncation: OOV rewrite preserves order, counts, absolute ≡ relative") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug zyzzyva"),
+      (2L, "the cat and the dog sat"))
+      .toDF("doc_id", "text")
+    // absolute threshold: words appearing >= 2 times
+    val vocab = Vocab.build(corpus, col("text"), minCount = 2)
+    val kept = vocab.select("token").as[String].collect().toSet
+    assert(kept == Set("the", "cat", "sat", "on", "dog")) // mat/rug/zyzzyva/and are singletons
+    val got = Vocab.truncateToVocab(corpus, "doc_id", col("text"), vocab)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == (("the cat sat on the <unk>", 6L, 1L)))
+    assert(got(1L) == (("the dog sat on the <unk> <unk>", 7L, 2L)))
+    assert(got(2L) == (("the cat <unk> the dog sat", 6L, 1L)))
+    // relative threshold: 2/19 of total tokens ⇒ same vocabulary
+    val rel = Vocab.buildRelative(corpus, col("text"), 2.0 / 19.0)
+    assert(rel.select("token").as[String].collect().toSet == kept)
+    // partition invariance of the rewrite
+    val got4 = Vocab.truncateToVocab(corpus.repartition(4), "doc_id", col("text"), vocab)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got4 == got)
+    // custom unk token
+    val custom = Vocab.truncateToVocab(corpus, "doc_id", col("text"), vocab, unk = "[OOV]")
+      .filter($"doc_id" === 0L).collect()(0).getString(1)
+    assert(custom == "the cat sat on the [OOV]")
+  }
 }
