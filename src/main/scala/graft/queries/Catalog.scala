@@ -2482,6 +2482,37 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Collocation mining (`llm/Collocations.phraseScores`): word2phrase
+    * scoring of adjacent word pairs — `(c12 − δ)·N / (c1·c2)` — the
+    * phrase-detection pass vocabulary pipelines run before tokenizer
+    * training. Three independent map-side-combinable aggregates (bigram
+    * counts, unigram counts, token total) + a two-sided shuffle join of
+    * the bigram table against the vocabulary table; the joined stream is
+    * bigram TYPES, never token volume. minCount = 5 keeps the entry
+    * non-degenerate at every SF (the synthetic vocabulary is small, so
+    * pair types saturate it quickly); score4 is scalar double arithmetic
+    * over exact longs, 4-decimal-floored identically in both engines.
+    */
+  val q83 = q(
+    "q83_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+      |         i -> w[i] || ' ' || w[i+1])) AS w12 FROM w),
+      |b AS (SELECT w12, count(*) AS c12 FROM bi GROUP BY 1 HAVING count(*) >= 5),
+      |bs AS (SELECT string_split(w12, ' ')[1] AS w1, string_split(w12, ' ')[2] AS w2, c12 FROM b),
+      |u AS (SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |n AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+      |    floor(((c12 - 1.0) * n.n_tokens) /
+      |          (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) * 10000 + 0.5) / 10000 AS score4
+      |FROM bs JOIN u u1 ON bs.w1 = u1.w JOIN u u2 ON bs.w2 = u2.w, n
+      |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    graft.llm.Collocations.phraseScores(
+      Tables.documents(s, d), "text", minCount = 5, delta = 1.0)
+      .transform(ordered("w1", "w2"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2502,5 +2533,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82)
+    q78, q79, q80, q81, q82, q83)
 }

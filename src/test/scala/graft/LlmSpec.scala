@@ -920,4 +920,45 @@ class LlmSpec extends SparkSpec {
       .filter($"doc_id" === 0L).collect()(0).getString(1)
     assert(custom == "the cat sat on the [OOV]")
   }
+
+  test("collocations: local word2phrase mirror, minCount gate, partition invariance") {
+    val corpus = Seq(
+      (0L, "new york is big new york is old"),
+      (1L, "new york has new ideas"),
+      (2L, "york is not new"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, minCount: Long) =
+      Collocations.phraseScores(df, "text", minCount = minCount, delta = 1.0)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+
+    // local mirror: token totals and pair counts by hand
+    val texts = Seq("new york is big new york is old",
+      "new york has new ideas", "york is not new")
+    val toks = texts.flatMap(_.split(" "))
+    val n = toks.size.toLong
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = texts.flatMap(t => t.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val c12 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def score(a: String, b: String): Double =
+      math.floor((c12((a, b)) - 1.0) * n /
+        (uni(a).toDouble * uni(b).toDouble) * 10000 + 0.5) / 10000
+
+    val got = run(corpus, 2)
+    // only pairs with c12 >= 2 survive: "new york" (3×), "is" pairs? check
+    val want = c12.filter(_._2 >= 2).keys.toSet
+    assert(got.keySet == want)
+    assert(want.contains(("new", "york")))
+    val (g12, g1, g2, s4) = got(("new", "york"))
+    assert(g12 == 3L && g1 == uni("new") && g2 == uni("york"))
+    assert(s4 == score("new", "york"))
+    // every surviving pair matches the local mirror's exact score
+    assert(got.forall { case ((a, b), v) => v._4 == score(a, b) })
+
+    // minCount = 1 admits every pair type
+    assert(run(corpus, 1).keySet == c12.keys.toSet)
+    // partition invariance (counts are exact; score is scalar arithmetic)
+    assert(run(corpus.repartition(5), 2) == got)
+  }
 }
