@@ -2513,6 +2513,56 @@ object Catalog {
       .transform(ordered("w1", "w2"))
   }
 
+  /** Distributed spherical k-means (`llm/KMeans`): the LEARNED coarse
+    * quantizer (q40–q42 use the label-derived one). Two Lloyd rounds from
+    * md5-deterministic seeds; per round, assignment is a scan-time argmax
+    * against k literal centroids (no shuffle) and the update is one
+    * (cell, dim)-keyed mean with map-side combine collected as a k×dim
+    * driver artifact — the Spark MLlib KMeans plan re-derived on the
+    * DataFrame API. The oracle unrolls both rounds as chained CTEs.
+    * Cosine assignment is scale-invariant in the centroid, so unnormalized
+    * means give exactly spherical k-means. Cross-engine exposure is the
+    * q40/q41 one: centroid components are double means; an assignment can
+    * flip only if two cells tie within an ulp.
+    */
+  val q84 = q(
+    "q84_kmeans",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |s0 AS (SELECT row_number() OVER (ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec
+      |       FROM (SELECT vec_id, vec FROM v
+      |             ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+      |a1 AS (SELECT vec_id, vec, cell FROM (
+      |    SELECT v.vec_id, v.vec, s.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_cosine_similarity(v.vec, s.vec) DESC, s.cell) AS rn
+      |    FROM v, s0 s) WHERE rn = 1),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a1.cell, g.i AS dim, avg(a1.vec[g.i]) AS c
+      |    FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY cell),
+      |a2 AS (SELECT vec_id, vec, cell FROM (
+      |    SELECT v.vec_id, v.vec, c1.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_cosine_similarity(v.vec, c1.cvec) DESC, c1.cell) AS rn
+      |    FROM v, c1) WHERE rn = 1),
+      |c2 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a2.cell, g.i AS dim, avg(a2.vec[g.i]) AS c
+      |    FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY cell)
+      |SELECT vec_id, cell, floor(sim * 10000 + 0.5) / 10000 AS sim FROM (
+      |  SELECT v.vec_id, c2.cell, list_cosine_similarity(v.vec, c2.cvec) AS sim,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_cosine_similarity(v.vec, c2.cvec) DESC, c2.cell) AS rn
+      |  FROM v, c2) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val quant = graft.llm.KMeans.fit(emb, k = 8, iters = 2)
+    graft.llm.KMeans.assignScored(emb, quant)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), r4(col("sim")).as("sim"))
+      .transform(ordered("vec_id"))
+  }.copy(eagerBuild = true) // Lloyd rounds collect centroids at build time —
+  // the bench re-fits inside the timed loop, as DuckDB re-pays its CTE chain
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2533,5 +2583,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83)
+    q78, q79, q80, q81, q82, q83, q84)
 }

@@ -961,4 +961,56 @@ class LlmSpec extends SparkSpec {
     // partition invariance (counts are exact; score is scalar arithmetic)
     assert(run(corpus.repartition(5), 2) == got)
   }
+
+  test("kmeans: separates orthogonal clusters; assignment is a true argmax; deterministic") {
+    // three tight clusters around orthogonal axes
+    val vecs = (for {
+      (axis, base) <- Seq(0, 1, 2).zipWithIndex
+      j <- 0 until 4
+    } yield {
+      val v = Array.fill(4)(0.05f * j)
+      v(axis) = 1.0f
+      ((base * 4 + j).toLong, v)
+    }).toDF("vec_id", "embedding")
+
+    val quant = KMeans.fit(vecs, k = 3, iters = 2)
+    assert(quant.size <= 3)
+    val scored = KMeans.assignScored(vecs, quant).collect()
+    val byCell = scored.groupBy(_.getAs[Int]("cell"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("vec_id") / 4).toSet }
+    // each learned cell holds exactly one source cluster
+    assert(byCell.values.forall(_.size == 1))
+    assert(byCell.values.toSet.flatten == Set(0L, 1L, 2L))
+
+    // argmax law: the winning sim is >= the cosine against every centroid
+    val cents = quant.map(_._2)
+    scored.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("vec"))
+      val win = r.getAs[Double]("sim")
+      def cos(c: Seq[Double]) = {
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+      }
+      // tolerance only for the test mirror's own sum-order skew
+      assert(cents.forall(c => win >= cos(c) - 1e-9))
+    }
+
+    // determinism: same corpus, same salt, same artifact
+    assert(KMeans.fit(vecs, k = 3, iters = 2) == quant)
+  }
+
+  test("kmeans: empty cells drop out; duplicate-point degeneracy converges") {
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // all three seeds are the same direction: every point ties at sim=1 and
+    // breaks to the lowest cell — rounds collapse the quantizer to one cell
+    val quant = KMeans.fit(dup, k = 3, iters = 2)
+    assert(quant.size == 1)
+    val cells = KMeans.assignScored(dup, quant)
+      .collect().map(_.getAs[Int]("cell")).toSet
+    assert(cells.size == 1)
+  }
 }
