@@ -2563,6 +2563,106 @@ object Catalog {
   }.copy(eagerBuild = true) // Lloyd rounds collect centroids at build time —
   // the bench re-fits inside the timed loop, as DuckDB re-pays its CTE chain
 
+  /** Perplexity-based quality gate — the statistical-LM composition every
+    * cleaning pipeline runs (CCNet-style): score each document under the
+    * corpus bigram model (q71's `LanguageModel`, model-as-a-table), then
+    * keep documents at or above their language's exact 25th percentile of
+    * mean log-probability (q66's `operators/Quantiles` threshold shape;
+    * perplexity = e^(−avg_logp), so avg_logp ≥ thr ⟺ perplexity ≤ e^(−thr)).
+    * The threshold frame is answer-sized (one row per language) and
+    * broadcast; the gate aggregates with exact long `logsum4` sums.
+    *
+    * Scale note: the scored frame feeds both the threshold aggregate and
+    * the gated aggregate, so this lazy plan pays the score join twice — the
+    * price of keeping the oracle a single statement. A production pipeline
+    * persists the scored frame between the two passes (`Pipelines`-style);
+    * the per-pass plan is exactly this one. Cross-engine exposure is the
+    * q66 one: a document whose scale-4 `avg_logp` lands bit-exactly on the
+    * interpolated threshold double — avg_logp values are 1e-4 multiples and
+    * the interpolated threshold generically is not.
+    */
+  val q85 = q(
+    "q85_perplexity_gate",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+      |         i -> w[i] || ' ' || w[i+1])) AS w12 FROM w),
+      |b AS (SELECT w12, count(*) AS c12 FROM bi GROUP BY 1),
+      |b2 AS (SELECT w12, c12, string_split(w12, ' ')[1] AS w1 FROM b),
+      |p AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b2 GROUP BY 1),
+      |m AS (SELECT w12, c12, c1 FROM b2 JOIN p USING (w1)),
+      |s AS (SELECT bi.doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS logsum4
+      |      FROM bi JOIN m USING (w12) GROUP BY 1),
+      |sc AS (SELECT doc_id, n_bigrams, logsum4,
+      |         floor((CAST(logsum4 AS DOUBLE) / 10000.0 / n_bigrams) * 10000 + 0.5) / 10000 AS avg_logp
+      |       FROM s),
+      |l AS (SELECT sc.doc_id, sc.logsum4, sc.avg_logp, d.lang
+      |      FROM sc JOIN documents d USING (doc_id)),
+      |t AS (SELECT lang, quantile_cont(avg_logp, 0.25) AS thr FROM l GROUP BY lang)
+      |SELECT l.lang AS lang, floor((min(t.thr)) * 10000 + 0.5) / 10000 AS thr4,
+      |       count(*) AS n_kept, CAST(sum(l.logsum4) AS BIGINT) AS sum_logp4,
+      |       floor((max(l.avg_logp)) * 10000 + 0.5) / 10000 AS best_logp
+      |FROM l JOIN t ON l.lang = t.lang
+      |WHERE l.avg_logp >= t.thr
+      |GROUP BY l.lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = graft.llm.LanguageModel.scoreBigrams(docs, "doc_id", "text",
+      graft.llm.LanguageModel.bigramModel(docs, "text"))
+    val withLang = scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val thr = graft.operators.Quantiles
+      .quantileCont(withLang, "lang", "avg_logp", Seq(0.25 -> "thr"))
+    withLang.join(broadcast(thr), "lang")
+      .filter(col("avg_logp") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(r4(min(col("thr"))).as("thr4"),
+        count(lit(1)).as("n_kept"),
+        sum(col("logsum4")).as("sum_logp4"),
+        r4(max(col("avg_logp"))).as("best_logp"))
+      .transform(ordered("lang"))
+  }
+
+  /** BPE tokenizer training, three merge rounds fully in-plan (`llm/Bpe`):
+    * the corpus is scanned ONCE into a weighted vocabulary frame; per round,
+    * pair counting is an answer-sized hash aggregate, the winner is a 1-row
+    * TakeOrdered frame broadcast back in (never a collect), and the merge
+    * is a greedy left-to-right fold over each word's symbols (`aggregate`
+    * HOF ↔ DuckDB `list_reduce` — see Bpe.scala for why string `replace`
+    * would be wrong). Exact long counts, lexical tie-break: deterministic
+    * cross-engine by construction.
+    */
+  val q86 = {
+    // One DuckDB merge round: pair counts of ws$p → top-1 → re-folded ws$r.
+    def rnd(r: Int, p: Int) =
+      s"""pc$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |             i -> syms[i] || ' ' || syms[i + 1])) AS pair, cnt
+         |    FROM ws$p WHERE len(syms) > 1) GROUP BY 1),
+         |t$r AS (SELECT pair, c FROM pc$r ORDER BY c DESC, pair LIMIT 1),
+         |ws$r AS (SELECT word, cnt, string_split(list_reduce(syms, (acc, s) -> CASE
+         |         WHEN (string_split(acc, ' ')[-1] || ' ' || s) = t.pair
+         |         THEN substr(acc, 1, length(acc) - length(string_split(acc, ' ')[-1])) || replace(t.pair, ' ', '')
+         |         ELSE acc || ' ' || s END), ' ') AS syms
+         |       FROM ws$p, t$r t)""".stripMargin
+    q(
+      "q86_bpe_merges",
+      s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |w0 AS (SELECT word, count(*) AS cnt FROM wd WHERE word <> '' GROUP BY 1),
+        |ws0 AS (SELECT word, cnt,
+        |          list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+        |        FROM w0),
+        |${rnd(1, 0)},
+        |${rnd(2, 1)},
+        |${rnd(3, 2)}
+        |SELECT merge_ix, pair, merged, c FROM (
+        |  SELECT 1 AS merge_ix, pair, replace(pair, ' ', '') AS merged, c FROM t1
+        |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), c FROM t2
+        |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), c FROM t3)
+        |ORDER BY merge_ix""".stripMargin) { (s, d) =>
+      graft.llm.Bpe.merges(Tables.documents(s, d), "text", rounds = 3)
+        .transform(ordered("merge_ix"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2583,5 +2683,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

@@ -999,6 +999,34 @@ class LlmSpec extends SparkSpec {
     assert(KMeans.fit(vecs, k = 3, iters = 2) == quant)
   }
 
+  test("bpe: greedy left-to-right merge — fresh symbol joins the next comparison") {
+    // pair (x,x) over xxxxx must give [xx, xx, x] (string replace would
+    // give [xx, x, xx] — the exact bug the fold exists to avoid)
+    val corpus = Seq(Tuple1("xxxxx")).toDF("text")
+    val words = Bpe.wordSymbols(corpus, "text")
+    val merged = Bpe.applyMerge(words, Bpe.topPair(Bpe.pairCounts(words)))
+    assert(merged.select(col("syms")).collect()(0).getSeq[String](0)
+      == Seq("xx", "xx", "x"))
+  }
+
+  test("bpe: merge table — corpus-weighted counts, lexical ties, chained rounds") {
+    // "ab" appears 4 times (3 in one doc + 1 alone): round 1 must pick
+    // ("a b", 4) over the once-per-doc pairs of "cd cd"
+    val corpus = Seq("ab ab ab", "ab cd cd").toDF("text")
+    val m = Bpe.merges(corpus, "text", rounds = 2)
+      .orderBy(col("merge_ix")).collect()
+    assert(m(0).getAs[String]("pair") == "a b" && m(0).getAs[Long]("c") == 4L)
+    assert(m(0).getAs[String]("merged") == "ab")
+    assert(m(1).getAs[String]("pair") == "c d" && m(1).getAs[Long]("c") == 2L)
+
+    // ties break lexically: aaaaa after (a,a)→aa is [aa, aa, a] with pairs
+    // "aa a"(1) and "aa aa"(1) — round 2 must pick "aa a"
+    val t = Bpe.merges(Seq(Tuple1("aaaaa")).toDF("text"), "text", rounds = 2)
+      .orderBy(col("merge_ix")).collect()
+    assert(t(0).getAs[String]("pair") == "a a" && t(0).getAs[Long]("c") == 4L)
+    assert(t(1).getAs[String]("pair") == "aa a" && t(1).getAs[Long]("c") == 1L)
+  }
+
   test("kmeans: empty cells drop out; duplicate-point degeneracy converges") {
     val dup = Seq(
       (0L, Array(1.0f, 0.0f)),
