@@ -316,4 +316,36 @@ object Embeddings {
       .filter(col("rank") <= k)
       .select(col("a"), col("b"), col("bucket"), col("rank"), col("sim"))
   }
+
+  /** Symmetric int8 scalar quantization — the 8×-compression retrieval
+    * path (a 100 TB float32 corpus becomes 25 TB of int8 + one scale per
+    * vector; at serving time the dot loop runs on ints). Per vector:
+    * scale s = max|xᵢ|, code qᵢ = floor(xᵢ/s·127 + 0.5) ∈ [−127, 127]
+    * (an exact IEEE scalar — identical in any engine), all-zero vectors
+    * quantize to all-zero codes with qscale 0. Output: `idCol`, `qvec`
+    * (array<int>), `qscale` (s/127 — dequantize as qᵢ·qscale).
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__s", expr("array_max(transform(__v, x -> abs(x)))"))
+      .withColumn("qvec", expr(
+        "transform(__v, x -> CASE WHEN __s = 0D THEN 0 " +
+          "ELSE CAST(floor(x / __s * 127 + 0.5) AS INT) END)"))
+      .withColumn("qscale", when(col("__s") === 0d, lit(0d)).otherwise(col("__s") / 127))
+      .select(col(idCol), col("qvec"), col("qscale"))
+
+  /** Brute-force top-k over int8 codes — [[cosineTopK]]'s plan on the
+    * quantized corpus. Cosine is scale-invariant, so the per-vector scales
+    * drop out entirely and the integer codes can ride the existing codegen
+    * double kernel EXACTLY: every intermediate (products ≤ 127², sums
+    * ≤ dim·127² ≪ 2⁵³) is integer-valued and exact in a double, making the
+    * quantized similarity bit-identical cross-engine (the `sqrt`s are
+    * IEEE-correctly-rounded, unlike `ln`). Rank quality vs [[cosineTopK]]
+    * is the quantization recall — measured, not assumed (LlmSpec).
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def codes(df: DataFrame) = int8Quantize(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("embedding"))
+    cosineTopK(codes(corpus), codes(queries), k)
+  }
 }

@@ -2663,6 +2663,67 @@ object Catalog {
     }
   }
 
+  /** Key-skew profiler (`operators/SkewProfile`): the diagnostic behind
+    * every salting/broadcast decision in this library, as a first-class
+    * operator — top-10 heavy keys with row shares and cumulative share,
+    * riding on the per-key count distribution frame (`n_keys`, `n_rows`,
+    * exact interpolated p50/p99 of key counts). One corpus-sized hash
+    * aggregate; stats, quantiles, and top-K are all answer-sized frames
+    * joined by broadcast. Profiled here: `events.user_id`, the table's
+    * natural join key.
+    */
+  val q87 = q(
+    "q87_skew_profile",
+    """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events
+      |           WHERE user_id IS NOT NULL GROUP BY 1),
+      |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |        quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99 FROM c),
+      |t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+      |      FROM c ORDER BY cnt DESC, key LIMIT 10)
+      |SELECT t.rank, t.key, t.cnt,
+      |  floor(CAST(t.cnt AS DOUBLE) / s.n_rows * 10000 + 0.5) / 10000 AS share4,
+      |  floor(CAST(sum(t.cnt) OVER (ORDER BY t.rank
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |        / s.n_rows * 10000 + 0.5) / 10000 AS cum_share4,
+      |  s.n_keys, s.n_rows,
+      |  floor(s.p50 * 10000 + 0.5) / 10000 AS p50_cnt,
+      |  floor(s.p99 * 10000 + 0.5) / 10000 AS p99_cnt
+      |FROM t, s ORDER BY t.rank""".stripMargin) { (s, d) =>
+    graft.operators.SkewProfile.profile(Tables.events(s, d), "user_id", topK = 10)
+      .transform(ordered("rank"))
+  }
+
+  /** Int8-quantized retrieval (`Embeddings.int8Quantize/int8TopK`): the
+    * 8×-compression path for 100 TB embedding stores — codes are
+    * `floor(x/max|x|·127 + 0.5)`, and since cosine is scale-invariant the
+    * per-vector scales drop out, so ranking runs the exact q26 plan over
+    * integer-valued doubles (every intermediate exact; `sqrt` is IEEE
+    * correctly-rounded — no `ln`-style libm exposure). Same query set and
+    * k as q26, making the two results directly comparable: their overlap
+    * IS the quantization recall.
+    */
+  val q88 = q(
+    "q88_int8_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |z AS (SELECT vec_id, list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+      |        ELSE CAST(CAST(floor(x / mx * 127 + 0.5) AS INTEGER) AS DOUBLE) END) AS qv
+      |      FROM m),
+      |q AS (SELECT vec_id AS qid, qv AS qvec FROM z WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, qv AS cvec FROM z),
+      |sc AS (SELECT qid, cid, list_cosine_similarity(qvec, cvec) AS sim FROM q, c WHERE cid <> qid),
+      |r AS (SELECT qid, cid, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |      FROM sc)
+      |SELECT qid, cid, rank, floor((sim) * 10000 + 0.5) / 10000 AS qsim FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.llm.Embeddings
+      .int8TopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select(col("qid"), col("cid"), col("rank"), r4(col("sim")).as("qsim"))
+      .transform(ordered("qid", "rank"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2683,5 +2744,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

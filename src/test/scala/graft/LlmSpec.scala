@@ -1027,6 +1027,36 @@ class LlmSpec extends SparkSpec {
     assert(t(1).getAs[String]("pair") == "aa a" && t(1).getAs[Long]("c") == 1L)
   }
 
+  test("int8 quantization: codes bounded, dequantize ≈ original, zero-vector safe, recall measured") {
+    val rnd = new scala.util.Random(11)
+    val vecs = ((0L until 40L).map { i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    } :+ (40L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+
+    val q8 = Embeddings.int8Quantize(vecs, "vec_id", "embedding").collect()
+    q8.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("qvec"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (r.getAs[Long]("vec_id") == 40L) {
+        assert(codes.forall(_ == 0) && r.getAs[Double]("qscale") == 0.0)
+      } else {
+        // max-magnitude component quantizes to ±127 by construction
+        assert(codes.map(math.abs).max == 127)
+      }
+    }
+
+    // recall vs the exact ranking: with 8-bit codes the top-5 sets overlap
+    // heavily (this pins the quantizer is actually preserving geometry,
+    // not just type-checking)
+    val qs = vecs.filter(col("vec_id") < 5)
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = top5(Embeddings.cosineTopK(vecs, qs, 5))
+    val quant = top5(Embeddings.int8TopK(vecs, qs, 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall collapsed")
+  }
+
   test("kmeans: empty cells drop out; duplicate-point degeneracy converges") {
     val dup = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Asof, Dedupe, Merge, Quantiles}
+import graft.operators.{Asof, Dedupe, Merge, Quantiles, SkewProfile}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -242,4 +242,25 @@ class OperatorsSpec extends SparkSpec {
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("skewProfile: heavy keys ranked, shares exact, NULL keys excluded") {
+    import org.apache.spark.sql.functions._
+    // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each; plus 5 NULL rows
+    val rows = Seq.fill(60)(Option(1L)) ++ Seq.fill(30)(Option(2L)) ++
+      (3L to 12L).map(Option(_)) ++ Seq.fill(5)(Option.empty[Long])
+    val df = rows.toDF("k").repartition(7)
+    val p = SkewProfile.profile(df, "k", topK = 3).orderBy($"rank").collect()
+    assert(p.length == 3)
+    assert(p.map(_.getAs[Long]("key")).toSeq == Seq(1L, 2L, 3L))
+    assert(p.map(_.getAs[Long]("cnt")).toSeq == Seq(60L, 30L, 1L))
+    // NULLs excluded: 100 rows, 12 keys
+    assert(p(0).getAs[Long]("n_rows") == 100L && p(0).getAs[Long]("n_keys") == 12L)
+    assert(p(0).getAs[Double]("share4") == 0.6)
+    assert(p(1).getAs[Double]("cum_share4") == 0.9)
+    assert(p(2).getAs[Double]("cum_share4") == 0.91)
+    // per-key count distribution: [60,30,1×10] → p50 = 1.0
+    assert(p(0).getAs[Double]("p50_cnt") == 1.0)
+    // rank ties (keys 3..12 all cnt=1) break on the key: rank 3 is key 3
+    assert(p(2).getAs[Long]("rank") == 3L)
+  }
 }
