@@ -100,4 +100,36 @@ class PlanShapeSpec extends SparkSpec {
     val windowSection = p.substring(p.indexOf("Window"))
     assert(!windowSection.substring(0, windowSection.indexOf("Project")).contains("va#"))
   }
+
+  test("q86: BPE rounds broadcast their 1-row winners; no cartesian, no sort-merge") {
+    val p = planOf("q86_bpe_merges")
+    // each round's winner rides a broadcast (1-row frame); a plain
+    // cartesian or a sort-merge join would mean the vocab frame is being
+    // shuffled against the winner — the wrong side by ~vocab-size
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q87: the per-key count exchange is built once and reused by stats/quantiles/top-K") {
+    // counts feed three consumers (stats, quantile frame, TakeOrdered);
+    // static ReuseExchange must collapse them onto ONE corpus scan +
+    // partial agg (the AQE-off bench regime; with AQE on the same reuse
+    // happens at runtime via query stages)
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q87_skew_profile")
+      assert("ReusedExchange".r.findAllIn(p).length >= 2,
+        "per-key count exchange no longer shared by the skew-profile consumers")
+      assert(!p.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("q88: quantized ranking shuffle carries no code arrays") {
+    val p = planOf("q88_int8_topk")
+    val windowSection = p.substring(p.indexOf("Window"))
+    val beforeProject = windowSection.substring(0, windowSection.indexOf("Project"))
+    assert(!beforeProject.contains("vec#") && !beforeProject.contains("qvec#"))
+  }
 }
