@@ -2724,6 +2724,37 @@ object Catalog {
       .transform(ordered("qid", "rank"))
   }
 
+  /** Per-source token-distribution KL drift (`llm/Drift`): the corpus-mix
+    * monitor a training pipeline runs when a new snapshot/source lands.
+    * One token explode into a (slice, token) count aggregate — the only
+    * token-volume stage; slice totals, global counts, and the corpus total
+    * all derive from that type-keyed frame, and the type-keyed join is the
+    * q59 shuffle-by-design (10⁷-term vocabularies don't broadcast).
+    * Per-term contributions floor at scale 8 into exact long sums (q71
+    * convention); the per-term `ln` is the documented libm exposure.
+    */
+  val q89 = q(
+    "q89_kl_drift",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tk AS (SELECT source, w FROM tok WHERE w <> ''),
+      |cs AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY 1),
+      |cg AS (SELECT w, CAST(sum(c) AS BIGINT) AS cgl FROM cs GROUP BY 1),
+      |mm AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM cs),
+      |t AS (SELECT cs.source,
+      |        CAST(floor((CAST(cs.c AS DOUBLE) / ns.n) *
+      |          ln((CAST(cs.c AS DOUBLE) / ns.n) / (CAST(cg.cgl AS DOUBLE) / mm.m))
+      |          * 100000000 + 0.5) AS BIGINT) AS t8,
+      |        ns.n AS n
+      |      FROM cs JOIN ns USING (source) JOIN cg USING (w), mm)
+      |SELECT source, max(n) AS n_tokens, count(*) AS n_types,
+      |       CAST(sum(t8) AS BIGINT) AS kl8,
+      |       floor(CAST(sum(t8) AS BIGINT) / 100000000.0 * 10000 + 0.5) / 10000 AS kl4
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    graft.llm.Drift.tokenKlDrift(Tables.documents(s, d), "text", "source")
+      .transform(ordered("source"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2744,5 +2775,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

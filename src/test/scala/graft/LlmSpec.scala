@@ -1057,6 +1057,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall collapsed")
   }
 
+  test("kl drift: zero for corpus-proportional slices, positive for skewed, partition-invariant") {
+    // two slices with IDENTICAL token distributions → both P_s == Q → KL = 0
+    val balanced = Seq(
+      ("a", "x x y z"), ("a", "x y z z"),
+      ("b", "x x y z"), ("b", "x y z z")).toDF("source", "text")
+    val kb = Drift.tokenKlDrift(balanced, "text", "source").collect()
+    assert(kb.forall(_.getAs[Long]("kl8") == 0L))
+    assert(kb.forall(_.getAs[Long]("n_tokens") == 8L))
+
+    // a slice concentrated on one token diverges; the balanced one moves less
+    val skewed = Seq(
+      ("a", "x x x x x x x x"),
+      ("b", "x y z w x y z w")).toDF("source", "text")
+    val ks = Drift.tokenKlDrift(skewed, "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kl8")).toMap
+    assert(ks("a") > 0L && ks("b") > 0L)
+    assert(ks("a") > ks("b")) // all-mass-on-one-token drifts harder
+
+    // exact long sums: any partitioning, same kl8
+    val re = Drift.tokenKlDrift(skewed.repartition(7), "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kl8")).toMap
+    assert(re == ks)
+  }
+
   test("kmeans: empty cells drop out; duplicate-point degeneracy converges") {
     val dup = Seq(
       (0L, Array(1.0f, 0.0f)),
