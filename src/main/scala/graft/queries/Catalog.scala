@@ -2755,6 +2755,66 @@ object Catalog {
       .transform(ordered("source"))
   }
 
+  /** Split-leakage audit — the check that makes held-out evaluation mean
+    * anything: near-duplicate pairs (q24's banded LSH machinery, jaccard ≥
+    * 0.5) joined against the md5-keyspace train/val/test assignment (q53's
+    * `Splits`), counted by unordered split pair. Rows with `leaked = true`
+    * are near-dups STRADDLING a split boundary — eval contamination. The
+    * pair frame is candidate-sized (banding, never all-pairs); the split
+    * column is a scan-time expression; the audit join ships (id, split)
+    * pairs only.
+    */
+  val q90 = {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    q(
+      "q90_split_leakage",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+        |hx AS (SELECT doc_id, shingles,
+        |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+        |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM sh),
+        |mh AS (SELECT doc_id, shingles,
+        |         list_transform(generate_series(0, 7), i ->
+        |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+        |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+        |       FROM hx),
+        |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+        |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+        |                            AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+        |pairs AS (SELECT c.a, c.b
+        |          FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+        |          WHERE len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) * 1.0 /
+        |                len(list_distinct(sa.sset || sb.sset)) >= 0.5),
+        |sp AS (SELECT doc_id, ${graft.llm.Splits.splitCaseSql("doc_id", fr)} AS split
+        |       FROM documents)
+        |SELECT least(sa.split, sb.split) AS split_lo,
+        |       greatest(sa.split, sb.split) AS split_hi,
+        |       count(*) AS n_pairs,
+        |       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaked
+        |FROM pairs p JOIN sp sa ON sa.doc_id = p.a JOIN sp sb ON sb.doc_id = p.b
+        |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = graft.llm.MinHashLsh
+        .nearDupPairs(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val sp = graft.llm.Splits.byGroup(docs.select(col("doc_id")), "doc_id", fr)
+      pairs
+        .join(sp.select(col("doc_id").as("a"), col("split").as("__sa")), "a")
+        .join(sp.select(col("doc_id").as("b"), col("split").as("__sb")), "b")
+        .select(least(col("__sa"), col("__sb")).as("split_lo"),
+          greatest(col("__sa"), col("__sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+        .transform(ordered("split_lo", "split_hi"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2775,5 +2835,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
