@@ -113,4 +113,19 @@ object Bpe {
     }
     out.get
   }
+
+  /** ENCODE: train `rounds` merges and apply ALL of them to the vocabulary
+    * — the tokenizer-application half of BPE. Returns the encoded
+    * vocabulary frame (`word`, `cnt`, `syms` after every merge); encoding a
+    * corpus is then a word equi-join against this frame (words repeat —
+    * Zipf — so per-word work is paid once, not per occurrence). Still
+    * fully in-plan: the cascade chains lazily like [[merges]].
+    */
+  def encodeWords(corpus: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "BPE needs at least one merge round")
+    var words = wordSymbols(corpus, textCol)
+    for (_ <- 1 to rounds)
+      words = applyMerge(words, topPair(pairCounts(words)))
+    words
+  }
 }

@@ -2815,6 +2815,59 @@ object Catalog {
     }
   }
 
+  /** BPE encoding (`Bpe.encodeWords`) — the application half of q86's
+    * trainer: all three learned merges applied to the vocabulary, then the
+    * corpus encoded by a word equi-join against that frame (per-word fold
+    * work paid once per TYPE — Zipf — not per occurrence). Output is the
+    * per-source tokenization profile: words, post-merge symbol count,
+    * character mass, and symbols-per-word (the fertility metric tokenizer
+    * evaluations track).
+    */
+  val q91 = {
+    def rnd(r: Int, p: Int) =
+      s"""pc$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |             i -> syms[i] || ' ' || syms[i + 1])) AS pair, cnt
+         |    FROM ws$p WHERE len(syms) > 1) GROUP BY 1),
+         |t$r AS (SELECT pair, c FROM pc$r ORDER BY c DESC, pair LIMIT 1),
+         |ws$r AS (SELECT word, cnt, string_split(list_reduce(syms, (acc, s) -> CASE
+         |         WHEN (string_split(acc, ' ')[-1] || ' ' || s) = t.pair
+         |         THEN substr(acc, 1, length(acc) - length(string_split(acc, ' ')[-1])) || replace(t.pair, ' ', '')
+         |         ELSE acc || ' ' || s END), ' ') AS syms
+         |       FROM ws$p, t$r t)""".stripMargin
+    q(
+      "q91_bpe_encode",
+      s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |w0 AS (SELECT word, count(*) AS cnt FROM wd WHERE word <> '' GROUP BY 1),
+        |ws0 AS (SELECT word, cnt,
+        |          list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+        |        FROM w0),
+        |${rnd(1, 0)},
+        |${rnd(2, 1)},
+        |${rnd(3, 2)},
+        |enc AS (SELECT word, len(syms) AS n_syms FROM ws3),
+        |tk AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT source, count(*) AS n_words,
+        |       CAST(sum(e.n_syms) AS BIGINT) AS n_symbols,
+        |       CAST(sum(length(t.word)) AS BIGINT) AS sum_chars,
+        |       floor((CAST(sum(e.n_syms) AS BIGINT) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS spw4
+        |FROM tk t JOIN enc e USING (word) WHERE t.word <> ''
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val enc = graft.llm.Bpe.encodeWords(docs, "text", rounds = 3)
+        .select(col("word"), size(col("syms")).as("n_syms"))
+      docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc, "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_symbols"),
+          sum(length(col("word"))).as("sum_chars"),
+          r4(sum(col("n_syms")).cast("double") * 1.0 / count(lit(1))).as("spw4"))
+        .transform(ordered("source"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2835,5 +2888,5 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

@@ -1057,6 +1057,15 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall collapsed")
   }
 
+  test("bpe encode: applies every learned merge, including the last round's") {
+    // rounds: (a,a) then (aa,a); encode must apply BOTH — "aaaaa" becomes
+    // [aa, aaa] (merges() only applies rounds-1 merges; encodeWords applies all)
+    val enc = Bpe.encodeWords(Seq(Tuple1("aaaaa")).toDF("text"), "text", rounds = 2)
+      .collect()
+    assert(enc.length == 1)
+    assert(enc(0).getSeq[String](enc(0).fieldIndex("syms")) == Seq("aa", "aaa"))
+  }
+
   test("kl drift: zero for corpus-proportional slices, positive for skewed, partition-invariant") {
     // two slices with IDENTICAL token distributions → both P_s == Q → KL = 0
     val balanced = Seq(
