@@ -258,6 +258,102 @@ object TextAnalysis {
       " ")
   }
 
+  /** Slice-discriminating vocabulary: the top-k tokens most
+    * OVER-represented in each slice (source/domain/snapshot) relative to
+    * the whole corpus, ranked by lift = (a/n_slice) / (c/N) where `a` is
+    * the token's count in the slice, `n_slice` the slice token volume, `c`
+    * the corpus-wide token count and `N` total volume. This is the
+    * per-token drill-down to [[Drift.tokenKlDrift]]'s per-slice scalar:
+    * KL says a slice drifted, keyness says WHICH words did it.
+    *
+    * Lift deliberately replaces the usual log-odds/G² form: it ranks
+    * identically for fixed slice priors and needs no `ln` — division and
+    * multiplication are correctly-rounded IEEE ops, so computing in one
+    * fixed order `(a·1.0/n_slice) / (c·1.0/N)` is BIT-identical on any
+    * engine, making the cross-engine rank (and the r4-rounded report
+    * value) exact rather than libm-exposed (the q71/q89 ln caveat).
+    *
+    * Scale shape: one explode; a (slice, word) agg, a slice agg
+    * (answer-sized) and a word agg (vocabulary-sized — shuffle join by
+    * design, the q59 argument); ranking is a per-slice window over the
+    * ≥ minCount vocabulary, the same envelope as any top-k-per-group.
+    * `minCount` floors the support so one-off tokens can't dominate lift.
+    */
+  def sliceKeyness(
+      docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col(sliceCol), explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    val sw = t.groupBy(col(sliceCol), col("word")).agg(count(lit(1)).as("a"))
+    val stot = t.groupBy(col(sliceCol)).agg(count(lit(1)).as("__na"))
+    val wtot = t.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    val n = t.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sliceCol))
+      .orderBy(col("lift").desc, col("word"))
+    sw.filter(col("a") >= minCount)
+      .join(broadcast(stot), sliceCol)
+      .join(wtot, "word")
+      .crossJoin(broadcast(n))
+      // fixed arithmetic order — see scaladoc: bit-identical cross-engine
+      .withColumn("lift",
+        (col("a") * lit(1.0) / col("__na")) / (col("__c") * lit(1.0) / col("__n")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .drop("__na", "__c", "__n")
+  }
+
+  /** Per-slice lexical diversity profile: type-token ratio at the word and
+    * word-trigram level — the corpus-health metric that catches template
+    * spam and synthetic-data collapse (low TTR = the slice repeats
+    * itself; trigram TTR drops first because phrases repeat before
+    * vocabularies shrink).
+    *
+    * Distinct counts are two-level aggregates (reduce to (slice, unit)
+    * pairs, then count per slice) — never `count(DISTINCT …)`, whose
+    * Expand duplicates the token stream per distinct column (the q65
+    * lesson). Both ratios divide exact longs in one fixed order, so the
+    * doubles are bit-identical cross-engine before r4.
+    *
+    * Scale shape: two explodes (words, trigrams — both pipelined), four
+    * hash-aggregate shuffles whose reduce side is (slice, unit)-sized,
+    * and answer-sized joins keyed by slice. The joins are inner: a slice
+    * whose every document is shorter than three words has no trigram row
+    * and drops from the profile (deliberate — such a slice needs a length
+    * gate, not a diversity score).
+    */
+  def diversityProfile(
+      docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = filter(words(col(textCol)), w => w =!= "")
+    val f = docs.select(col(sliceCol), ws.as("__ws"))
+    val tw = f.select(col(sliceCol), explode(col("__ws")).as("word"))
+    // NB: Spark `sequence(1, 0)` is DESCENDING [1, 0], not empty like SQL
+    // generate_series — docs under 3 words need the explicit empty branch
+    val tris = when(size(col("__ws")) >= 3,
+      transform(
+        sequence(lit(1), size(col("__ws")) - 2),
+        i => concat(element_at(col("__ws"), i), lit(" "),
+          element_at(col("__ws"), i + 1), lit(" "),
+          element_at(col("__ws"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val tt = f.select(col(sliceCol), explode(tris).as("tri"))
+    val wtot = tw.groupBy(col(sliceCol)).agg(count(lit(1)).as("n_words"))
+    val wuniq = tw.groupBy(col(sliceCol), col("word")).agg(lit(1).as("__one"))
+      .groupBy(col(sliceCol)).agg(count(lit(1)).as("uniq_words"))
+    val ttot = tt.groupBy(col(sliceCol)).agg(count(lit(1)).as("n_tris"))
+    val tuniq = tt.groupBy(col(sliceCol), col("tri")).agg(lit(1).as("__one"))
+      .groupBy(col(sliceCol)).agg(count(lit(1)).as("uniq_tris"))
+    wtot.join(wuniq, sliceCol).join(ttot, sliceCol).join(tuniq, sliceCol)
+      .withColumn("ttr", col("uniq_words") * lit(1.0) / col("n_words"))
+      .withColumn("tri_ttr", col("uniq_tris") * lit(1.0) / col("n_tris"))
+  }
+
   /** TF-IDF term weights over a corpus: one row per (document, word) with
     * raw term frequency `tf`, document frequency `df`, and
     * `tfidf = tf · ln(N / df)`.

@@ -2868,6 +2868,116 @@ object Catalog {
     }
   }
 
+  /** Jaro-Winkler record linkage (`functions/JaroWinkler`) — the scorer
+    * q48's edit-distance linkage lacks: length-normalized, head-weighted,
+    * one [0,1] threshold across fields. Same attribute-blocked shape
+    * ((brand, size) equi-join, never all-pairs); the kernel is a native
+    * codegen Expression verified BIT-identical to DuckDB's
+    * `jaro_winkler_similarity` (byte basis, 0.7 boost threshold, empty→0),
+    * so the `jw >= 0.8` close-pair predicate agrees exactly across engines
+    * — no rounding convention needed on the filter. Per-pair scores sum as
+    * exact scale-4 longs (the q60 convention) so the per-brand average is
+    * aggregation-order-independent; max is order-independent by nature.
+    */
+  val q92 = q(
+    "q92_jaro_winkler",
+    """SELECT brand, count(*) AS n_pairs,
+      |       floor((CAST(sum(CAST(floor(jw * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS avg_jw,
+      |       floor((max(jw)) * 10000 + 0.5) / 10000 AS max_jw,
+      |       CAST(sum(CASE WHEN jw >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+      |FROM (SELECT p1.p_brand AS brand,
+      |             jaro_winkler_similarity(p1.p_name, p2.p_name) AS jw
+      |      FROM part p1 JOIN part p2
+      |        ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size
+      |       AND p1.p_partkey < p2.p_partkey)
+      |GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val l = part.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("k1"), col("p_name").as("n1"))
+    val r = part.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("k2"), col("p_name").as("n2"))
+    l.join(r, Seq("p_brand", "p_size"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("jw", graft.functions.JaroWinklerSim.jaroWinkler(col("n1"), col("n2")))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(sum(floor(col("jw") * 10000 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)) * 10000.0)).as("avg_jw"),
+        r4(max(col("jw"))).as("max_jw"),
+        sum(when(col("jw") >= 0.8, 1L).otherwise(0L)).as("n_close"))
+      .transform(ordered("brand"))
+  }
+
+  /** Slice-discriminating vocabulary (`TextAnalysis.sliceKeyness`): the
+    * top-5 tokens most over-represented per source by lift — the per-token
+    * drill-down to q89's per-slice KL scalar (KL says a slice drifted;
+    * this says WHICH words). Lift's pure division arithmetic (fixed order,
+    * correctly-rounded IEEE ops) makes the cross-engine RANKING exact with
+    * no libm exposure — see the library scaladoc; rows are stable under
+    * the (lift DESC, word) tie-break on bit-identical doubles.
+    */
+  val q93 = q(
+    "q93_slice_keyness",
+    """WITH t AS (SELECT source, w AS word
+      |           FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |           WHERE w <> ''),
+      |sw AS (SELECT source, word, count(*) AS a FROM t GROUP BY 1, 2),
+      |stot AS (SELECT source, count(*) AS na FROM t GROUP BY 1),
+      |wtot AS (SELECT word, count(*) AS c FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM t),
+      |lift AS (SELECT sw.source, sw.word, sw.a,
+      |                (sw.a * 1.0 / stot.na) / (wtot.c * 1.0 / n.nn) AS lift
+      |         FROM sw JOIN stot USING (source) JOIN wtot USING (word), n
+      |         WHERE sw.a >= 5),
+      |rk AS (SELECT source, word, a, lift,
+      |              row_number() OVER (PARTITION BY source ORDER BY lift DESC, word) AS rn
+      |       FROM lift)
+      |SELECT source, rn, word, a,
+      |       floor(lift * 10000 + 0.5) / 10000 AS lift4
+      |FROM rk WHERE rn <= 5
+      |ORDER BY source, rn""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis.sliceKeyness(Tables.documents(s, d), "source", "text",
+        minCount = 5L, topK = 5)
+      .select(col("source"), col("rn"), col("word"), col("a"),
+        r4(col("lift")).as("lift4"))
+      .transform(ordered("source", "rn"))
+  }
+
+  /** Lexical diversity profile (`TextAnalysis.diversityProfile`): per-source
+    * type-token ratio at word and trigram granularity — the corpus-health
+    * check that catches template spam and synthetic collapse (phrases
+    * repeat before vocabularies shrink, so trigram TTR drops first).
+    * Distinct counts are two-level aggregates, never `count(DISTINCT …)`
+    * (no Expand over the token stream — the q65 lesson); ratios divide
+    * exact longs in fixed order, bit-identical cross-engine before r4.
+    */
+  val q94 = q(
+    "q94_diversity_profile",
+    """WITH f AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |           FROM documents),
+      |tw AS (SELECT source, unnest(ws) AS word FROM f),
+      |tt AS (SELECT source, unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri FROM f),
+      |wtot AS (SELECT source, count(*) AS n_words FROM tw GROUP BY 1),
+      |wuniq AS (SELECT source, count(*) AS uniq_words
+      |          FROM (SELECT DISTINCT source, word FROM tw) GROUP BY 1),
+      |ttot AS (SELECT source, count(*) AS n_tris FROM tt GROUP BY 1),
+      |tuniq AS (SELECT source, count(*) AS uniq_tris
+      |          FROM (SELECT DISTINCT source, tri FROM tt) GROUP BY 1)
+      |SELECT source, n_words, uniq_words,
+      |       floor((uniq_words * 1.0 / n_words) * 10000 + 0.5) / 10000 AS ttr4,
+      |       n_tris, uniq_tris,
+      |       floor((uniq_tris * 1.0 / n_tris) * 10000 + 0.5) / 10000 AS tri_ttr4
+      |FROM wtot JOIN wuniq USING (source) JOIN ttot USING (source) JOIN tuniq USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis.diversityProfile(Tables.documents(s, d), "source", "text")
+      .select(col("source"), col("n_words"), col("uniq_words"),
+        r4(col("ttr")).as("ttr4"),
+        col("n_tris"), col("uniq_tris"),
+        r4(col("tri_ttr")).as("tri_ttr4"))
+      .transform(ordered("source"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -2888,5 +2998,6 @@ object Catalog {
     q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
+    q92, q93, q94)
 }

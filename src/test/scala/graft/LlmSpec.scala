@@ -1066,6 +1066,49 @@ class LlmSpec extends SparkSpec {
     assert(enc(0).getSeq[String](enc(0).fieldIndex("syms")) == Seq("aa", "aaa"))
   }
 
+  test("slice keyness: over-represented token tops its slice; partition-invariant") {
+    // slice A says 'zebra' constantly, slice B never does; shared filler is
+    // proportionally distributed, so 'zebra' must top A by lift and the
+    // filler must rank below it
+    val docs = Seq(
+      ("A", "zebra zebra zebra common words here"),
+      ("A", "zebra zebra common words here too"),
+      ("B", "common words here again and again"),
+      ("B", "common words here more common words")).toDF("source", "text")
+    val k = TextAnalysis.sliceKeyness(docs, "source", "text", minCount = 2L, topK = 3)
+    val topA = k.filter($"source" === "A" && $"rn" === 1).collect()(0)
+    assert(topA.getString(topA.fieldIndex("word")) == "zebra")
+    val liftA = topA.getDouble(topA.fieldIndex("lift"))
+    assert(liftA > 1.5, s"zebra lift $liftA should be strongly over-represented")
+    // zebra never reaches minCount in B, so it cannot appear there at all
+    assert(k.filter($"source" === "B" && $"word" === "zebra").isEmpty)
+    // partition invariance: counts and correctly-rounded divisions cannot
+    // depend on physical layout
+    val k7 = TextAnalysis.sliceKeyness(docs.repartition(7), "source", "text",
+      minCount = 2L, topK = 3)
+    assert(k.orderBy("source", "rn").collect().toSeq ==
+      k7.orderBy("source", "rn").collect().toSeq)
+  }
+
+  test("diversity profile: repetitive slice scores lower TTR, trigram edge cases") {
+    val docs = Seq(
+      ("rep", "spam spam spam spam spam spam"),   // 1 type / 6 tokens
+      ("var", "one two three four five six"),     // 6 types / 6 tokens
+      ("tiny", "a b")).toDF("source", "text")     // < 3 words: zero trigrams
+    val p = TextAnalysis.diversityProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("rep").getLong(p("rep").fieldIndex("n_words")) == 6)
+    assert(p("rep").getLong(p("rep").fieldIndex("uniq_words")) == 1)
+    assert(p("rep").getDouble(p("rep").fieldIndex("ttr")) == 1.0 / 6)
+    assert(p("var").getDouble(p("var").fieldIndex("ttr")) == 1.0)
+    // rep: 4 trigram tokens, all "spam spam spam" → 1 unique
+    assert(p("rep").getLong(p("rep").fieldIndex("n_tris")) == 4)
+    assert(p("rep").getLong(p("rep").fieldIndex("uniq_tris")) == 1)
+    // a 2-word doc yields no trigrams, so the slice drops out of the
+    // trigram aggregates entirely (inner join) — documented envelope
+    assert(!p.contains("tiny"))
+  }
+
   test("kl drift: zero for corpus-proportional slices, positive for skewed, partition-invariant") {
     // two slices with IDENTICAL token distributions → both P_s == Q → KL = 0
     val balanced = Seq(

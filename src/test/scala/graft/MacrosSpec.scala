@@ -93,6 +93,43 @@ class MacrosSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"expected whole-stage codegen marker in:\n$plan")
   }
 
+  test("jaro_winkler native expression: DuckDB-pinned values, edges, codegen span") {
+    import graft.functions.JaroWinklerSim
+    // values pinned to DuckDB jaro_winkler_similarity output (bit-exact):
+    // classic pairs, boost-threshold gate (jaro<=0.7 stays unboosted),
+    // prefix cap 4, and the byte basis on multi-byte code points
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcdef", "abzzzz", 0.5555555555555555), // jaro<=0.7: no boost despite prefix 2
+      ("prefixaaaa", "prefixbbbb", 0.8400000000000001), // prefix capped at 4
+      ("ab", "ba", 0.0),   // window 0: no matches
+      ("a", "", 0.0),      // empty side scores 0
+      ("", "", 0.0),       // DuckDB convention: empty-vs-empty is 0, not 1
+      ("abcd", "abcd", 1.0),
+      ("aé", "ae", 0.611111111111111)) // byte basis: é is 2 UTF-8 bytes
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(JaroWinklerSim.jaroWinkler($"a", $"b").as("jw"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jw($a, $b): got $g want $want (must be bit-exact)")
+    }
+    // null propagation
+    val n = Seq((Option.empty[String], Some("x"))).toDF("a", "b")
+      .select(JaroWinklerSim.jaroWinkler($"a", $"b").as("jw")).collect()(0)
+    assert(n.isNullAt(0))
+    // SQL registration path
+    JaroWinklerSim.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+      .collect()(0).getDouble(0) == 0.9611111111111111)
+    // stays inside whole-stage codegen
+    val plan = spark.range(3)
+      .select(JaroWinklerSim.jaroWinkler(concat($"id", lit("a")), lit("1a")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen marker in:\n$plan")
+  }
+
   test("kmhToMs and month key") {
     val r = Seq(("3.6", "2024-06-01 10:00:00")).toDF("kmh", "ts")
       .select(

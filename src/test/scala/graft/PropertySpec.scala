@@ -204,4 +204,27 @@ class PropertySpec extends SparkSpec {
       ($"asof_ts" > $"ts" || $"ts".cast("long") - $"asof_ts".cast("long") > 1000))
     assert(bad.count() == 0)
   }
+
+  test("jaro-winkler kernel: range, symmetry, identity, monotone boost laws") {
+    import graft.functions.JaroKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    val strGen = Gen.listOfN(600, for {
+      la <- Gen.choose(0, 10)
+      lb <- Gen.choose(0, 10)
+      a <- Gen.stringOfN(la, Gen.oneOf('a', 'b', 'c', 'x'))
+      b <- Gen.stringOfN(lb, Gen.oneOf('a', 'b', 'c', 'x'))
+    } yield (a, b))
+    val pairs = strGen.pureApply(Gen.Parameters.default, Seed(7L))
+    pairs.foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"jw($a,$b)=$s out of range")
+      assert(s == jw(b, a), s"jw not symmetric on ($a,$b)")
+      // the jaro core (pre-boost) never exceeds the boosted score
+      val j = JaroKernels.jaro(UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(s >= j, s"boost lowered the score on ($a,$b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0, s"jw($a,$a) != 1")
+    }
+  }
 }
