@@ -173,8 +173,6 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // Twin-less production-family line, OUTSIDE the oracle total: the Xx
@@ -205,6 +203,12 @@ object Bench {
     val extraJson = extra.fold("{}") { case (s, nXx, nMd5) =>
       f"""{"x_minhash_xx":$s%.3f,"xx_pairs":$nXx,"md5_pairs":$nMd5}"""
     }
+    // errors is serialized AFTER the extra block: a failure recorded there
+    // must appear in the emitted JSON, not just in the exit code — a
+    // monitoring consumer parsing the line sees the same story the process
+    // status tells.
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"extra":$extraJson,"sf":"$sfDir"}""")
     spark.stop()

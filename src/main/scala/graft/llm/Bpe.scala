@@ -79,9 +79,18 @@ object Bpe {
   /** Re-fold every word's symbols under the winning merge (see the greedy
     * semantics note above). `top` is broadcast; the fold is a codegen'd
     * `aggregate` HOF over each word's symbol list.
+    *
+    * EXHAUSTION SAFETY: when `top` is EMPTY (every word already fused to a
+    * single symbol, or a degenerate corpus), this is a NO-OP, not data
+    * loss. The join is a broadcast LEFT join on `true` — a 0-row right side
+    * leaves every vocabulary row with `__pair` NULL, the fold's CASE
+    * comparison with NULL is never true, and the fold rebuilds each word's
+    * symbols unchanged. (A plain crossJoin would silently EMPTY the whole
+    * vocabulary here.) With a non-empty 1-row `top` the left join is
+    * row-for-row identical to the crossJoin.
     */
   def applyMerge(words: DataFrame, top: DataFrame): DataFrame =
-    words.crossJoin(broadcast(top.select(col("pair").as("__pair"))))
+    words.join(broadcast(top.select(col("pair").as("__pair"))), lit(true), "left")
       .withColumn("__folded", expr(
         """aggregate(
           |  slice(syms, 2, greatest(size(syms) - 1, 0)),
@@ -98,6 +107,14 @@ object Bpe {
     * table — one row per round: `merge_ix` (1-based), `pair`, `merged`
     * (the new symbol), `c` (the pair's corpus count when chosen). Lazy:
     * the full cascade executes when the result does.
+    *
+    * EXHAUSTION: if the vocabulary runs out of adjacent pairs before
+    * `rounds` (every word a single symbol), the exhausted rounds contribute
+    * ZERO rows — the result has merge_ix 1..r_exhausted and fewer than
+    * `rounds` rows, which is the caller-visible signal (count the rows to
+    * detect it). Post-exhaustion [[applyMerge]] rounds are no-ops, so
+    * [[encodeWords]] with excess rounds returns the fully-merged vocabulary
+    * rather than an empty frame.
     */
   def merges(corpus: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "BPE needs at least one merge round")

@@ -47,8 +47,15 @@ object Drift {
     val ns = cs.groupBy(col("__slice")).agg(sum(col("__c")).as("__n"))
     val cg = cs.groupBy(col("__w")).agg(sum(col("__c")).as("__cg"))
     val m = cs.agg(sum(col("__c")).as("__m"))
+    // Null-safe (<=>) slice join: a NULL byCol value IS its own group —
+    // groupBy keeps the NULL key, so the totals join must match it too, or
+    // the NULL slice would silently vanish here (an equi-join never matches
+    // NULL = NULL). The DuckDB twin uses IS NOT DISTINCT FROM for the same
+    // reason.
     cs.join(cg, "__w")
-      .join(broadcast(ns), "__slice")
+      .join(broadcast(ns.withColumnRenamed("__slice", "__slice_n")),
+        col("__slice") <=> col("__slice_n"))
+      .drop("__slice_n")
       .crossJoin(broadcast(m))
       .withColumn("__t8",
         floor((col("__c").cast("double") / col("__n")) *

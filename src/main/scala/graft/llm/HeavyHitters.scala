@@ -98,6 +98,12 @@ object HeavyHitters {
           s"non-zero error bound $err — unseen tokens could fill the " +
           "remaining ranks; raise capacity")
     }
-    counted
+    // Return the rows that were CERTIFIED, not the lazy plan: re-executing
+    // `counted` would re-pay the recount shuffle on every consumption and —
+    // against a mutated or non-deterministic source — could return rows the
+    // certificate above never saw. The result is answer-sized (<= k), so a
+    // local relation is the right physical form.
+    spark.createDataFrame(
+      java.util.Arrays.asList(top: _*), counted.schema)
   }
 }

@@ -2746,7 +2746,8 @@ object Catalog {
       |          ln((CAST(cs.c AS DOUBLE) / ns.n) / (CAST(cg.cgl AS DOUBLE) / mm.m))
       |          * 100000000 + 0.5) AS BIGINT) AS t8,
       |        ns.n AS n
-      |      FROM cs JOIN ns USING (source) JOIN cg USING (w), mm)
+      |      FROM cs JOIN ns ON cs.source IS NOT DISTINCT FROM ns.source
+      |              JOIN cg USING (w), mm)
       |SELECT source, max(n) AS n_tokens, count(*) AS n_types,
       |       CAST(sum(t8) AS BIGINT) AS kl8,
       |       floor(CAST(sum(t8) AS BIGINT) / 100000000.0 * 10000 + 0.5) / 10000 AS kl4

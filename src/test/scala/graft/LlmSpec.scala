@@ -1066,6 +1066,49 @@ class LlmSpec extends SparkSpec {
     assert(enc(0).getSeq[String](enc(0).fieldIndex("syms")) == Seq("aa", "aaa"))
   }
 
+  test("bpe exhaustion: rounds past the last available pair are no-ops, not data loss") {
+    // "ab" fuses in round 1; rounds 2..5 have NO adjacent pair anywhere.
+    // applyMerge with an empty winner must keep the vocabulary intact
+    // (a plain crossJoin would empty it), and encodeWords must return the
+    // fully-merged vocab, not an empty frame.
+    val corpus = Seq(Tuple1("ab ab")).toDF("text")
+    val enc = Bpe.encodeWords(corpus, "text", rounds = 5).collect()
+    assert(enc.length == 1)
+    assert(enc(0).getSeq[String](enc(0).fieldIndex("syms")) == Seq("ab"))
+    // merges(): exhausted rounds contribute zero rows — row count < rounds
+    // is the caller-visible exhaustion signal
+    val m = Bpe.merges(corpus, "text", rounds = 5).collect()
+    assert(m.length == 1 && m(0).getAs[String]("pair") == "a b")
+    // applyMerge against an explicitly empty winner frame: exact no-op
+    val words = Bpe.wordSymbols(corpus, "text")
+    val noop = Bpe.applyMerge(words, Bpe.topPair(Bpe.pairCounts(words)).filter(lit(false)))
+    assert(noop.select("word", "cnt", "syms").collect().toSeq ==
+      words.select("word", "cnt", "syms").collect().toSeq)
+  }
+
+  test("kl drift: NULL slice is its own group (null-safe totals join)") {
+    val docs = Seq(
+      (Some("a"), "x x y z"),
+      (None: Option[String], "x y z z")).toDF("source", "text")
+    val out = Drift.tokenKlDrift(docs, "text", "source").collect()
+    assert(out.length == 2, "NULL slice must not be dropped by the totals join")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n_tokens") == 4L)
+    assert(nullRow.getAs[Long]("n_types") == 3L)
+  }
+
+  test("heavy hitters: returned frame IS the certified rows (local, no recount on reuse)") {
+    val df = HeavyHitters.topKTokens(
+      Seq("a a a b b c").toDF("text"), col("text"), k = 2, capacity = 16)
+    // the certificate applies to the returned data only if the returned data
+    // is the very execution that was certified — a lazy plan would re-run
+    // the recount (and could diverge against a mutated source)
+    assert(df.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("slice keyness: over-represented token tops its slice; partition-invariant") {
     // slice A says 'zebra' constantly, slice B never does; shared filler is
     // proportionally distributed, so 'zebra' must top A by lift and the
