@@ -37,14 +37,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long (legacy conf) and truncate ns → µs exactly
-    * like DuckDB/pyarrow do, so event-time semantics agree with the oracle.
+  /** `events.ts` normalization, adaptive to the file's physical type —
+    * harness regenerations have shipped it both ways:
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it by default; read as a
+    *    long (legacy conf) and truncate ns → µs exactly like DuckDB/pyarrow;
+    *  - parquet TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ;
+    *    cast to session-tz TIMESTAMP (session is pinned UTC, so the µs
+    *    instant is unchanged and `unix_micros` downstream keeps working).
+    * Either way every consumer sees the same µs-precision TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
