@@ -2979,6 +2979,38 @@ object Catalog {
       .transform(ordered("source"))
   }
 
+  /** Okapi BM25 retrieval ([[graft.llm.Bm25]]): top-10 documents for a
+    * fixed query term set. Doc length is scan-time; the token explode is
+    * filtered to query terms before the first aggregate; (N, avgdl) and the
+    * per-term df frame are answer-sized broadcasts; top-k plans as
+    * TakeOrderedAndProject. Per-term contributions floor at scale 4 into
+    * longs (order-independent sums, the q71/q89 convention); `ln` is the
+    * documented libm exposure.
+    */
+  val q95 = q(
+    "q95_bm25",
+    """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, CAST(len(list_filter(ws, w -> w <> '')) AS BIGINT) AS dl FROM p),
+      |n AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM p),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |       WHERE term IN ('join', 'hash', 'spark') GROUP BY 1, 2),
+      |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT tf.doc_id,
+      |        CAST(floor(ln((((n.n - f.df) + 0.5) / (f.df + 0.5)) + 1.0) *
+      |          ((tf.tf * (1.2 + 1.0)) /
+      |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl / n.avgdl)))) * 10000 + 0.5) AS BIGINT) AS c4
+      |      FROM tf JOIN f USING (term) JOIN d USING (doc_id), n),
+      |s AS (SELECT doc_id, count(*) AS n_terms, CAST(sum(c4) AS BIGINT) AS s4 FROM c GROUP BY 1),
+      |r AS (SELECT doc_id, n_terms, s4,
+      |             row_number() OVER (ORDER BY s4 DESC, doc_id) AS rnk FROM s)
+      |SELECT rnk, doc_id, n_terms, CAST(s4 AS DOUBLE) / 10000.0 AS score4
+      |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.llm.Bm25.scoreTopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "hash", "spark"), topK = 10)
+      .transform(ordered("rnk"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3000,5 +3032,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94)
+    q92, q93, q94, q95)
 }

@@ -387,4 +387,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(joined == 0L)
     assert(colForm.count() == sqlForm.count())
   }
+
+  test("bm25: scale-4 exact scores, ranking, and no-match exclusion") {
+    val docs = Seq(
+      (1L, "join hash"),          // dl=2, matches join+hash
+      (2L, "join join spark x"),  // dl=4, matches join(tf=2)+spark
+      (3L, "foo bar")             // dl=2, no query term → excluded
+    ).toDF("doc_id", "text")
+    val out = Bm25.scoreTopK(docs, "doc_id", "text",
+      Seq("join", "hash", "spark"), topK = 10).collect()
+    assert(out.length == 2) // d3 has no matching term
+    // Hand-computed with N=3, avgdl=8/3, k1=1.2, b=0.75 (IEEE double chain):
+    // d1: c4(join)=5235 + c4(hash)=10926 → 16161; d2: 5666 + 8143 → 13809
+    val r1 = out(0)
+    assert(r1.getAs[Int]("rnk") == 1 && r1.getAs[Long]("doc_id") == 1L)
+    assert(r1.getAs[Long]("n_terms") == 2L)
+    assert(r1.getAs[Double]("score4") == 1.6161)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("rnk") == 2 && r2.getAs[Long]("doc_id") == 2L)
+    assert(r2.getAs[Long]("n_terms") == 2L)
+    assert(r2.getAs[Double]("score4") == 1.3809)
+  }
+
+  test("bm25: top-k plans as TakeOrderedAndProject, ties break on doc id") {
+    val docs = (0L until 200L).map(i => (i, "join")).toDF("doc_id", "text")
+    val q = Bm25.scoreTopK(docs, "doc_id", "text", Seq("join"), topK = 5)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // every doc has identical tf/dl → identical score; tie order is doc_id
+    assert(q.collect().map(_.getAs[Long]("doc_id")).toSeq == (0L to 4L))
+    intercept[IllegalArgumentException] {
+      Bm25.scoreTopK(docs, "doc_id", "text", Seq.empty)
+    }
+  }
 }
