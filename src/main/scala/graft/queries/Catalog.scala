@@ -3011,6 +3011,57 @@ object Catalog {
       .transform(ordered("rnk"))
   }
 
+  /** Stupid-backoff trigram LM scoring ([[graft.llm.LanguageModel
+    * .trigramBackoffScores]]): model trained on the `lang = 'en'` slice,
+    * every document scored — so every backoff tier (trigram MLE, α·bigram,
+    * α²·unigram, OOV) is genuinely exercised. Training is three parallel
+    * map-side-combined aggregates; scoring pays the five model joins once
+    * per distinct trigram TYPE and ships token volume through ONE
+    * type-keyed equi-join. Scale-4 long log-sums (order-independent);
+    * `ln` is the documented libm exposure.
+    */
+  val q96 = q(
+    "q96_trigram_backoff",
+    """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE lang = 'en'),
+      |t3 AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w123 FROM tr),
+      |c3 AS (SELECT w123, count(*) AS c3 FROM t3 GROUP BY 1),
+      |t2 AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |         i -> ws[i] || ' ' || ws[i+1])) AS w12 FROM tr),
+      |c2 AS (SELECT w12, count(*) AS c2 FROM t2 GROUP BY 1),
+      |t1 AS (SELECT unnest(ws) AS w FROM tr),
+      |c1 AS (SELECT w, count(*) AS c1 FROM t1 GROUP BY 1),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+      |dt AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w123
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |ty AS (SELECT DISTINCT w123 FROM dt),
+      |sc AS (SELECT ty.w123,
+      |         CASE WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / c2a.c2)
+      |              WHEN c2b.c2 IS NOT NULL THEN ln((0.4 * c2b.c2) / c1b.c1)
+      |              WHEN c1c.c1 IS NOT NULL THEN ln(((0.4 * 0.4) * c1c.c1) / n.n)
+      |         END AS lp
+      |       FROM ty
+      |       LEFT JOIN c3 ON ty.w123 = c3.w123
+      |       LEFT JOIN c2 c2a ON (split_part(ty.w123, ' ', 1) || ' ' || split_part(ty.w123, ' ', 2)) = c2a.w12
+      |       LEFT JOIN c2 c2b ON (split_part(ty.w123, ' ', 2) || ' ' || split_part(ty.w123, ' ', 3)) = c2b.w12
+      |       LEFT JOIN c1 c1b ON split_part(ty.w123, ' ', 2) = c1b.w
+      |       LEFT JOIN c1 c1c ON split_part(ty.w123, ' ', 3) = c1c.w, n),
+      |s4 AS (SELECT w123, CAST(floor(lp * 10000 + 0.5) AS BIGINT) AS score4 FROM sc),
+      |agg AS (SELECT dt.doc_id,
+      |          CAST(sum(CASE WHEN s4.score4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |          CAST(sum(CASE WHEN s4.score4 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |          CAST(sum(s4.score4) AS BIGINT) AS logsum4
+      |        FROM dt JOIN s4 USING (w123) GROUP BY 1)
+      |SELECT doc_id, n_scored, n_oov, logsum4,
+      |       floor((CAST(logsum4 AS DOUBLE) / 10000.0 / n_scored) * 10000 + 0.5) / 10000 AS avg_logp
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.LanguageModel.trigramBackoffScores(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      .transform(ordered("doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3032,5 +3083,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95)
+    q92, q93, q94, q95, q96)
 }

@@ -388,6 +388,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(colForm.count() == sqlForm.count())
   }
 
+  test("trigram backoff: every tier reachable, exact scale-4 sums, OOV counted") {
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    // model: c3("a b c")=2, c3("b c a")=1, c3("c a b")=1;
+    //        c2("a b")=2, c2("b c")=2, c2("c a")=1; c1(a/b/c)=2 each, N=6
+    val docs = Seq(
+      (1L, "a b c x b c"), // tiers: MLE ln(2/2)=0; OOV("b c x"→x);
+                           //        unigram ln(.16·2/6)=-29312; bigram ln(.4·2/2)=-9163
+      (2L, "z z z")        // single all-OOV trigram
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.trigramBackoffScores(train, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_scored") == 3L)
+    assert(out(0).getAs[Long]("n_oov") == 1L)
+    assert(out(0).getAs[Long]("logsum4") == -38475L)
+    assert(out(0).getAs[Double]("avg_logp") == -1.2825)
+    assert(out(1).getAs[Long]("n_scored") == 0L)
+    assert(out(1).getAs[Long]("n_oov") == 1L)
+    assert(out(1).isNullAt(out(1).fieldIndex("logsum4")))
+    assert(out(1).isNullAt(out(1).fieldIndex("avg_logp")))
+  }
+
   test("bm25: scale-4 exact scores, ranking, and no-match exclusion") {
     val docs = Seq(
       (1L, "join hash"),          // dl=2, matches join+hash
