@@ -3062,6 +3062,47 @@ object Catalog {
       .transform(ordered("doc_id"))
   }
 
+  /** Link centrality ([[graft.llm.GraphRank]]): 2 PageRank rounds over the
+    * symmetrized supplier–customer graph, top-20 nodes. Each round is one
+    * node-keyed join + one aggregate (outdegree attached once); `n` is a
+    * 1-row broadcast; per-edge contributions floor at scale 12 into exact
+    * longs — no libm anywhere, so ranks are bit-identical cross-engine.
+    * The oracle unrolls the two rounds as chained CTEs (q84 convention).
+    */
+  val q97 = q(
+    "q97_pagerank",
+    """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+      |                           'c' || CAST(o_custkey AS VARCHAR) AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |od AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM od),
+      |r0 AS (SELECT node, 1e0 / n.n AS pr FROM od, n),
+      |r1 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r0.pr / od.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN od ON sym.src = od.node JOIN r0 ON sym.src = r0.node, n
+      |       GROUP BY sym.dst, n.n),
+      |r2 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r1.pr / od.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN od ON sym.src = od.node JOIN r1 ON sym.src = r1.node, n
+      |       GROUP BY sym.dst, n.n),
+      |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
+      |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
+      |SELECT rnk, node, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      .distinct()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    graft.llm.GraphRank.topK(
+        graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2), 20)
+      .transform(ordered("rnk"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3083,5 +3124,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96)
+    q92, q93, q94, q95, q96, q97)
 }

@@ -1190,4 +1190,38 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("cell")).toSet
     assert(cells.size == 1)
   }
+
+  test("pagerank: exact scale-12 ranks on a path graph, mass conserved") {
+    import spark.implicits._
+    // undirected path a—b—c, symmetrized: deg(a)=deg(c)=1, deg(b)=2, n=3
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val r1 = GraphRank.pageRank(sym, "src", "dst", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    // hand-computed with the scale-12 floor convention
+    assert(r1 == Map("a" -> 191666666667L, "b" -> 616666666666L,
+      "c" -> 191666666667L))
+    val r2 = GraphRank.pageRank(sym, "src", "dst", rounds = 2)
+    val m2 = r2.collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(m2 == Map("a" -> 312083333333L, "b" -> 375833333334L,
+      "c" -> 312083333333L))
+    // partition invariance: the floored-long convention makes the rounds
+    // independent of the merge tree
+    val m2p = GraphRank.pageRank(sym.repartition(7), "src", "dst", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(m2p == m2)
+    val top = GraphRank.topK(r2, 2).collect()
+    assert(top.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2))
+    assert(top(0).getAs[String]("node") == "b")
+    assert(top(1).getAs[String]("node") == "a") // tie a/c broken on node id
+  }
+
+  test("pagerank fails loudly on dangling nodes") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("src", "dst") // b never a source
+    val boom = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(e, "src", "dst", rounds = 1)
+    }
+    assert(boom.getMessage.contains("dangling"))
+  }
 }
