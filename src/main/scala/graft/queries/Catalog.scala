@@ -3103,6 +3103,32 @@ object Catalog {
       .transform(ordered("rnk"))
   }
 
+  /** Winnowing overlap detection ([[graft.llm.Winnowing]]): top-10 document
+    * pairs by shared MOSS fingerprints (k=4-gram hashes, window w=3 —
+    * guarantee: any verbatim overlap ≥ 6 tokens shares a fingerprint).
+    * Extraction is scan-time array HOFs over the compiled shingle kernel;
+    * the pair join is a posting-list equi-join on the fingerprint value,
+    * never all-pairs. md5 fingerprints and exact long counts — no floats.
+    */
+  val q98 = q(
+    "q98_winnowing",
+    """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 3, 0)),
+      |         i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS hs FROM p),
+      |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, greatest(len(hs) - 2, 0)), j -> list_min(hs[j:j+2])))) AS f FROM sh),
+      |d AS (SELECT DISTINCT doc_id, f FROM fp),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |          FROM d a JOIN d b ON a.f = b.f AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |rr AS (SELECT d1, d2, n_shared,
+      |              row_number() OVER (ORDER BY n_shared DESC, d1, d2) AS rnk FROM pairs)
+      |SELECT rnk, d1, d2, n_shared FROM rr WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.llm.Winnowing.overlapTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 3, topK = 10)
+      .transform(ordered("rnk"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3124,5 +3150,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97)
+    q92, q93, q94, q95, q96, q97, q98)
 }

@@ -1216,6 +1216,35 @@ class LlmSpec extends SparkSpec {
     assert(top(1).getAs[String]("node") == "a") // tie a/c broken on node id
   }
 
+  test("winnowing: overlap guarantee, short-doc vanishing, df cap") {
+    import spark.implicits._
+    // k=4, w=3 → any verbatim overlap of ≥ w+k-1 = 6 tokens MUST share a
+    // fingerprint (the winnowing selection guarantee)
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z1 z2 q w e r t y x1 x2"), // shares exactly the 6-token run
+      (3L, "a b c")                    // < k tokens → no fingerprints
+    ).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+    assert(fp.filter(col("doc_id") === 3L).count() == 0)
+    val shared = fp.filter(col("doc_id") === 1L).select("f")
+      .intersect(fp.filter(col("doc_id") === 2L).select("f")).count()
+    assert(shared >= 1)
+    val top = Winnowing.overlapTopK(docs, "doc_id", "text", k = 4, w = 3,
+      topK = 5).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("d1") == 1L && top(0).getAs[Long]("d2") == 2L)
+    assert(top(0).getAs[Long]("n_shared") == shared)
+
+    // df cap: a fingerprint present in all three docs is dropped at cap=2
+    val tpl = "t1 t2 t3 t4 t5 t6"
+    val hot = Seq((1L, tpl), (2L, tpl), (3L, tpl)).toDF("doc_id", "text")
+    assert(Winnowing.overlapTopK(hot, "doc_id", "text", k = 4, w = 3,
+      topK = 5, maxDf = Some(2L)).count() == 0)
+    assert(Winnowing.overlapTopK(hot, "doc_id", "text", k = 4, w = 3,
+      topK = 5).count() == 3) // uncapped: all three pairs
+  }
+
   test("pagerank fails loudly on dangling nodes") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("src", "dst") // b never a source
