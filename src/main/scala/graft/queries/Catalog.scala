@@ -3129,6 +3129,53 @@ object Catalog {
       .transform(ordered("rnk"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion
+    * ([[graft.llm.HybridRetrieval]]): BM25 top-100 (q95's plan) fused with
+    * embedding-cosine top-100 for query vector 0 (q26's plan). Both lists
+    * are TakeOrdered answer-sized frames; fusion is one full-outer join +
+    * one top-k — rank-based, so no cross-retriever score calibration.
+    * 1/(k+rank) is pure IEEE division (no libm); `fused8` is the exact
+    * scale-8 cross-engine sort key.
+    */
+  val q99 = q(
+    "q99_rrf_hybrid",
+    """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, CAST(len(list_filter(ws, w -> w <> '')) AS BIGINT) AS dl FROM p),
+      |n AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM p),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |       WHERE term IN ('join', 'hash', 'spark') GROUP BY 1, 2),
+      |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT tf.doc_id,
+      |        CAST(floor(ln((((n.n - f.df) + 0.5) / (f.df + 0.5)) + 1.0) *
+      |          ((tf.tf * (1.2 + 1.0)) /
+      |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl / n.avgdl)))) * 10000 + 0.5) AS BIGINT) AS c4
+      |      FROM tf JOIN f USING (term) JOIN d USING (doc_id), n),
+      |s AS (SELECT doc_id, CAST(sum(c4) AS BIGINT) AS s4 FROM c GROUP BY 1),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY s4 DESC, doc_id) AS rnk FROM s),
+      |bm AS (SELECT doc_id AS id, CAST(rnk AS INTEGER) AS ra FROM r WHERE rnk <= 100),
+      |qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+      |cv AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id <> 0),
+      |sc AS (SELECT cid, list_cosine_similarity(qvec, cvec) AS sim FROM qv, cv),
+      |cr AS (SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rank FROM sc),
+      |cs AS (SELECT cid AS id, CAST(rank AS INTEGER) AS rb FROM cr WHERE rank <= 100),
+      |fu AS (SELECT coalesce(bm.id, cs.id) AS doc_id, bm.ra, cs.rb,
+      |         CAST(floor((coalesce(1e0 / (60 + bm.ra), 0e0) +
+      |                     coalesce(1e0 / (60 + cs.rb), 0e0)) * 1e8 + 0.5) AS BIGINT) AS fused8
+      |       FROM bm FULL OUTER JOIN cs ON bm.id = cs.id),
+      |rr AS (SELECT doc_id, ra, rb, fused8,
+      |              row_number() OVER (ORDER BY fused8 DESC, doc_id) AS rnk FROM fu)
+      |SELECT rnk, doc_id, ra, rb, fused8 FROM rr WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = graft.llm.Bm25.scoreTopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("join", "hash", "spark"), topK = 100)
+    val b = graft.llm.Embeddings.cosineTopK(emb, emb.filter(col("vec_id") === 0), 100)
+    graft.llm.HybridRetrieval.rrfFuse(a, "doc_id", "rnk", b, "cid", "rank",
+        k = 60, topK = 10)
+      .withColumnRenamed("id", "doc_id")
+      .transform(ordered("rnk"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3150,5 +3197,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98)
+    q92, q93, q94, q95, q96, q97, q98, q99)
 }

@@ -410,6 +410,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("avg_logp")))
   }
 
+  test("rrf fusion: exact scale-8 scores, absent-list zeros, tie order") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id_a", "rank_a")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id_b", "rank_b")
+    val out = HybridRetrieval.rrfFuse(a, "id_a", "rank_a", b, "id_b", "rank_b",
+      k = 60, topK = 10).collect()
+    // doc 20: 1/62 + 1/61 = 0.03252... → 3252387; doc 10: 1/61 → 1639344;
+    // doc 40: 1/62 → 1612903; doc 30: 1/63 → 1587302 (floor(x·1e8+0.5))
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Int]("rnk"), r.getAs[Long]("fused8"))).toMap
+    assert(byId(20L) == (1, math.floor((1.0 / 62 + 1.0 / 61) * 1e8 + 0.5).toLong))
+    assert(byId(10L) == (2, math.floor((1.0 / 61) * 1e8 + 0.5).toLong))
+    assert(byId(40L) == (3, math.floor((1.0 / 62) * 1e8 + 0.5).toLong))
+    assert(byId(30L) == (4, math.floor((1.0 / 63) * 1e8 + 0.5).toLong))
+    // absent-side ranks are NULL
+    val r40 = out.find(_.getAs[Long]("id") == 40L).get
+    assert(r40.isNullAt(r40.fieldIndex("ra")) && r40.getAs[Int]("rb") == 2)
+    // equal fused scores tie-break on id: two docs only in one list each
+    // at the same rank
+    val t1 = Seq((5L, 1)).toDF("i", "r")
+    val t2 = Seq((3L, 1)).toDF("i", "r")
+    val tie = HybridRetrieval.rrfFuse(t1, "i", "r", t2, "i", "r", 60, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(tie == Seq(3L, 5L))
+  }
+
   test("bm25: scale-4 exact scores, ranking, and no-match exclusion") {
     val docs = Seq(
       (1L, "join hash"),          // dl=2, matches join+hash
