@@ -3176,6 +3176,40 @@ object Catalog {
       .transform(ordered("rnk"))
   }
 
+  /** SCD2 dimension history ([[graft.operators.Scd]]): per-user
+    * event_type change history with validity intervals. One shuffle on
+    * the key, two window passes over the same partitioning (the filter
+    * between them preserves distribution — plan-pinned in OperatorsSpec).
+    * Null-safe change detection; (ts, event_id) is the per-key total
+    * order; timestamps project to epoch_us at the edge.
+    */
+  val q100 = q(
+    "q100_scd2_history",
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |             lag(event_type) OVER w AS prev,
+      |             row_number() OVER w AS rn
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ch AS (SELECT user_id, ts, event_id, event_type FROM o
+      |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |v AS (SELECT user_id, event_type,
+      |        row_number() OVER w AS version,
+      |        epoch_us(ts) AS valid_from_us,
+      |        epoch_us(lead(ts) OVER w) AS valid_to_us
+      |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+      |       (valid_to_us IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    graft.operators.Scd.scd2(Tables.events(s, d),
+        keyCols = Seq("user_id"), orderCol = "ts",
+        tieCols = Seq("event_id"), attrCol = "event_type")
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .transform(ordered("user_id", "version"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3197,5 +3231,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

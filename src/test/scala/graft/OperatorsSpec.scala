@@ -263,4 +263,37 @@ class OperatorsSpec extends SparkSpec {
     // rank ties (keys 3..12 all cnt=1) break on the key: rank 3 is key 3
     assert(p(2).getAs[Long]("rank") == 3L)
   }
+
+  test("scd2: run compression, null-safe runs, intervals, single exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Scd
+    val df = Seq(
+      (1L, 10L, 100L, Some("a")), // run 1: a
+      (1L, 20L, 101L, Some("a")), //   compressed
+      (1L, 30L, 102L, Some("b")), // run 2: b
+      (1L, 40L, 103L, None),      // run 3: NULL is a tracked state
+      (1L, 50L, 104L, None),      //   consecutive NULLs compress
+      (1L, 60L, 105L, Some("a")), // run 4: back to a (a new version)
+      (2L, 10L, 200L, None)       // key 2: single NULL run, current
+    ).toDF("k", "t", "id", "attr")
+    val h = Scd.scd2(df, Seq("k"), "t", Seq("id"), "attr")
+      .orderBy("k", "version").collect()
+    assert(h.map(r => (r.getAs[Long]("k"), r.getAs[Int]("version"),
+      r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+      Option(r.get(r.fieldIndex("valid_to"))),
+      r.getAs[Boolean]("is_current"))).toSeq == Seq(
+      (1L, 1, "a", 10L, Some(30L), false),
+      (1L, 2, "b", 30L, Some(40L), false),
+      (1L, 3, null, 40L, Some(60L), false),
+      (1L, 4, "a", 60L, None, true),
+      (2L, 1, null, 10L, None, true)))
+    // the filter between the two window passes preserves the key
+    // partitioning: exactly ONE shuffle in the whole plan
+    val plan = Scd.scd2(df.repartition(5), Seq("k"), "t", Seq("id"), "attr")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash Exchange, plan:\n$plan")
+  }
 }
