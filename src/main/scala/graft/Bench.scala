@@ -13,6 +13,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val benchOut = env("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val cpus = env("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -210,7 +211,22 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"extra":$extraJson,"sf":"$sfDir"}""")
+    // The driver's stdout capture keeps only the TAIL of long lines
+    // (BENCH_r08/r09 lost the head: q01–q27 and the leading total). Two
+    // defenses: (1) the full JSON is ALSO written to a file — the complete
+    // machine-readable artifact regardless of any capture window; (2) the
+    // printed line duplicates "total" and the file pointer at its END, so
+    // a tail-truncated capture still carries both.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"extra":$extraJson,"sf":"$sfDir","bench_file":${jstr(benchOut)},"total":$total%.3f}"""
+    try {
+      val p = java.nio.file.Paths.get(benchOut)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -40,6 +40,10 @@ object Bm25 {
 
   /** Top-k documents by BM25 score for one query term set.
     *
+    * @param queryTerms the query's terms; each must be a non-empty string —
+    *                   `__dl` counts only non-empty tokens, so an
+    *                   empty-string "term" would make tf and dl disagree
+    *                   with the documented formula (rejected loudly here)
     * @return `rnk`, doc id, `n_terms` (query terms present), `score4`
     *         (scale-4-exact BM25 score, deterministic cross-engine)
     */
@@ -52,6 +56,9 @@ object Bm25 {
       b: Double = 0.75,
       topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty),
+      "queryTerms must not contain empty strings: document length counts " +
+        "only non-empty tokens, so an empty term would score inconsistently")
     val base = docs.select(
       col(idCol).as("__doc"),
       TextAnalysis.words(col(textCol)).as("__ws"))

@@ -82,15 +82,16 @@ object Bpe {
     *
     * EXHAUSTION SAFETY: when `top` is EMPTY (every word already fused to a
     * single symbol, or a degenerate corpus), this is a NO-OP, not data
-    * loss. The join is a broadcast LEFT join on `true` — a 0-row right side
-    * leaves every vocabulary row with `__pair` NULL, the fold's CASE
-    * comparison with NULL is never true, and the fold rebuilds each word's
-    * symbols unchanged. (A plain crossJoin would silently EMPTY the whole
-    * vocabulary here.) With a non-empty 1-row `top` the left join is
-    * row-for-row identical to the crossJoin.
+    * loss. `top` is first collapsed to a GUARANTEED-1-ROW frame with a
+    * `max` aggregate (an aggregate over zero rows yields one NULL row), so
+    * the crossJoin never empties the vocabulary; with `__pair` NULL the
+    * fold's CASE comparison is never true and each word's symbols rebuild
+    * unchanged. The 1-row aggregate keeps the join an INNER broadcast
+    * crossJoin — whole-stage-codegen'd, unlike the left-outer BNLJ form
+    * (which measurably serialized the per-round fold).
     */
   def applyMerge(words: DataFrame, top: DataFrame): DataFrame =
-    words.join(broadcast(top.select(col("pair").as("__pair"))), lit(true), "left")
+    words.crossJoin(broadcast(top.agg(max(col("pair")).as("__pair"))))
       .withColumn("__folded", expr(
         """aggregate(
           |  slice(syms, 2, greatest(size(syms) - 1, 0)),

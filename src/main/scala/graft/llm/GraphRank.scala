@@ -13,18 +13,27 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the q61/q84 iterative idiom): outdegree is ONE hash
   * aggregate, attached to the edge frame once (`se`) and reused by every
-  * round; each round is then exactly one node-keyed equi-join (ranks ×
-  * edges on src) plus one hash aggregate by dst — no driver-side graph
-  * state, no collect; `n` is a 1-row broadcast. Rank frames are |V|-sized,
+  * round; each round is then one node-keyed equi-join (ranks × edges on
+  * src), one hash aggregate by dst, and a free union of the static
+  * in-degree-0 frame — no driver-side graph state, no collect; `n` is a
+  * 1-row broadcast. Rank frames are |V|-sized,
   * edge frames |E|-sized; both stay distributed. For rounds ≫ a handful,
   * localCheckpoint the rank frame on a cadence (the q61 lineage
   * discipline) — at the 2–3 rounds a curation prior needs, plain lineage
   * is cheaper.
   *
-  * Dangling nodes are OUT OF SCOPE by contract: every node must appear as
-  * an edge source (symmetrize an undirected graph first, or add
-  * self-loops), otherwise their rank mass silently drains each round —
-  * `pageRank` fails loudly if any destination never appears as a source.
+  * Node universe and dangling nodes: the node set is the set of edge
+  * SOURCES. Source-only nodes (in-degree 0) are first-class — each round
+  * re-unions the per-dst sums onto the full node list, so a node nobody
+  * links to keeps its (1−d)/n baseline and keeps feeding its
+  * out-neighbors. Destination-only nodes (out-degree 0, true dangling
+  * sinks) remain OUT OF SCOPE by contract: they would absorb mass that
+  * then drains from the total each round — symmetrize an undirected graph
+  * first, or add self-loops. With `validate = true` (the default)
+  * `pageRank` fails loudly if any destination never appears as a source;
+  * pass `validate = false` to skip that one-time probe (two extra edge
+  * scans) when the caller constructs the graph to satisfy the contract
+  * (e.g. by symmetrizing) or has already validated it once.
   *
   * Determinism: per-edge contributions floor at scale 12 into longs
   * before the per-node sum (exact integer addition on any merge tree /
@@ -39,34 +48,99 @@ object GraphRank {
     * @param edges one row per directed edge; duplicates count as parallel
     *              edges (they add outdegree and contribute twice — dedupe
     *              first if that is not intended)
+    * @param validate when true (default), probe once that every destination
+    *                 also appears as a source (the no-dangling-sink
+    *                 contract) and fail loudly otherwise; set false to skip
+    *                 the probe for graphs validated once or correct by
+    *                 construction (symmetrized / self-looped)
+    * @param reuseFrames when true, the prepared frames every round reads —
+    *                    outdegree `od` (|V|), the outdegree-attached edge
+    *                    frame `se` (|E|, pre-partitioned on the join key so
+    *                    each round only shuffles the |V|-sized rank frame),
+    *                    and the static in-degree-0 frame — are EAGERLY
+    *                    localCheckpoint'd once instead of being recomputed
+    *                    by every round's lineage (the q61 discipline; the
+    *                    call stops being lazy). False (default) keeps the
+    *                    fully-lazy single-plan form — right for rounds ≤ 2
+    *                    consumed once; reuse wins for more rounds or
+    *                    repeated executions of the result.
+    * @param broadcastRanks when true, each round joins the |V|-sized rank
+    *                       frame into the edge frame as a BROADCAST — the
+    *                       edge frame then never shuffles at all; each
+    *                       round is a map-side hash join + partial
+    *                       aggregate + one ≤|V|-sized exchange. Correct
+    *                       whenever the node set is dimension-sized (fits
+    *                       an executor: up to tens of millions of nodes) —
+    *                       the broadcast-dim-join discipline. Keep false
+    *                       for billion-node graphs, where the shuffle join
+    *                       is the only shape that holds.
     * @return one row per node: `node`, `pr` (double), `pr12` (the exact
     *         scale-12 long the next round would consume — the
     *         deterministic sort/compare key)
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, damping: Double = 0.85): DataFrame = {
+      rounds: Int, damping: Double = 0.85,
+      validate: Boolean = true, reuseFrames: Boolean = false,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    def ck(df: DataFrame): DataFrame =
+      if (reuseFrames) df.localCheckpoint() else df
+    // under reuseFrames the INPUT lineage runs exactly once: everything
+    // below (outdegree, the attached edge frame, the in-degree-0 probe)
+    // derives from this one materialized |E|-sized base, not from
+    // re-executions of however expensive the caller's edge build was
+    val base = ck(edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol)))
     val src = col(srcCol)
     val dst = col(dstCol)
-    val od = edges.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
-    // loud dangling-node check: a dst that is never a src loses mass
-    val dangling = edges.select(dst.as("node")).distinct()
-      .join(od, Seq("node"), "left_anti").limit(1).collect()
-    require(dangling.isEmpty,
-      s"dangling node '${dangling.headOption.map(_.get(0)).orNull}': every " +
-        "destination must also appear as an edge source (symmetrize first)")
+    val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
+    if (validate) {
+      // loud dangling-sink check: a dst that is never a src absorbs mass
+      // that then drains from the total each round
+      val dangling = base.select(dst.as("node")).distinct()
+        .join(od, Seq("node"), "left_anti").limit(1).collect()
+      require(dangling.isEmpty,
+        s"dangling node '${dangling.headOption.map(_.get(0)).orNull}': every " +
+          "destination must also appear as an edge source (symmetrize first)")
+    }
     val n = od.agg(count(lit(1)).as("n"))
-    // outdegree attached once, reused by every round
-    val se = edges.join(od.withColumnRenamed("node", "__src"),
-        src === col("__src"))
-      .select(src.as("__s"), dst.as("__d"), col("deg"))
+    // the per-round rank side: broadcast when the node set is
+    // dimension-sized, shuffle-hash otherwise
+    def rankSide(r: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
+    // the edge frame is consumed RAW — outdegree rides in the |V|-sized
+    // rank frame instead (re-attached from `od` once per round), so the
+    // |E|-sized side never joins `od`. Under broadcastRanks it never
+    // shuffles either; otherwise it is pre-partitioned on the per-round
+    // join key (and checkpointed under reuseFrames), so each round's join
+    // shuffles only the rank frame.
+    val se =
+      if (broadcastRanks) base.select(src.as("__s"), dst.as("__d"))
+      else ck(base.select(src.as("__s"), dst.as("__d"))
+        .repartition(col("__s")))
     val oneMinusD = 1.0 - damping // IEEE once, embedded as a literal
+    // in-degree-0 nodes are STATIC: nobody ever links to them, so their
+    // rank is pinned at the (1−d)/n baseline every round — computed once
+    // and re-unioned per round (cheaper than a per-round left join), which
+    // keeps them in the output and keeps their mass feeding out-neighbors
+    val noIn = ck(od.select(col("node"))
+      .join(base.select(dst.as("node")).distinct(), Seq("node"), "left_anti")
+      .crossJoin(broadcast(n))
+      .select(col("node"), (lit(oneMinusD) / col("n")).as("pr")))
 
-    var r: DataFrame = od.select(col("node")).crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    // under reuseFrames, od is read per round (deg re-attach + broadcast
+    // path) — checkpoint it too, and checkpoint each round's |V|-sized
+    // rank frame so round k+1 never re-executes round k's lineage
+    val odR = ck(od)
+    var r: DataFrame = odR.crossJoin(broadcast(n))
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to rounds) {
-      r = se.join(r.withColumnRenamed("node", "__r"), col("__s") === col("__r"))
+      // one equi-join (edges × ranks on src) + one hash aggregate by dst;
+      // under broadcastRanks the join is map-side and the only exchange is
+      // the ≤|V|-sized partially-aggregated contribution frame
+      val contrib = se
+        .join(rankSide(r.withColumnRenamed("node", "__r")),
+          col("__s") === col("__r"))
         .groupBy(col("__d").as("node"))
         .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
           .cast("long")).as("__psum"))
@@ -74,8 +148,16 @@ object GraphRank {
         .select(col("node"),
           (lit(oneMinusD) / col("n") +
             lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
+        .unionAll(noIn)
+      // re-attach deg for the next round's contribution division (a
+      // broadcast/small join on the |V|-sized frames)
+      r = ck(contrib.join(
+          if (broadcastRanks) broadcast(odR) else odR.hint("shuffle_hash"),
+          Seq("node"))
+        .select(col("node"), col("deg"), col("pr")))
     }
-    r.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
+    r.select(col("node"), col("pr"))
+      .withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
   }
 
   /** Top-`k` nodes by rank: `rnk`, `node`, `pr12` — TakeOrderedAndProject

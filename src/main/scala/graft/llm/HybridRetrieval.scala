@@ -32,6 +32,14 @@ object HybridRetrieval {
   /** Fuse two truncated rank lists. Returns top-`topK` rows:
     * `rnk`, `id`, `ra`, `rb` (per-list ranks, NULL where absent),
     * `fused8` (scale-8 exact RRF score).
+    *
+    * Input contract, ENFORCED in-plan: ranks are 1-based positive ints —
+    * a rank < 1 raises at execution (a rank of exactly −k would divide by
+    * zero; negatives would invert the ordering). Duplicate ids within one
+    * list are collapsed to their BEST (minimum) rank before the join —
+    * without that, a duplicate would fan out through the full-outer join
+    * into duplicate fused rows. Both guards run on the answer-sized
+    * truncated lists, so their cost is two tiny hash aggregates.
     */
   def rrfFuse(
       a: DataFrame, aId: String, aRank: String,
@@ -39,8 +47,18 @@ object HybridRetrieval {
       k: Int = 60, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "rrf k must be >= 1")
-    val fa = a.select(col(aId).as("id"), col(aRank).cast("int").as("ra"))
-    val fb = b.select(col(bId).as("id"), col(bRank).cast("int").as("rb"))
+    def ranked(df: DataFrame, id: String, rank: String, out: String) =
+      df.select(col(id).as("id"),
+          // loud 1-based-positive-rank guard: when() keeps the value on the
+          // valid path, raise_error fires per offending row at execution
+          when(col(rank).cast("int") >= 1, col(rank).cast("int"))
+            .otherwise(raise_error(concat(
+              lit(s"rrfFuse: rank '$rank' must be a positive 1-based int, got "),
+              col(rank).cast("string"), lit(" for id "), col(id).cast("string"))))
+            .as(out))
+        .groupBy(col("id")).agg(min(col(out)).as(out)) // best rank per id
+    val fa = ranked(a, aId, aRank, "ra")
+    val fb = ranked(b, bId, bRank, "rb")
     val fused = fa.join(fb, Seq("id"), "full_outer")
       .withColumn("fused8", floor(
         (coalesce(lit(1.0) / (lit(k) + col("ra")), lit(0.0)) +

@@ -32,33 +32,48 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** Build the SCD2 history of `attrCol` per `keyCols`.
+  /** Build the SCD2 history of `attrCol` per `keyCols` (single tracked
+    * attribute — delegates to the multi-attribute form).
+    */
+  def scd2(
+      df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCols: Seq[String], attrCol: String): DataFrame =
+    scd2(df, keyCols, orderCol, tieCols, Seq(attrCol))
+
+  /** Build the SCD2 history of `attrCols` per `keyCols` — the shape real
+    * dimension tables need: a new version opens when ANY tracked attribute
+    * changes. The change test struct-packs the attributes so `<=>` stays
+    * one null-safe comparison (NULL fields compare equal when both NULL,
+    * distinct otherwise — verified in OperatorsSpec); the output carries
+    * each attribute as its own column, unpacked.
     *
     * @param orderCol the event-time column (becomes `valid_from`)
     * @param tieCols  extra columns making the per-key order total
-    * @return key cols + `version` (1-based per key), `attrCol`,
+    * @return key cols + `version` (1-based per key), `attrCols`…,
     *         `valid_from`, `valid_to` (NULL = open), `is_current`
     */
   def scd2(
       df: DataFrame, keyCols: Seq[String], orderCol: String,
-      tieCols: Seq[String], attrCol: String): DataFrame = {
+      tieCols: Seq[String], attrCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
     val keys = keyCols.map(col)
     val order = (orderCol +: tieCols).map(col)
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val attr = struct(attrCols.map(col): _*)
     val runStarts = df
-      .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      // null-safe: a run starts where the attribute IS DISTINCT FROM the
-      // previous row's (first row: lag is NULL and we can't distinguish a
-      // NULL attr — use a presence flag instead of a sentinel value)
+      .withColumn("__prev", lag(attr, 1).over(w))
+      // null-safe: a run starts where the attribute tuple IS DISTINCT FROM
+      // the previous row's (first row: lag is NULL and we can't distinguish
+      // an all-NULL tuple — use a presence flag instead of a sentinel)
       .withColumn("__first", row_number().over(w) === 1)
-      .filter(col("__first") || !(col(attrCol) <=> col("__prev")))
+      .filter(col("__first") || !(attr <=> col("__prev")))
     runStarts
       .withColumn("version", row_number().over(w))
       .withColumn("valid_from", col(orderCol))
       .withColumn("valid_to", lead(col(orderCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .select((keys :+ col("version") :+ col(attrCol) :+ col("valid_from")
-        :+ col("valid_to") :+ col("is_current")): _*)
+      .select((keys :+ col("version")) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 }

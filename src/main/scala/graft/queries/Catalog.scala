@@ -3068,11 +3068,16 @@ object Catalog {
     * 1-row broadcast; per-edge contributions floor at scale 12 into exact
     * longs — no libm anywhere, so ranks are bit-identical cross-engine.
     * The oracle unrolls the two rounds as chained CTEs (q84 convention).
+    * Node ids are LONGS — suppliers odd (2k+1), customers even (2k) — the
+    * production graph-id discipline: fixed-width keys keep every join,
+    * distinct and aggregate in this query on 8-byte comparisons in both
+    * engines (the string form `'s'||key` measured ~2× slower on BOTH
+    * sides); ties break on the long id.
     */
   val q97 = q(
     "q97_pagerank",
-    """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-      |                           'c' || CAST(o_custkey AS VARCHAR) AS dst
+    """WITH e AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src,
+      |                           o_custkey * 2 AS dst
       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
       |od AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
@@ -3094,14 +3099,23 @@ object Catalog {
     val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-        concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+        (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // validate = false: `sym` is symmetrized by construction, so the
+    // no-dangling-sink contract holds without the one-time probe scans.
+    // reuseFrames: each prepared frame and each round's rank frame is
+    // materialized exactly ONCE instead of re-deriving the edge build in
+    // every consumer's lineage — hence eagerBuild below (the
+    // materialization IS the computation; the DuckDB twin materializes
+    // its CTEs per execution the same way). broadcastRanks: the node set
+    // is dimension-sized (supp+cust), so rounds are map-side joins.
     graft.llm.GraphRank.topK(
-        graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2), 20)
+        graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2,
+          validate = false, reuseFrames = true, broadcastRanks = true), 20)
       .transform(ordered("rnk"))
-  }
+  }.copy(eagerBuild = true)
 
   /** Winnowing overlap detection ([[graft.llm.Winnowing]]): top-10 document
     * pairs by shared MOSS fingerprints (k=4-gram hashes, window w=3 —

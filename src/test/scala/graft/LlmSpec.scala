@@ -1252,5 +1252,25 @@ class LlmSpec extends SparkSpec {
       GraphRank.pageRank(e, "src", "dst", rounds = 1)
     }
     assert(boom.getMessage.contains("dangling"))
+    // validate = false skips the probe — construction succeeds lazily
+    GraphRank.pageRank(e, "src", "dst", rounds = 1, validate = false)
+  }
+
+  test("pagerank: source-only nodes keep baseline rank and keep contributing") {
+    import spark.implicits._
+    // directed a→b, b→a, c→a: c has in-degree 0 — it must stay in the
+    // output at its (1−d)/n baseline and keep feeding a every round
+    // (round 2 of a's rank includes c's floor(0.05e12) contribution)
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val m1 = GraphRank.pageRank(e, "src", "dst", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(m1 == Map("a" -> 616666666666L, "b" -> 333333333333L,
+      "c" -> 50000000000L))
+    val m2 = GraphRank.pageRank(e, "src", "dst", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    // without the re-union, c would vanish after round 1 and a's round-2
+    // rank would miss c's mass: 375833333333 includes both b and c
+    assert(m2 == Map("a" -> 375833333333L, "b" -> 574166666666L,
+      "c" -> 50000000000L))
   }
 }

@@ -296,4 +296,37 @@ class OperatorsSpec extends SparkSpec {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash Exchange, plan:\n$plan")
   }
+
+  test("scd2 multi-attribute: any-attr change opens a version, null-safe tuples") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val df = Seq(
+      (1L, 10L, 100L, Some("a"), Some(1)),  // run 1: (a, 1)
+      (1L, 20L, 101L, Some("a"), Some(1)),  //   compressed
+      (1L, 30L, 102L, Some("a"), Some(2)),  // run 2: second attr changed
+      (1L, 40L, 103L, Some("b"), Some(2)),  // run 3: first attr changed
+      (1L, 50L, 104L, Some("b"), None),     // run 4: NULL field is a state
+      (1L, 60L, 105L, Some("b"), None),     //   both-NULL fields compress
+      (1L, 70L, 106L, Some("b"), Some(2))   // run 5: NULL → value reopens
+    ).toDF("k", "t", "id", "a1", "a2")
+    val h = Scd.scd2(df, Seq("k"), "t", Seq("id"), Seq("a1", "a2"))
+      .orderBy("k", "version").collect()
+    assert(h.map(r => (r.getAs[Int]("version"), r.getAs[String]("a1"),
+      Option(r.get(r.fieldIndex("a2"))), r.getAs[Long]("valid_from"),
+      Option(r.get(r.fieldIndex("valid_to"))),
+      r.getAs[Boolean]("is_current"))).toSeq == Seq(
+      (1, "a", Some(1), 10L, Some(30L), false),
+      (2, "a", Some(2), 30L, Some(40L), false),
+      (3, "b", Some(2), 40L, Some(50L), false),
+      (4, "b", None, 50L, Some(70L), false),
+      (5, "b", Some(2), 70L, None, true)))
+    // single-attr overload is the one-element multi form (q100 unchanged)
+    val single = Scd.scd2(df, Seq("k"), "t", Seq("id"), "a1")
+      .orderBy("k", "version").collect()
+    assert(single.map(_.getAs[String]("a1")).toSeq == Seq("a", "b"))
+    // still one shuffle with the struct-packed change test
+    val plan = Scd.scd2(df.repartition(5), Seq("k"), "t", Seq("id"),
+      Seq("a1", "a2")).queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 1)
+  }
 }
