@@ -123,22 +123,23 @@ object GraphRank {
     // rank is pinned at the (1−d)/n baseline every round — computed once
     // and re-unioned per round (cheaper than a per-round left join), which
     // keeps them in the output and keeps their mass feeding out-neighbors
-    val noIn = ck(od.select(col("node"))
+    // noIn and od are |V|-sized single-aggregate derivations of the
+    // (possibly checkpointed) base — cheap to recompute per consumer, so
+    // they are NOT separately checkpointed: under reuseFrames the extra
+    // job-materialization barrier costs more than the re-derivation saves
+    val noIn = od.select(col("node"))
       .join(base.select(dst.as("node")).distinct(), Seq("node"), "left_anti")
       .crossJoin(broadcast(n))
-      .select(col("node"), (lit(oneMinusD) / col("n")).as("pr")))
-
-    // under reuseFrames, od is read per round (deg re-attach + broadcast
-    // path) — checkpoint it too, and checkpoint each round's |V|-sized
-    // rank frame so round k+1 never re-executes round k's lineage
-    val odR = ck(od)
+      .select(col("node"), (lit(oneMinusD) / col("n")).as("pr"))
+    val odR = od
     var r: DataFrame = odR.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to rounds) {
+    var ranks: DataFrame = null
+    for (k <- 1 to rounds) {
       // one equi-join (edges × ranks on src) + one hash aggregate by dst;
       // under broadcastRanks the join is map-side and the only exchange is
       // the ≤|V|-sized partially-aggregated contribution frame
-      val contrib = se
+      ranks = se
         .join(rankSide(r.withColumnRenamed("node", "__r")),
           col("__s") === col("__r"))
         .groupBy(col("__d").as("node"))
@@ -149,15 +150,19 @@ object GraphRank {
           (lit(oneMinusD) / col("n") +
             lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
         .unionAll(noIn)
-      // re-attach deg for the next round's contribution division (a
-      // broadcast/small join on the |V|-sized frames)
-      r = ck(contrib.join(
-          if (broadcastRanks) broadcast(odR) else odR.hint("shuffle_hash"),
-          Seq("node"))
-        .select(col("node"), col("deg"), col("pr")))
+      // intermediate rounds only: re-attach deg for the next round's
+      // contribution division (a broadcast/small join on the |V|-sized
+      // frames) and checkpoint under reuseFrames so round k+1 (and its
+      // broadcast build) never re-executes round k's lineage — the final
+      // round is consumed once by the caller, so it stays lazy and skips
+      // the deg join entirely
+      if (k < rounds)
+        r = ck(ranks.join(
+            if (broadcastRanks) broadcast(odR) else odR.hint("shuffle_hash"),
+            Seq("node"))
+          .select(col("node"), col("deg"), col("pr")))
     }
-    r.select(col("node"), col("pr"))
-      .withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
+    ranks.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
   }
 
   /** Top-`k` nodes by rank: `rnk`, `node`, `pr12` — TakeOrderedAndProject

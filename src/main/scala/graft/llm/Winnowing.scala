@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * fingerprint equi-join provably finds every long-enough clone, while
   * storing only ~2/(w+1) of all k-gram hashes per document.
   *
-  * This is the VALUE form of winnowing (the fingerprint set per document,
-  * deduplicated): positional attribution (which offset matched) is not
-  * kept, which is the right trade for dedup/overlap detection — the pair
-  * join needs identity, not alignment.
+  * [[fingerprints]] is the VALUE form of winnowing (the fingerprint set
+  * per document, deduplicated): positional attribution (which offset
+  * matched) is not kept, which is the right trade for dedup/overlap
+  * detection — the pair join needs identity, not alignment.
+  * [[positionalFingerprints]] is the opt-in POSITIONAL form — (doc, pos,
+  * f), the Schleimer et al. §2 output shape — for alignment/attribution
+  * consumers (clone REGION reporting, cross-document diffing); the
+  * posting-list join shape is identical, positions ride along.
   *
   * Scale shape: fingerprint extraction is entirely scan-time (one
   * compiled-kernel shingle pass + array HOFs — no explode until the final
@@ -51,6 +55,41 @@ object Winnowing {
     docs.select(col(idCol), hs.as("__hs"))
       .select(col(idCol), explode(mins).as("f"))
       .distinct()
+  }
+
+  /** Positional winnowing fingerprints: one row per selected (`idCol`,
+    * `pos`, `f`) — `pos` is the 1-BASED TOKEN OFFSET of the selected
+    * k-gram (each window keeps its LEFTMOST minimal hash, a fixed
+    * deterministic choice; the same (pos, f) selected by several
+    * overlapping windows appears once). Same selection as
+    * [[fingerprints]]: projecting out `pos` and deduplicating yields
+    * exactly its rows, so the w+k−1 overlap guarantee carries over — any
+    * long-enough verbatim clone shares a fingerprint VALUE in both
+    * documents, and `pos` then locates the clone region in each. Same
+    * scan-time shape (shingle kernel + array HOFs, one explode at the
+    * end); documents shorter than `k + w − 1` tokens produce no rows.
+    */
+  def positionalFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 3): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val hs = transform(
+      graft.functions.TextExprs.wordShingles(col(textCol), k), s => md5(s))
+    // guard: Spark's sequence(1, n) is DESCENDING for n < 1 (see
+    // fingerprints); struct per window = (selected offset, min hash)
+    val sel = when(size(col("__hs")) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(col("__hs")) - (w - 1)),
+        j => {
+          val win = slice(col("__hs"), j, lit(w))
+          val m = array_min(win)
+          struct((j + array_position(win, m) - 1).cast("int").as("pos"),
+            m.as("f"))
+        })))
+      .otherwise(array().cast("array<struct<pos:int,f:string>>"))
+    docs.select(col(idCol), hs.as("__hs"))
+      .select(col(idCol), explode(sel).as("__pf"))
+      .select(col(idCol), col("__pf.pos").as("pos"), col("__pf.f").as("f"))
   }
 
   /** Top-`topK` document pairs by shared winnowing fingerprints:

@@ -3082,16 +3082,17 @@ object Catalog {
       |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
       |od AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM od),
-      |r0 AS (SELECT node, 1e0 / n.n AS pr FROM od, n),
+      |r0 AS (SELECT node, deg, 1e0 / n.n AS pr FROM od, n),
       |r1 AS (SELECT sym.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r0.pr / od.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN od ON sym.src = od.node JOIN r0 ON sym.src = r0.node, n
+      |           (CAST(sum(CAST(floor((r0.pr / r0.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r0 ON sym.src = r0.node, n
       |       GROUP BY sym.dst, n.n),
+      |r1d AS (SELECT r1.node, od.deg, r1.pr FROM r1 JOIN od ON r1.node = od.node),
       |r2 AS (SELECT sym.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r1.pr / od.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN od ON sym.src = od.node JOIN r1 ON sym.src = r1.node, n
+      |           (CAST(sum(CAST(floor((r1d.pr / r1d.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r1d ON sym.src = r1d.node, n
       |       GROUP BY sym.dst, n.n),
       |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
       |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)

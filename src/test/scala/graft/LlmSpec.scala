@@ -1245,6 +1245,41 @@ class LlmSpec extends SparkSpec {
       topK = 5).count() == 3) // uncapped: all three pairs
   }
 
+  test("winnowing positional: same selection as value form, offsets locate the k-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z1 z2 q w e r t y x1 x2"), // shares the 6-token run (k+w-1 = 6)
+      (3L, "a b c")                    // < k tokens → no fingerprints
+    ).toDF("doc_id", "text")
+    val pf = Winnowing.positionalFingerprints(docs, "doc_id", "text", k = 4, w = 3)
+    // projection to values = exactly the value form's selection
+    val fromPos = pf.select(col("doc_id"), col("f")).distinct()
+    val valueForm = Winnowing.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+    assert(fromPos.exceptAll(valueForm).count() == 0)
+    assert(valueForm.exceptAll(fromPos).count() == 0)
+    // every (pos, f): f is the md5 of the k-gram starting at that 1-based
+    // token offset — positions really locate the fingerprinted shingle
+    val rows = pf.collect()
+    assert(rows.nonEmpty)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ")
+      val pos = r.getAs[Int]("pos")
+      val gram = toks.slice(pos - 1, pos - 1 + 4).mkString(" ")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == r.getAs[String]("f"), s"pos $pos does not locate its k-gram")
+    }
+    // guarantee with positions: the shared 6-token run selects at least one
+    // identical fingerprint VALUE in docs 1 and 2
+    val f1 = rows.filter(_.getLong(0) == 1L).map(_.getAs[String]("f")).toSet
+    val f2 = rows.filter(_.getLong(0) == 2L).map(_.getAs[String]("f")).toSet
+    assert((f1 & f2).nonEmpty)
+    // short doc: no rows
+    assert(!rows.exists(_.getLong(0) == 3L))
+  }
+
   test("pagerank fails loudly on dangling nodes") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("src", "dst") // b never a source
