@@ -3225,6 +3225,51 @@ object Catalog {
       .transform(ordered("user_id", "version"))
   }
 
+  /** Triangle participation ([[graft.llm.GraphRank.triangleTopK]]):
+    * top-20 parts by triangle count in the order-co-occurrence graph
+    * (parts linked when a high-quantity order carries both — the
+    * community-vs-link-ring clustering signal). Compact-forward under
+    * degree-ordered orientation: every oriented out-degree is capped at
+    * O(√(2|E|)), so the wedge self-join cannot blow up on hub parts; each
+    * triangle is counted once at its minimum-(deg, id) vertex. Pure
+    * integer counting — no floats, exact cross-engine. The oracle mirrors
+    * the orientation with the same packed (deg·2³² + id) key.
+    */
+  val q101 = q(
+    "q101_triangles",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+      |und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |                        greatest(a.l_partkey, b.l_partkey) AS v
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                           AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*) AS d
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |        GROUP BY 1),
+      |oe AS (SELECT CASE WHEN du.d * 4294967296 + u <= dv.d * 4294967296 + v THEN u ELSE v END AS s,
+      |              CASE WHEN du.d * 4294967296 + u <= dv.d * 4294967296 + v THEN v ELSE u END AS t,
+      |              CASE WHEN du.d * 4294967296 + u <= dv.d * 4294967296 + v
+      |                   THEN dv.d * 4294967296 + v ELSE du.d * 4294967296 + u END AS t_ord
+      |       FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+      |wedge AS (SELECT e1.s AS u, e1.t AS a, e2.t AS b
+      |          FROM oe e1 JOIN oe e2 ON e1.s = e2.s AND e1.t_ord < e2.t_ord),
+      |tri AS (SELECT w.u, w.a, w.b FROM wedge w JOIN oe ON oe.s = w.a AND oe.t = w.b),
+      |cnt AS (SELECT node, count(*) AS tri_cnt
+      |        FROM (SELECT u AS node FROM tri UNION ALL SELECT a AS node FROM tri
+      |              UNION ALL SELECT b AS node FROM tri)
+      |        GROUP BY 1),
+      |rr AS (SELECT node, tri_cnt,
+      |              row_number() OVER (ORDER BY tri_cnt DESC, node) AS rnk FROM cnt)
+      |SELECT rnk, node, tri_cnt FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk")),
+        col("l_orderkey") === col("__ok") && col("l_partkey") < col("__pk"))
+      .select(col("l_partkey").as("src"), col("__pk").as("dst"))
+    graft.llm.GraphRank.triangleTopK(pairs, "src", "dst", k = 20)
+      .transform(ordered("rnk"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3246,5 +3291,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

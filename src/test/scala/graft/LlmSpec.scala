@@ -1280,6 +1280,32 @@ class LlmSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(0) == 3L))
   }
 
+  test("triangles: K4 counts, normalization of dups/reversed/self-loops, no-triangle graphs") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, each vertex in 3) + pendant 5; input is
+    // deliberately messy: duplicates, reversed edges, a self-loop
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed dups
+      (1L, 2L),           // plain dup
+      (3L, 3L),           // self-loop
+      (4L, 5L)            // pendant — in no triangle
+    ).toDF("src", "dst")
+    val top = GraphRank.triangleTopK(e, "src", "dst", k = 10).collect()
+    assert(top.map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("node"),
+      r.getAs[Long]("tri_cnt"))).toSeq == Seq(
+      (1, 1L, 3L), (2, 2L, 3L), (3, 3L, 3L), (4, 4L, 3L)))
+    // total triangles = sum/3 = 4
+    assert(top.map(_.getAs[Long]("tri_cnt")).sum == 12L)
+    // a path has no triangles → empty frame
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphRank.triangleTopK(path, "src", "dst").count() == 0)
+    // partition invariance: exact integer counts on any layout
+    val rep = GraphRank.triangleTopK(e.repartition(7), "src", "dst", k = 10)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("tri_cnt"))).toSet
+    assert(rep == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("pagerank fails loudly on dangling nodes") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("src", "dst") // b never a source
