@@ -149,6 +149,67 @@ object Streaming {
       .as[(Long, Int, String)]
   }
 
+  /** Streaming SCD2 (the continuous form of `operators/Scd.scd2` / q100):
+    * per-key attribute change tracking that emits each validity interval
+    * AS IT CLOSES — `(key, version, attr, valid_from_us, valid_to_us)`.
+    * The OPEN (is_current) run lives in per-key state, not the output:
+    * append-mode streams cannot retract, so the row for "what is true
+    * NOW" belongs to a snapshot/batch read while this emits the immutable
+    * closed history (the CDC convention). Exact batch law, tested in
+    * StreamingSpec: on a batch DataFrame this equals
+    * `Scd.scd2(...).filter(valid_to IS NOT NULL)` row for row.
+    *
+    * State per key = (current attr, version, valid_from, last ts) — O(1)
+    * regardless of history length, the `mapGroupsWithState` analog of the
+    * batch operator's one-window-frame-in-flight envelope. Ordering
+    * contract: rows are sorted by `tsCol` within each invocation
+    * (micro-batch); an arrival OLDER than the key's last applied ts is
+    * DROPPED (the watermark discipline — feed monotone-enough sources or
+    * widen the trigger); per-key ts must be unique for deterministic runs
+    * (same contract the batch form covers with `tieCols`).
+    */
+  def scd2Closed(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        col(attrCol).cast("string").as("a"))
+      .as[(Long, Long, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Option[String], Int, Long, Long),
+          (Long, Int, Option[String], Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Option[String])],
+            state: GroupState[(Option[String], Int, Long, Long)]) =>
+          var (cur, ver, from, last) =
+            state.getOption.getOrElse((Option.empty[String], 0, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Option[String], Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, attr) =>
+            if (ver != 0 && ts < last) {
+              // late arrival behind the applied frontier: dropped (see doc)
+            } else if (ver == 0) {
+              cur = attr; ver = 1; from = ts; last = ts
+            } else if (attr == cur) { // Option equality = null-safe <=>
+              last = ts
+            } else {
+              out += ((key, ver, cur, from, ts))
+              cur = attr; ver += 1; from = ts; last = ts
+            }
+          }
+          state.update((cur, ver, from, last))
+          out.iterator
+      }
+      .toDF(keyCol, "version", attrCol, "valid_from_us", "valid_to_us")
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

@@ -245,4 +245,58 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup").count() == 2)
   }
+
+  test("streaming SCD2: intervals close across micro-batches; batch law vs Scd.scd2") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // (key, ts-micros-as-timestamp, attr) — version continuity must hold
+    // across micro-batch boundaries (state carries the open run)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Streaming.scd2Closed(mem.toDF().toDF("k", "ts", "attr"),
+        "k", "ts", "attr")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2s")
+      .start()
+    // batch 1: run 'a' opens, then 'b' closes it
+    mem.addData((1L, t("2024-06-01 10:00:00"), "a"),
+      (1L, t("2024-06-01 10:05:00"), "a"),
+      (1L, t("2024-06-01 10:10:00"), "b"))
+    q.processAllAvailable()
+    val b1 = spark.table("scd2s").collect()
+    assert(b1.length == 1)
+    assert(b1(0).getAs[Int]("version") == 1 && b1(0).getAs[String]("attr") == "a")
+    // batch 2: 'b' still open, survives the boundary; null closes it (a
+    // NULL attribute is a tracked state, opening version 3)
+    mem.addData((1L, t("2024-06-01 10:20:00"), "b"),
+      (1L, t("2024-06-01 10:30:00"), null))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2s").orderBy("version").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Int]("version") == 2 &&
+      rows(1).getAs[String]("attr") == "b" &&
+      rows(1).getAs[Long]("valid_to_us") ==
+        t("2024-06-01 10:30:00").getTime * 1000)
+
+    // BATCH LAW: on a batch frame, scd2Closed == Scd.scd2 minus the open
+    // (is_current) rows — the closed history is identical
+    val df = Seq(
+      (1L, t("2024-06-01 10:00:00"), "a"),
+      (1L, t("2024-06-01 10:10:00"), "b"),
+      (1L, t("2024-06-01 10:30:00"), null),
+      (2L, t("2024-06-01 09:00:00"), "x")  // single open run: no closed rows
+    ).toDF("k", "ts", "attr")
+    val streamed = Streaming.scd2Closed(df, "k", "ts", "attr")
+      .select(col("k"), col("version"), col("attr"),
+        col("valid_from_us"), col("valid_to_us"))
+    val batch = graft.operators.Scd.scd2(df, Seq("k"), "ts", Nil, "attr")
+      .filter(col("valid_to").isNotNull)
+      .select(col("k"), col("version"), col("attr"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() == 2)
+  }
 }
