@@ -227,4 +227,31 @@ class PropertySpec extends SparkSpec {
       if (a.nonEmpty) assert(jw(a, a) == 1.0, s"jw($a,$a) != 1")
     }
   }
+
+  test("triangles: compact-forward counts ≡ brute force on random graphs") {
+    // 10 random graphs on ≤ 12 nodes (dense enough to force wedges through
+    // every orientation case), each checked node-for-node against an O(n³)
+    // enumeration; inputs include duplicate and reversed edges
+    val graphs = Gen.listOfN(10, Gen.listOfN(30, for {
+      a <- Gen.choose(1L, 12L)
+      b <- Gen.choose(1L, 12L)
+    } yield (a, b))).pureApply(Gen.Parameters.default, Seed(11L))
+    graphs.zipWithIndex.foreach { case (edges, gi) =>
+      val und = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        i <- nodes; j <- nodes if i < j && adj(i)(j)
+        l <- nodes if j < l && adj(i)(l) && adj(j)(l)
+      } Seq(i, j, l).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1L)
+      val got = graft.llm.GraphRank
+        .triangleTopK(edges.toDF("src", "dst"), "src", "dst", k = 20)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("tri_cnt"))
+        .toMap
+      assert(got == brute.toMap, s"graph $gi: $got != $brute (edges $und)")
+    }
+  }
 }
