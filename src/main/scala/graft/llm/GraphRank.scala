@@ -165,6 +165,103 @@ object GraphRank {
     ranks.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
   }
 
+  /** Personalized PageRank: power iteration whose teleport mass lands on
+    * a SEED SET instead of uniformly — the topic-conditioned quality
+    * prior ("pages close to these trusted/topical seeds") a curation
+    * pipeline uses where [[pageRank]] gives the global one.
+    *
+    *   r_{k+1}(v) = (1−d)·tele(v) + d · Σ_{u→v} r_k(u)/outdeg(u),
+    *   tele(v) = 1/|S| for v ∈ S, else 0;  r_0 = tele.
+    *
+    * Same plan shape as [[pageRank]] per round (one edge×rank equi-join +
+    * one aggregate; `broadcastRanks`/`reuseFrames` behave identically);
+    * the teleport column rides in the rank frame next to `deg`. Nodes
+    * unreachable from the seeds converge to rank 0 and are still emitted
+    * (a complete frame, deterministic). Same contracts as [[pageRank]]:
+    * node set = edge sources; dst ⊆ src guarded when `validate`; seeds
+    * must appear as sources — unknown seeds fail loudly (their teleport
+    * mass would silently vanish).
+    *
+    * Determinism: identical to [[pageRank]] — scale-12 floored
+    * contributions, no libm.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      rounds: Int, damping: Double = 0.85,
+      validate: Boolean = true, reuseFrames: Boolean = false,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    def ck(df: DataFrame): DataFrame =
+      if (reuseFrames) df.localCheckpoint() else df
+    val base = ck(edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol)))
+    val src = col(srcCol)
+    val dst = col(dstCol)
+    val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    // loud unknown-seed check (always on: a dropped seed silently deletes
+    // teleport mass, the PPR analog of a dangling sink)
+    val unknown = sd.join(od, Seq("node"), "left_anti").limit(1).collect()
+    require(unknown.isEmpty,
+      s"seed '${unknown.headOption.map(_.get(0)).orNull}' is not an edge " +
+        "source: every seed must be a node of the graph")
+    if (validate) {
+      val dangling = base.select(dst.as("node")).distinct()
+        .join(od, Seq("node"), "left_anti").limit(1).collect()
+      require(dangling.isEmpty,
+        s"dangling node '${dangling.headOption.map(_.get(0)).orNull}': every " +
+          "destination must also appear as an edge source (symmetrize first)")
+    }
+    val nSeed = sd.agg(count(lit(1)).as("ns"))
+    def rankSide(r: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
+    val se =
+      if (broadcastRanks) base.select(src.as("__s"), dst.as("__d"))
+      else ck(base.select(src.as("__s"), dst.as("__d"))
+        .repartition(col("__s")))
+    val oneMinusD = 1.0 - damping
+    // teleport rides next to deg in the node frame: 1/|S| on seeds, 0 off
+    val odT = ck(od
+      .join(sd.withColumn("__isSeed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeed))
+      .select(col("node"), col("deg"),
+        when(col("__isSeed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("tele")))
+    // in-degree-0 nodes: rank pinned at (1−d)·tele from round 1 on (0 for
+    // non-seeds — still emitted, the complete-frame convention). Re-unioned
+    // EVERY round so a source-only seed keeps feeding its out-neighbors —
+    // the same retention rule pageRank enforces.
+    val noInR = odT
+      .join(base.select(dst.as("node")).distinct()
+        .withColumn("__hasIn", lit(1)), Seq("node"), "left")
+      .filter(col("__hasIn").isNull)
+      .select(col("node"), col("deg"), col("tele"),
+        (lit(oneMinusD) * col("tele")).as("pr"))
+
+    var r: DataFrame = odT
+      .select(col("node"), col("deg"), col("tele"), col("tele").as("pr"))
+    var ranks: DataFrame = null
+    for (k <- 1 to rounds) {
+      ranks = se
+        .join(rankSide(r.withColumnRenamed("node", "__r")),
+          col("__s") === col("__r"))
+        .groupBy(col("__d").as("node"))
+        .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+          .cast("long")).as("__psum"))
+        // tele/deg re-attach: tele feeds the (1−d)·tele term of THIS
+        // round, deg the next round's contribution division
+        .join(if (broadcastRanks) broadcast(odT) else odT.hint("shuffle_hash"),
+          Seq("node"))
+        .select(col("node"), col("deg"), col("tele"),
+          (lit(oneMinusD) * col("tele") +
+            lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
+        .unionAll(noInR)
+      r = if (k < rounds) ck(ranks) else ranks
+    }
+    ranks.select(col("node"), col("pr"))
+      .withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
+  }
+
   /** Top-`k` nodes by rank: `rnk`, `node`, `pr12` — TakeOrderedAndProject
     * on the exact scale-12 key, ties broken on node id.
     */

@@ -3270,6 +3270,63 @@ object Catalog {
       .transform(ordered("rnk"))
   }
 
+  /** Personalized PageRank ([[graft.llm.GraphRank.personalizedPageRank]]):
+    * 2 rounds over the symmetrized supplier–customer graph with teleport
+    * mass on ONE NATION's suppliers — the topic-conditioned quality prior
+    * ("customers close to these trusted suppliers"). Same round shape and
+    * determinism convention as q97; the rank CTEs carry (deg, tele) so
+    * each round stays a single equi-join in both engines (the q97
+    * optimizer lesson). The `(1e0 - 8.5e-1)` literal reproduces Spark's
+    * IEEE `1.0 - 0.85` bit-exactly.
+    */
+  val q102 = q(
+    "q102_ppr",
+    """WITH e AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src,
+      |                           o_custkey * 2 AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |od AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      |sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+      |       WHERE s_nationkey = 7),
+      |ns AS (SELECT count(*) AS ns FROM sd),
+      |ot AS (SELECT od.node, od.deg,
+      |              CASE WHEN sd.node IS NOT NULL THEN 1e0 / ns.ns ELSE 0e0 END AS tele
+      |       FROM od LEFT JOIN sd ON od.node = sd.node, ns),
+      |r0 AS (SELECT node, deg, tele, tele AS pr FROM ot),
+      |r1 AS (SELECT g.node, ot.deg, ot.tele,
+      |              (1e0 - 8.5e-1) * ot.tele + 8.5e-1 * (CAST(g.psum AS DOUBLE) / 1e12) AS pr
+      |       FROM (SELECT sym.dst AS node,
+      |               sum(CAST(floor((r0.pr / r0.deg) * 1e12 + 0.5) AS BIGINT)) AS psum
+      |             FROM sym JOIN r0 ON sym.src = r0.node GROUP BY sym.dst) g
+      |       JOIN ot ON g.node = ot.node),
+      |r2 AS (SELECT g.node, ot.deg, ot.tele,
+      |              (1e0 - 8.5e-1) * ot.tele + 8.5e-1 * (CAST(g.psum AS DOUBLE) / 1e12) AS pr
+      |       FROM (SELECT sym.dst AS node,
+      |               sum(CAST(floor((r1.pr / r1.deg) * 1e12 + 0.5) AS BIGINT)) AS psum
+      |             FROM sym JOIN r1 ON sym.src = r1.node GROUP BY sym.dst) g
+      |       JOIN ot ON g.node = ot.node),
+      |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
+      |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
+      |SELECT rnk, node, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+        (col("o_custkey") * 2).cast("long").as("dst"))
+      .distinct()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.load(s, d, "supplier")
+      .filter(col("s_nationkey") === 7)
+      .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+    // same execution conventions as q97 (symmetrized-by-construction graph,
+    // materialize-once frames, dimension-sized node set)
+    graft.llm.GraphRank.topK(
+        graft.llm.GraphRank.personalizedPageRank(sym, "src", "dst",
+          seeds, "node", rounds = 2,
+          validate = false, reuseFrames = true, broadcastRanks = true), 20)
+      .transform(ordered("rnk"))
+  }.copy(eagerBuild = true)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3291,5 +3348,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }

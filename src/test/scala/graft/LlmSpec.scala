@@ -1280,6 +1280,48 @@ class LlmSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(0) == 3L))
   }
 
+  test("personalized pagerank: seed teleport, uniform-seed law, source-only seeds, unknown seed") {
+    import spark.implicits._
+    // path a—b—c symmetrized, seeds = {a}; hand-computed with the
+    // scale-12 floor convention (tele: a=1, b=c=0; r0 = tele)
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val seedA = Seq("a").toDF("node")
+    val r1 = GraphRank.personalizedPageRank(sym, "src", "dst", seedA, "node",
+        rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(r1 == Map("a" -> 150000000000L, "b" -> 850000000000L, "c" -> 0L))
+    val r2 = GraphRank.personalizedPageRank(sym, "src", "dst", seedA, "node",
+        rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(r2 == Map("a" -> 511250000000L, "b" -> 127500000000L,
+      "c" -> 361250000000L))
+    // uniform-seed law: seeding EVERY node reproduces plain pageRank
+    val allSeeds = Seq("a", "b", "c").toDF("node")
+    val uni = GraphRank.personalizedPageRank(sym, "src", "dst", allSeeds,
+        "node", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    val plain = GraphRank.pageRank(sym, "src", "dst", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(uni == plain)
+    // a source-only SEED keeps feeding its out-neighbors every round
+    // (directed c→a, a→b, b→a; seeds = {c}): round 2 of b's rank exists
+    // only because a received c's teleport mass in round 1
+    val e = Seq(("c", "a"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seedC = Seq("c").toDF("node")
+    val m2 = GraphRank.personalizedPageRank(e, "src", "dst", seedC, "node",
+        rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    assert(m2 == Map("a" -> 127500000000L, "b" -> 722500000000L,
+      "c" -> 150000000000L))
+    // unknown seed fails loudly (its teleport mass would vanish)
+    val boom = intercept[IllegalArgumentException] {
+      GraphRank.personalizedPageRank(sym, "src", "dst",
+        Seq("zz").toDF("node"), "node", rounds = 1)
+    }
+    assert(boom.getMessage.contains("seed"))
+  }
+
   test("triangles: K4 counts, normalization of dups/reversed/self-loops, no-triangle graphs") {
     import spark.implicits._
     // K4 on 1..4 (4 triangles, each vertex in 3) + pendant 5; input is
