@@ -127,8 +127,10 @@ object GraphRank {
     // (possibly checkpointed) base — cheap to recompute per consumer, so
     // they are NOT separately checkpointed: under reuseFrames the extra
     // job-materialization barrier costs more than the re-derivation saves
+    val dstNodes = base.select(dst.as("node")).distinct()
     val noIn = od.select(col("node"))
-      .join(base.select(dst.as("node")).distinct(), Seq("node"), "left_anti")
+      .join(if (broadcastRanks) broadcast(dstNodes) else dstNodes,
+        Seq("node"), "left_anti")
       .crossJoin(broadcast(n))
       .select(col("node"), (lit(oneMinusD) / col("n")).as("pr"))
     val odR = od
@@ -222,7 +224,7 @@ object GraphRank {
     val oneMinusD = 1.0 - damping
     // teleport rides next to deg in the node frame: 1/|S| on seeds, 0 off
     val odT = ck(od
-      .join(sd.withColumn("__isSeed", lit(1)), Seq("node"), "left")
+      .join(broadcast(sd.withColumn("__isSeed", lit(1))), Seq("node"), "left")
       .crossJoin(broadcast(nSeed))
       .select(col("node"), col("deg"),
         when(col("__isSeed").isNotNull, lit(1.0) / col("ns"))
@@ -231,9 +233,11 @@ object GraphRank {
     // non-seeds — still emitted, the complete-frame convention). Re-unioned
     // EVERY round so a source-only seed keeps feeding its out-neighbors —
     // the same retention rule pageRank enforces.
+    val pprDst = base.select(dst.as("node")).distinct()
+      .withColumn("__hasIn", lit(1))
     val noInR = odT
-      .join(base.select(dst.as("node")).distinct()
-        .withColumn("__hasIn", lit(1)), Seq("node"), "left")
+      .join(if (broadcastRanks) broadcast(pprDst) else pprDst,
+        Seq("node"), "left")
       .filter(col("__hasIn").isNull)
       .select(col("node"), col("deg"), col("tele"),
         (lit(oneMinusD) * col("tele")).as("pr"))

@@ -132,4 +132,22 @@ class PlanShapeSpec extends SparkSpec {
     val beforeProject = windowSection.substring(0, windowSection.indexOf("Project"))
     assert(!beforeProject.contains("vec#") && !beforeProject.contains("qvec#"))
   }
+
+  test("q101: triangle joins are equi-joins, never nested loop or cartesian") {
+    val p = planOf("q101_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q97/q102: pagerank rounds broadcast the rank frame; no nested loop beyond the 1-row stats cross") {
+    // BNLJ is legal here ONLY as the broadcast 1-row `n`/`ns` crossJoin
+    // (IdentityBroadcastMode on an aggregate) — never between data-sized
+    // frames; the edge×rank joins must be hash joins
+    for (name <- Seq("q97_pagerank", "q102_ppr")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, name)
+      assert(!p.contains("SortMergeJoin"), name)
+    }
+  }
 }
