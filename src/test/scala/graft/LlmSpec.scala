@@ -1322,6 +1322,32 @@ class LlmSpec extends SparkSpec {
     assert(boom.getMessage.contains("seed"))
   }
 
+  test("pagerank execution modes agree bit-exactly: reuseFrames × broadcastRanks") {
+    import spark.implicits._
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val seedA = Seq("a").toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    val combos = for {
+      reuse <- Seq(false, true); bcast <- Seq(false, true)
+    } yield (reuse, bcast)
+    val prs = combos.map { case (reuse, bcast) =>
+      m(GraphRank.pageRank(sym, "src", "dst", rounds = 2,
+        reuseFrames = reuse, broadcastRanks = bcast))
+    }
+    assert(prs.forall(_ == prs.head), s"pageRank modes disagree: $prs")
+    assert(prs.head == Map("a" -> 312083333333L, "b" -> 375833333334L,
+      "c" -> 312083333333L)) // the hand-computed reference values
+    val pprs = combos.map { case (reuse, bcast) =>
+      m(GraphRank.personalizedPageRank(sym, "src", "dst", seedA, "node",
+        rounds = 2, reuseFrames = reuse, broadcastRanks = bcast))
+    }
+    assert(pprs.forall(_ == pprs.head), s"ppr modes disagree: $pprs")
+    assert(pprs.head == Map("a" -> 511250000000L, "b" -> 127500000000L,
+      "c" -> 361250000000L))
+  }
+
   test("triangles: K4 counts, normalization of dups/reversed/self-loops, no-triangle graphs") {
     import spark.implicits._
     // K4 on 1..4 (4 triangles, each vertex in 3) + pendant 5; input is
