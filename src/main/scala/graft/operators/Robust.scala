@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier statistics: median / MAD (median absolute
+  * deviation) and the Hampel-style outlier flag
+  *
+  *   |v − median_g(v)|  >  k · 1.4826 · MAD_g(v)
+  *
+  * — the standard data-cleaning gate where mean/stddev fences fail (a few
+  * giant values inflate a stddev until nothing is an outlier; the median
+  * and MAD are 50%-breakdown estimators, so the fence holds no matter how
+  * wild the tail is). 1.4826 is the consistency constant making MAD
+  * estimate σ under normality.
+  *
+  * Plan shape: two per-group aggregates (median, then median of absolute
+  * deviations) + two group-keyed equi-joins — the aggregates use the same
+  * native exact-percentile kernel as q02 ([[graft.functions.NativeAgg]],
+  * ObjectHashAggregate with per-group primitive count maps), so memory is
+  * bounded by each group's value multiset, with
+  * [[graft.operators.Quantiles.quantileCont]] as the documented escape
+  * hatch when a single group's multiset outgrows an executor. Both joins
+  * key on the group columns: the same partitioning serves agg and join
+  * (exchange reuse), and AQE broadcasts the answer-sized median/MAD
+  * frames when the group count is dimension-sized.
+  *
+  * Determinism: the percentile kernel is proven bit-equal to the built-in
+  * and hash-matches DuckDB's `quantile_cont` under the catalog's r4
+  * convention (q02, three SFs). The raw `is_outlier` compare multiplies
+  * left-to-right (`k · 1.4826 · mad`) — mirror the same order in any SQL
+  * twin.
+  */
+object Robust {
+
+  /** Input columns + `med`, `mad`, `dev` (= |v − med|), `is_outlier`.
+    *
+    * @param k fence width in consistency-scaled MADs (3.0 ≈ "3 sigma")
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    graft.functions.NativeAgg // ensure registration on this session
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val med = df.filter(v.isNotNull)
+      .groupBy(g: _*)
+      .agg(element_at(
+        graft.functions.NativeAgg.percentileArray(v, Seq(0.5)), 1).as("med"))
+    val withMed = df.filter(v.isNotNull).join(med, groupCols)
+    val mad = withMed
+      .groupBy(g: _*)
+      .agg(element_at(
+        graft.functions.NativeAgg.percentileArray(abs(v - col("med")), Seq(0.5)),
+        1).as("mad"))
+    withMed.join(mad, groupCols)
+      .withColumn("dev", abs(v - col("med")))
+      .withColumn("is_outlier",
+        col("dev") > lit(k) * lit(1.4826) * col("mad"))
+  }
+}

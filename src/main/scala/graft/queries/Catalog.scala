@@ -3327,6 +3327,45 @@ object Catalog {
       .transform(ordered("rnk"))
   }.copy(eagerBuild = true)
 
+  /** Robust MAD outliers ([[graft.operators.Robust.madOutliers]]): events
+    * whose value sits more than 3 consistency-scaled MADs from their
+    * event-type median — the Hampel data-cleaning gate (50%-breakdown:
+    * heavy tails cannot inflate the fence the way they inflate a stddev).
+    * Medians on both sides are the q02-proven exact-percentile pair
+    * (native kernel vs `quantile_cont`); the fence compare and the output
+    * round at scale 4 with identical left-to-right multiply order.
+    */
+  val q103 = q(
+    "q103_mad_outliers",
+    """WITH t AS (SELECT event_id, event_type, value AS v FROM events
+      |           WHERE value IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM t GROUP BY 1),
+      |j AS (SELECT t.event_id, t.event_type, t.v, med.med
+      |      FROM t JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+      |        FROM j GROUP BY 1),
+      |o AS (SELECT j.event_id, j.event_type, j.v, j.med, mad.mad
+      |      FROM j JOIN mad USING (event_type)
+      |      WHERE floor(abs(j.v - j.med) * 10000 + 0.5) >
+      |            floor(3e0 * 1.4826e0 * mad.mad * 10000 + 0.5))
+      |SELECT event_id, event_type,
+      |       floor(v * 10000 + 0.5) / 10000 AS v4,
+      |       floor(med * 10000 + 0.5) / 10000 AS med4,
+      |       floor(mad * 10000 + 0.5) / 10000 AS mad4
+      |FROM o ORDER BY event_id""".stripMargin) { (s, d) =>
+    val flagged = graft.operators.Robust.madOutliers(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value")),
+      groupCols = Seq("event_type"), valueCol = "value", k = 3.0)
+    flagged
+      .filter(floor(col("dev") * 10000 + 0.5) >
+        floor(lit(3.0) * lit(1.4826) * col("mad") * 10000 + 0.5))
+      .select(col("event_id"), col("event_type"),
+        r4(col("value")).as("v4"), r4(col("med")).as("med4"),
+        r4(col("mad")).as("mad4"))
+      .transform(ordered("event_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3348,5 +3387,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

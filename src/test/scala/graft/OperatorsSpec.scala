@@ -297,6 +297,29 @@ class OperatorsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash Exchange, plan:\n$plan")
   }
 
+  test("mad outliers: hampel fence flags the spike, breakdown survives a wild tail") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // group g: values 1..9 plus a spike of 100 — med 5 (of the 10 values:
+    // interpolated 5.5), MAD of devs; the spike must flag, the body not.
+    // group h: HALF the values are absurd (1e9) — the median/MAD fence
+    // still centers on the sane half (50% breakdown), flagging the giants
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 100.0)) ++
+      ((1 to 6).map(i => ("h", i.toDouble)) ++ (1 to 5).map(_ => ("h", 1e9)))
+    val out = Robust.madOutliers(df.toDF("k", "v"), Seq("k"), "v")
+    val gRows = out.filter(col("k") === "g").collect()
+    assert(gRows.count(_.getAs[Boolean]("is_outlier")) == 1)
+    assert(gRows.find(_.getAs[Boolean]("is_outlier")).get.getAs[Double]("v") == 100.0)
+    val hRows = out.filter(col("k") === "h").collect()
+    assert(hRows.filter(_.getAs[Boolean]("is_outlier"))
+      .forall(_.getAs[Double]("v") == 1e9))
+    assert(hRows.count(_.getAs[Boolean]("is_outlier")) == 5)
+    // nulls are excluded, not flagged
+    val withNull = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", None)).toDF("k", "v")
+    assert(Robust.madOutliers(withNull, Seq("k"), "v").count() == 3)
+  }
+
   test("scd2 multi-attribute: any-attr change opens a version, null-safe tuples") {
     import spark.implicits._
     import graft.operators.Scd
