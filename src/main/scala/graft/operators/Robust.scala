@@ -33,6 +33,36 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [`pLo`, `pHi`] percentile band instead of dropping tail rows — the
+    * keep-and-cap companion to [[madOutliers]] (drop loses the row's
+    * other signal; capping keeps it while bounding the tail's leverage
+    * on downstream means/sums). Returns the input columns + `lo`, `hi`
+    * (the group's band) and `v_w` (the clipped value:
+    * `least(greatest(v, lo), hi)`).
+    *
+    * One percentile aggregate (both bounds in one pass of the same
+    * kernel as [[madOutliers]]) + one group-keyed equi-join against the
+    * answer-sized bounds frame.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      "need 0 <= pLo < pHi <= 1")
+    graft.functions.NativeAgg // ensure registration on this session
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val bounds = df.filter(v.isNotNull)
+      .groupBy(g: _*)
+      .agg(graft.functions.NativeAgg.percentileArray(v, Seq(pLo, pHi)).as("__b"))
+      .select((g :+ element_at(col("__b"), 1).as("lo")
+        :+ element_at(col("__b"), 2).as("hi")): _*)
+    df.filter(v.isNotNull).join(bounds, groupCols)
+      .withColumn("v_w", least(greatest(v, col("lo")), col("hi")))
+  }
+
   /** Input columns + `med`, `mad`, `dev` (= |v − med|), `is_outlier`.
     *
     * @param k fence width in consistency-scaled MADs (3.0 ≈ "3 sigma")

@@ -3366,6 +3366,46 @@ object Catalog {
       .transform(ordered("event_id"))
   }
 
+  /** Winsorized per-type aggregates ([[graft.operators.Robust.winsorize]]):
+    * clip event values to their type's [p05, p95] band, then compare
+    * clipped vs raw totals — the keep-and-cap tail-leverage report.
+    * Sums are scale-4 exact longs (order-independent on any merge tree);
+    * clip-count compares use the raw interpolated bounds under the q02
+    * percentile-parity convention.
+    */
+  val q104 = q(
+    "q104_winsorize",
+    """WITH t AS (SELECT event_type, value AS v FROM events
+      |           WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, quantile_cont(v, 0.05) AS lo,
+      |             quantile_cont(v, 0.95) AS hi
+      |      FROM t GROUP BY 1),
+      |j AS (SELECT t.event_type, t.v, b.lo, b.hi,
+      |             least(greatest(t.v, b.lo), b.hi) AS vw
+      |      FROM t JOIN b USING (event_type))
+      |SELECT event_type,
+      |       count(*) AS n,
+      |       sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_lo,
+      |       sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_hi,
+      |       CAST(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_raw4,
+      |       CAST(sum(CAST(floor(vw * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_w4
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = graft.operators.Robust.winsorize(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      groupCols = Seq("event_type"), valueCol = "value",
+      pLo = 0.05, pHi = 0.95)
+    w.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1).otherwise(0)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1).otherwise(0)).as("n_hi"),
+        (sum(floor(col("value") * 10000 + 0.5).cast("long")).cast("double") /
+          10000).as("sum_raw4"),
+        (sum(floor(col("v_w") * 10000 + 0.5).cast("long")).cast("double") /
+          10000).as("sum_w4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3387,5 +3427,5 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 }

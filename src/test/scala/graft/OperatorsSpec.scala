@@ -320,6 +320,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Robust.madOutliers(withNull, Seq("k"), "v").count() == 3)
   }
 
+  test("winsorize: tails clip to the band, body passes through, nulls excluded") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // 1..20 in one group: p05/p95 interpolated bounds (1.95, 19.05);
+    // 1 clips up, 20 clips down, everything else passes through
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val w = Robust.winsorize(df, Seq("k"), "v", pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[Double]("v_w")).toMap
+    assert(math.abs(w(1.0) - 1.95) < 1e-12 && math.abs(w(20.0) - 19.05) < 1e-12)
+    assert((2 to 19).forall(i => w(i.toDouble) == i.toDouble))
+    // null values drop (not clipped to a bound)
+    val withNull = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", None))
+      .toDF("k", "v")
+    assert(Robust.winsorize(withNull, Seq("k"), "v").count() == 2)
+  }
+
   test("scd2 multi-attribute: any-attr change opens a version, null-safe tuples") {
     import spark.implicits._
     import graft.operators.Scd
