@@ -51,108 +51,6 @@ object Scratch {
       }
       spark.stop(); return
     }
-    if (name == "q97cum") {
-      import org.apache.spark.sql.functions._
-      def t[A](label: String)(f: => A): A = {
-        val t0 = System.nanoTime(); val a = f
-        println(f"[cum] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); a
-      }
-      def noop(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("noop").mode("overwrite").save()
-      for (i <- 1 to 3) {
-        println(s"--- iteration $i ---")
-        val e = graft.Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-          .join(graft.Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
-            (col("o_custkey") * 2).cast("long").as("dst"))
-          .distinct()
-        val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        if (i > 1) t("sym")(noop(sym))
-        val od = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        if (i > 1) t("od")(noop(od))
-        val n = od.agg(count(lit(1)).as("n"))
-        val se = sym.join(od.withColumnRenamed("node", "__src"), col("src") === col("__src"))
-          .select(col("src").as("__s"), col("dst").as("__d"), col("deg"))
-          .repartition(col("__s"))
-        if (i > 1) t("se")(noop(se))
-        val noIn = od.select(col("node"))
-          .join(sym.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-          .crossJoin(broadcast(n))
-          .select(col("node"), (lit(0.15) / col("n")).as("pr"))
-        if (i > 1) t("noIn")(noop(noIn))
-        var r = od.select(col("node")).crossJoin(broadcast(n))
-          .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-        for (k <- 1 to 2) {
-          r = se.join(r.withColumnRenamed("node", "__r").hint("shuffle_hash"),
-              col("__s") === col("__r"))
-            .groupBy(col("__d").as("node"))
-            .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5).cast("long")).as("__psum"))
-            .crossJoin(broadcast(n))
-            .select(col("node"), (lit(0.15) / col("n") +
-              lit(0.85) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
-            .unionAll(noIn)
-          val rr = r
-          if (i > 1) t(s"round$k")(noop(rr))
-        }
-        val full = graft.llm.GraphRank.topK(
-          r.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long")), 20)
-        t("full")(noop(full))
-      }
-      spark.stop(); return
-    }
-    if (name == "q97parts") {
-      import org.apache.spark.sql.functions._
-      def t[A](label: String)(f: => A): A = {
-        val t0 = System.nanoTime(); val a = f
-        println(f"[part] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); a
-      }
-      for (i <- 1 to 3) {
-        println(s"--- iteration $i ---")
-        val e = t("e build (join+distinct noop)") {
-          val d = graft.Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-            .join(graft.Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-              concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-            .distinct()
-          d.write.format("noop").mode("overwrite").save(); d
-        }
-        val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        val base = t("base localCheckpoint")(sym.localCheckpoint())
-        val od = base.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        val se = t("se build+ck") {
-          base.join(od.withColumnRenamed("node", "__src"), col("src") === col("__src"))
-            .select(col("src").as("__s"), col("dst").as("__d"), col("deg"))
-            .repartition(col("__s")).localCheckpoint()
-        }
-        val n = od.agg(count(lit(1)).as("n"))
-        val noIn = t("noIn build+ck") {
-          od.select(col("node"))
-            .join(base.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-            .crossJoin(broadcast(n))
-            .select(col("node"), (lit(0.15) / col("n")).as("pr")).localCheckpoint()
-        }
-        var r = od.select(col("node")).crossJoin(broadcast(n))
-          .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-        for (k <- 1 to 2) {
-          r = se.join(r.withColumnRenamed("node", "__r").hint("shuffle_hash"),
-              col("__s") === col("__r"))
-            .groupBy(col("__d").as("node"))
-            .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5).cast("long")).as("__psum"))
-            .crossJoin(broadcast(n))
-            .select(col("node"), (lit(0.15) / col("n") +
-              lit(0.85) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
-            .unionAll(noIn)
-          val rr = r
-          t(s"round $k noop")(rr.write.format("noop").mode("overwrite").save())
-        }
-        t("topK")(graft.llm.GraphRank.topK(
-          r.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long")), 20)
-          .write.format("noop").mode("overwrite").save())
-      }
-      spark.stop(); return
-    }
     val eager = graft.queries.Catalog.eagerBuildQueries.contains(name)
     val d = graft.SparkEntry.queries(name)(spark, sfDir)
     d.explain("formatted")
