@@ -318,6 +318,17 @@ class OperatorsSpec extends SparkSpec {
     val withNull = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
       ("g", None)).toDF("k", "v")
     assert(Robust.madOutliers(withNull, Seq("k"), "v").count() == 3)
+    // MAD = 0 (majority exact dups): ANY deviation flags — the standard
+    // Hampel degenerate case, and a single-row group never flags itself
+    val degenerate = Seq(("d", 5.0), ("d", 5.0), ("d", 5.0), ("d", 9.0),
+      ("one", 42.0)).toDF("k", "v")
+    val dOut = Robust.madOutliers(degenerate, Seq("k"), "v").collect()
+    assert(dOut.filter(_.getAs[String]("k") == "d")
+      .count(_.getAs[Boolean]("is_outlier")) == 1)
+    assert(dOut.find(r => r.getAs[String]("k") == "d" &&
+      r.getAs[Boolean]("is_outlier")).get.getAs[Double]("v") == 9.0)
+    assert(!dOut.find(_.getAs[String]("k") == "one").get
+      .getAs[Boolean]("is_outlier"))
   }
 
   test("winsorize: tails clip to the band, body passes through, nulls excluded") {

@@ -299,4 +299,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
     assert(batch.count() == 2)
   }
+
+  test("streaming SCD2 drops arrivals behind the applied frontier") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streaming.scd2Closed(mem.toDF().toDF("k", "ts", "attr"),
+        "k", "ts", "attr")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2late")
+      .start()
+    mem.addData((1L, t("2024-06-01 10:00:00"), "a"),
+      (1L, t("2024-06-01 10:10:00"), "b"))
+    q.processAllAvailable()
+    // a late 'c' OLDER than the applied frontier (10:10) must be dropped —
+    // not open a version, not rewrite history
+    mem.addData((1L, t("2024-06-01 10:05:00"), "c"),
+      (1L, t("2024-06-01 10:20:00"), "d"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2late").orderBy("version").collect()
+    assert(rows.map(_.getAs[String]("attr")).toSeq == Seq("a", "b"))
+    assert(rows.map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    // 'b' closed at d's ts (20), NOT at the late c's ts (05)
+    assert(rows(1).getAs[Long]("valid_to_us") ==
+      t("2024-06-01 10:20:00").getTime * 1000)
+  }
 }

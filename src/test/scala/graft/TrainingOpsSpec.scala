@@ -435,6 +435,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(tie == Seq(3L, 5L))
   }
 
+  test("rrf fusion guards: duplicate ids collapse to best rank, non-positive rank raises") {
+    // a duplicate id in one list must NOT fan out through the full-outer
+    // join — it collapses to its best (minimum) rank before fusing
+    val dup = Seq((10L, 3), (10L, 1), (20L, 2)).toDF("i", "r")
+    val other = Seq((10L, 1)).toDF("i", "r")
+    val out = HybridRetrieval.rrfFuse(dup, "i", "r", other, "i", "r",
+      k = 60, topK = 10).collect()
+    assert(out.length == 2) // one fused row per id, not three
+    val d10 = out.find(_.getAs[Long]("id") == 10L).get
+    assert(d10.getAs[Int]("ra") == 1) // min(3, 1)
+    assert(d10.getAs[Long]("fused8") ==
+      math.floor((1.0 / 61 + 1.0 / 61) * 1e8 + 0.5).toLong)
+    // rank 0 / negative ranks violate the 1-based contract → loud failure
+    // at execution (a rank of exactly -k would divide by zero)
+    val bad = Seq((10L, 0)).toDF("i", "r")
+    val boom = intercept[Exception] {
+      HybridRetrieval.rrfFuse(bad, "i", "r", other, "i", "r", 60, 10).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("bm25: scale-4 exact scores, ranking, and no-match exclusion") {
     val docs = Seq(
       (1L, "join hash"),          // dl=2, matches join+hash
