@@ -24,7 +24,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (driver never sets it): comma-separated query
+    // names; when present, only those queries are dumped — the oracle json
+    // still carries every query, so tools/check.py must be pointed at the
+    // matching subset (it reports missing dumps as failures otherwise).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // remove any previous dump FIRST: if this query fails, a stale
       // (previously correct) result must not survive to be compared as
       // if fresh — a failed query should read as missing, not green

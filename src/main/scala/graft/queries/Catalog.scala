@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Macros
-import graft.operators.{Asof, Dedupe, Merge, Profile}
+import graft.operators.{Asof, Dedupe, Funnel, Merge, Profile, Retention}
 
 /** One named query per operator family in SURVEY.md §2, paired with an
   * ANSI-SQL oracle the driver runs in DuckDB over the same parquet tables.
@@ -3406,6 +3406,58 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Ordered-funnel conversion ([[graft.operators.Funnel.summary]]):
+    * signup → click → purchase with strict after-previous-step ordering,
+    * reported as per-step reach counts plus total signup-to-step latency.
+    * Latency sums are exact micros LONGS (order-independent on any merge
+    * tree); the plan is entity-keyed aggregates + equi-joins only — the
+    * step-type filters push to the scan and no window ever sees the full
+    * event stream (see the operator scaladoc for the 100 TB shape).
+    */
+  val q105 = q(
+    "q105_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |f AS (SELECT s1.user_id, t1, t2, t3
+      |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+      |SELECT 1 AS step, 'signup' AS step_name, count(t1) AS n_entities,
+      |       CAST(NULL AS BIGINT) AS sum_lat_us FROM f
+      |UNION ALL
+      |SELECT 2, 'click', count(t2),
+      |       CAST(sum(CASE WHEN t2 IS NOT NULL THEN epoch_us(t2) - epoch_us(t1) END) AS BIGINT) FROM f
+      |UNION ALL
+      |SELECT 3, 'purchase', count(t3),
+      |       CAST(sum(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT) FROM f
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    Funnel.summary(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .transform(ordered("step"))
+  }
+
+  /** Weekly cohort retention ([[graft.operators.Retention.cohorts]]):
+    * entities bucketed by first-seen week, counted at each week offset —
+    * the retention triangle. All period arithmetic is epoch-anchored
+    * integer floor division (no calendar/`date_trunc` semantics), so keys
+    * are bit-identical cross-engine; the plan is one entity aggregate, one
+    * entity equi-join (partitioning reused), one bounded distinct-count.
+    */
+  val q106 = q(
+    "q106_retention",
+    """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS p FROM events),
+      |f AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY 1)
+      |SELECT f.cohort, p.p - f.cohort AS week_offset,
+      |       count(DISTINCT p.user_id) AS n_entities
+      |FROM p JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
+    Retention.cohorts(Tables.events(s, d), "user_id", "ts", periodDays = 7)
+      .select(col("cohort"), col("offset").as("week_offset"), col("n_entities"))
+      .transform(ordered("cohort", "week_offset"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3427,5 +3479,6 @@ object Catalog {
     q56, q57, q58, q59, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
+    q105, q106)
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Retention}
+
+/** Behavioral-analytics operators: ordered funnels and cohort retention. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel stepTimes: strict ordering, earliest completion, suffix nulls") {
+    val events = Seq(
+      // u1 completes all three steps, with a decoy earlier purchase that
+      // precedes its click and must NOT count (ordering is per-step).
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"), // before click → ignored
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (1L, ts("2024-01-01 13:00:00"), "click"), // later click → not earliest
+      // u2 clicks BEFORE signing up → never reaches step 2.
+      (2L, ts("2024-01-02 09:00:00"), "click"),
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      // u3: click at the EXACT signup instant → strict > rejects it.
+      (3L, ts("2024-01-03 10:00:00"), "signup"),
+      (3L, ts("2024-01-03 10:00:00"), "click"),
+      // u4 never signs up → not in the funnel at all.
+      (4L, ts("2024-01-04 10:00:00"), "click"),
+      (4L, ts("2024-01-04 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val t = Funnel.stepTimes(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    assert(t.keySet == Set(1L, 2L, 3L))
+    assert(t(1L) == (Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 12:00:00"))))
+    assert(t(2L) == (Some(ts("2024-01-02 10:00:00")), None, None))
+    assert(t(3L) == (Some(ts("2024-01-03 10:00:00")), None, None))
+  }
+
+  test("funnel summary: per-step reach counts and exact step-1 latency sums") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:30:00"), "click"),
+      (3L, ts("2024-01-03 10:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val rows = Funnel.summary(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(rows.map(_.getInt(0)).sameElements(Array(1, 2, 3)))
+    assert(rows.map(_.getString(1)).sameElements(Array("signup", "click", "purchase")))
+    assert(rows.map(_.getLong(2)).sameElements(Array(3L, 2L, 1L)))
+    assert(rows(0).isNullAt(3))
+    // u1: 1h, u2: 30min → 90 min in micros; purchase: u1 2h from signup.
+    assert(rows(1).getLong(3) == 90L * 60 * 1000000)
+    assert(rows(2).getLong(3) == 120L * 60 * 1000000)
+  }
+
+  test("funnel rejects duplicate steps") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.stepTimes(df, "user_id", "ts", "event_type", Seq("a", "b", "a"))
+    }
+  }
+
+  test("retention cohorts: epoch-anchored weeks, offset-0 = cohort size") {
+    // Epoch week w covers days [7w, 7w+7). 2024-01-01 is day 19723 → week 2817
+    // (19723 div 7 = 2817, days 19719–19725 → 2024-12-28…2024-01-03).
+    val events = Seq(
+      // u1 first seen week A, active weeks A, A+1, A+3.
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      // u2 first seen week A, active only week A (two events, one distinct).
+      (2L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      // u3 first seen week A+1, active weeks A+1 and A+2.
+      (3L, ts("2024-01-08 10:00:00")),
+      (3L, ts("2024-01-15 10:00:00"))
+    ).toDF("user_id", "ts")
+    val weekA = 19723L / 7 // 2024-01-01's epoch week
+    val got = Retention.cohorts(events, "user_id", "ts", periodDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (weekA, 0L) -> 2L, (weekA, 1L) -> 1L, (weekA, 3L) -> 1L,
+      (weekA + 1, 0L) -> 1L, (weekA + 1, 1L) -> 1L))
+  }
+
+  test("retention cohorts: daily periods and positive-period guard") {
+    val events = Seq(
+      (1L, ts("2024-01-01 01:00:00")),
+      (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-03 01:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Retention.cohorts(events, "user_id", "ts", periodDays = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      Retention.cohorts(events, "user_id", "ts", periodDays = 0)
+    }
+  }
+}
