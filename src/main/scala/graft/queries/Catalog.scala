@@ -3458,6 +3458,66 @@ object Catalog {
       .transform(ordered("cohort", "week_offset"))
   }
 
+  /** Count–min sketch frequency oracle ([[graft.llm.CountMin]]): build a
+    * 4×1024 grid over document tokens, probe the 50 most frequent tokens,
+    * and report estimate vs exact — the CMS overestimate property
+    * (`est ≥ exact`) is visible in the output. The sketch build's shuffle
+    * is bounded at depth×width rows PER PARTITION by map-side combine
+    * (executor-count-bounded, not data-bounded); probing broadcasts the
+    * KB-sized grid. Hashes are the md5-keyspace convention — pure integer
+    * arithmetic, bit-identical cross-engine.
+    */
+  val q107 = q(
+    "q107_count_min",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |g AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |sk AS (SELECT r, CAST(('0x' || substr(md5('cm|' || CAST(r AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+      |              count(*) AS cnt
+      |       FROM toks CROSS JOIN g GROUP BY 1, 2),
+      |ex AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1
+      |       ORDER BY count(*) DESC, tok LIMIT 50),
+      |pr AS (SELECT ex.tok, ex.exact, g.r,
+      |              CAST(('0x' || substr(md5('cm|' || CAST(g.r AS VARCHAR) || '|' || ex.tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+      |       FROM ex CROSS JOIN g)
+      |SELECT pr.tok, CAST(max(pr.exact) AS BIGINT) AS exact, CAST(min(sk.cnt) AS BIGINT) AS est
+      |FROM pr JOIN sk ON pr.r = sk.r AND pr.bucket = sk.bucket
+      |GROUP BY pr.tok ORDER BY tok""".stripMargin) { (s, d) =>
+    import graft.llm.CountMin
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sk = CountMin.sketch(toks, "tok", depth = 4, width = 1024)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(50)
+    val est = CountMin.estimate(sk, exact.select(col("tok")), "tok",
+      depth = 4, width = 1024)
+    exact.join(est, Seq("tok"))
+      .select(col("tok"), col("exact"), col("est"))
+      .transform(ordered("tok"))
+  }
+
+  /** Hashing-trick vectorizer ([[graft.llm.FeatureHash.vectorize]]): the
+    * vocabulary-free sparse feature matrix — md5-bucket + ±1 sign per
+    * token, summed per (doc, slot). No fitted vocabulary, no join, no
+    * coordination: one explode + one (doc, bucket) aggregate whose shuffle
+    * is output-bounded (≤ numBuckets rows per doc survive map-side
+    * combine). Output slice: every 25th document (the hash is per-row, so
+    * the slice is representative and the filter pushes to the scan).
+    */
+  val q108 = q(
+    "q108_feature_hashing",
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE doc_id % 25 = 0),
+      |c AS (SELECT doc_id, ${graft.llm.FeatureHash.bucketSql("tok", 64)} AS bucket,
+      |             CAST(sum(${graft.llm.FeatureHash.signSql("tok")}) AS BIGINT) AS value
+      |      FROM w GROUP BY doc_id, bucket)
+      |SELECT * FROM c WHERE value <> 0 ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+    graft.llm.FeatureHash.vectorize(
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        "doc_id", "toks", numBuckets = 64)
+      .transform(ordered("doc_id", "bucket"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3480,5 +3540,5 @@ object Catalog {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106)
+    q105, q106, q107, q108)
 }
