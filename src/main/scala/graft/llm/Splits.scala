@@ -149,4 +149,58 @@ object Splits {
     s"substr(md5('${sqlLit(salt)}|' || CAST($keyExprSql AS VARCHAR)), 1, 8) < " +
       s"(CASE $strataColSql $whens ELSE '${hexThreshold(defaultRate)}' END)"
   }
+
+  /** WEIGHTED sampling without replacement — priority sampling (Duffield,
+    * Lund & Thorup 2007): each row gets priority `w / u` with `u` a
+    * deterministic uniform draw on (0, 1], and the k highest-priority rows
+    * per stratum are the sample — inclusion probability ∝ weight (in the
+    * w/τ-threshold sense), the "sample documents proportional to length /
+    * quality score" primitive of corpus assembly. Complements
+    * [[stratifiedSample]] (uniform rate) and [[bottomK]] (uniform size):
+    * this one is size-fixed AND weight-biased.
+    *
+    * Priority sampling is chosen over Efraimidis–Spirakis (`u^(1/w)` keys)
+    * deliberately: its key needs only one IEEE DIVISION — correctly
+    * rounded, hence bit-identical in every engine — where E–S needs
+    * `pow`/`ln`, whose last-ulp behavior is libm-specific. Same estimator
+    * quality class; engine-portable determinism for free.
+    *
+    * `u = (h + 1) / 2³²` with `h` the first 8 hex digits of
+    * `md5(salt|key)` — the exact dyadic rational is representable, the
+    * division correctly rounded, zero RNG state (the [[splitColumn]]
+    * keyspace convention). Ties are impossible (md5 of distinct keys), so
+    * top-k per stratum (rank window with the key as final tie-break) is
+    * exact and mergeable: per-partition partial top-k under the window's
+    * partial sort, then merge — never a global sort.
+    */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String = "pri"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains("__prk"),
+      "prioritySample input already has a __prk column — rename it first")
+    val pri = priorityColumn(col(keyCol), col(weightCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(pri.desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__prk", row_number().over(w))
+      .filter(col("__prk") <= k)
+      .drop("__prk")
+  }
+
+  /** The priority expression `w / ((h+1)/2³²)` of [[prioritySample]]. */
+  def priorityColumn(key: Column, weight: Column, salt: String = "pri"): Column =
+    weight.cast("double") /
+      ((conv(substring(md5(concat(lit(s"$salt|"), key.cast("string"))), 1, 8),
+        16, 10).cast("double") + 1.0) / 4294967296.0)
+
+  /** SQL twin of [[priorityColumn]] for cross-engine oracles (DuckDB). */
+  def prioritySql(keyExprSql: String, weightExprSql: String,
+      salt: String = "pri"): String =
+    s"CAST($weightExprSql AS DOUBLE) / " +
+      s"((CAST(('0x' || substr(md5('${sqlLit(salt)}|' || CAST($keyExprSql AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)"
 }

@@ -26,4 +26,45 @@ object Profile {
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) as (column_name, n_null, null_frac)")
   }
+
+  /** Per-group Shannon entropy (bits) of a categorical column — the
+    * dataset-composition diversity metric ("how mixed is each source's
+    * language distribution"): 0 = all one value, log₂(#values) = uniform.
+    * Output: (groupCols…, n, n_values, entropy_bits, norm_entropy) where
+    * `norm_entropy = entropy / log₂(n_values)` (null when n_values = 1).
+    *
+    * Computed as `log₂(n) − (Σ c·log₂(c)) / n` over the per-(group, value)
+    * counts c — algebraically equal to −Σ p·log₂p but with one log per
+    * DISTINCT value instead of one division per value, and exact integer
+    * (n, c) inputs to every log.
+    *
+    * Plan shape (scale story): two chained hash aggregates —
+    * (group, value) counts, then per-group combine — the q22/q94 two-level
+    * shape: no Expand, no window, shuffle volume bounded by
+    * |groups × values| after map-side combine, not by row count.
+    *
+    * Determinism: Σ c·log₂(c) is a double sum whose last-ulp value is
+    * association-dependent; the catalog's r4 rounding absorbs it (the q47
+    * moments convention — see that scaladoc for the boundary analysis and
+    * the DECIMAL escape hatch).
+    */
+  def categoricalEntropy(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((g :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("n_values"),
+        sum(col("__c").cast("double") * log2(col("__c"))).as("__clc"))
+      .select((g ++ Seq(
+        col("n"), col("n_values"),
+        (log2(col("n")) - col("__clc") / col("n")).as("entropy_bits"),
+        when(col("n_values") > 1,
+          (log2(col("n")) - col("__clc") / col("n")) / log2(col("n_values")))
+          .as("norm_entropy"))): _*)
+  }
 }

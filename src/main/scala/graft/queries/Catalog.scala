@@ -3518,6 +3518,81 @@ object Catalog {
       .transform(ordered("doc_id", "bucket"))
   }
 
+  /** Dataset-composition entropy ([[Profile.categoricalEntropy]]): per
+    * source, the Shannon entropy (bits) of its language mix — the
+    * corpus-diversity dashboard number. Two chained hash aggregates
+    * (q22/q94 shape); entropy doubles are r4-rounded under the q47 moments
+    * convention (exact integer log inputs, association-absorbing rounding).
+    */
+  val q109 = q(
+    "q109_entropy_profile",
+    """WITH c AS (SELECT source, lang, count(*) AS c FROM documents
+      |           WHERE lang IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_values,
+      |             sum(c * log2(c)) AS clc FROM c GROUP BY 1)
+      |SELECT source, n, n_values,
+      |       floor((log2(n) - clc / n) * 10000 + 0.5) / 10000 AS entropy4,
+      |       CASE WHEN n_values > 1
+      |            THEN floor(((log2(n) - clc / n) / log2(n_values)) * 10000 + 0.5) / 10000
+      |       END AS norm4
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    Profile.categoricalEntropy(Tables.documents(s, d), Seq("source"), "lang")
+      .select(col("source"), col("n"), col("n_values"),
+        r4(col("entropy_bits")).as("entropy4"),
+        r4(col("norm_entropy")).as("norm4"))
+      .transform(ordered("source"))
+  }
+
+  /** Equi-depth histogram ([[graft.operators.Histogram.equiDepth]]):
+    * 8 equal-count buckets of `value` per event type with exact
+    * boundaries — the skew-proof histogram (and the optimizer-statistics
+    * shape). `ntile` over a per-type window (groups parallelize; never a
+    * global window) + one bounded aggregate; unique tie-break makes the
+    * bucketing bit-identical cross-engine. lo/hi are stored values
+    * (selection, not arithmetic) — output raw.
+    */
+  val q110 = q(
+    "q110_equidepth_hist",
+    """WITH t AS (SELECT event_type, value AS v, event_id FROM events
+      |           WHERE value IS NOT NULL),
+      |b AS (SELECT event_type,
+      |             ntile(8) OVER (PARTITION BY event_type ORDER BY v, event_id) AS bucket,
+      |             v FROM t)
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+      |       min(v) AS lo, max(v) AS hi
+      |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    graft.operators.Histogram.equiDepth(
+        Tables.events(s, d).select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), "value", k = 8, tieBreak = col("event_id"))
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("n"), col("lo"), col("hi"))
+      .transform(ordered("event_type", "bucket"))
+  }
+
+  /** Weighted sampling without replacement
+    * ([[graft.llm.Splits.prioritySample]]): per language, the 10 documents
+    * sampled with probability ∝ length (priority sampling — w/u keys, one
+    * correctly-rounded IEEE division, so the draw is bit-identical
+    * cross-engine; see the operator scaladoc for why not E–S `u^(1/w)`).
+    * Completes the sampling family: q31 uniform, q58 rate-stratified,
+    * q70 size-stratified, q111 weight-biased.
+    */
+  val q111 = q(
+    "q111_priority_sample",
+    s"""WITH s AS (SELECT doc_id, lang, n_chars,
+      |             ${graft.llm.Splits.prioritySql("doc_id", "n_chars")} AS pri
+      |           FROM documents WHERE n_chars > 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk
+      |      FROM s)
+      |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 10
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    graft.llm.Splits.prioritySample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        keyCol = "doc_id", weightCol = "n_chars", strataCol = "lang", k = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .transform(ordered("lang", "doc_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3540,5 +3615,5 @@ object Catalog {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108)
+    q105, q106, q107, q108, q109, q110, q111)
 }

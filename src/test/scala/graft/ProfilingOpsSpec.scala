@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Splits
+import graft.operators.{Histogram, Profile}
+
+/** Entropy profiling, equi-depth histograms, priority sampling. */
+class ProfilingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("categoricalEntropy: uniform = log2(k) bits, constant = 0, null-safe") {
+    val df = Seq(
+      // g1: 4 values uniform → 2 bits, norm 1.0
+      ("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
+      // g2: all same → 0 bits, norm null
+      ("g2", "x"), ("g2", "x"), ("g2", "x"),
+      // g3: 3:1 mix → H = 2 - 0.75*log2(3) ≈ 0.8113
+      ("g3", "p"), ("g3", "p"), ("g3", "p"), ("g3", "q"),
+      // nulls are excluded from the distribution
+      ("g2", null)
+    ).toDF("g", "v")
+    val got = Profile.categoricalEntropy(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+         if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("g1")._1 == 4 && got("g1")._2 == 4)
+    assert(math.abs(got("g1")._3 - 2.0) < 1e-12)
+    assert(math.abs(got("g1")._4.get - 1.0) < 1e-12)
+    assert(got("g2") == ((3L, 1L, 0.0, None)))
+    val h3 = 2.0 - 0.75 * (math.log(3.0) / math.log(2.0))
+    assert(math.abs(got("g3")._3 - h3) < 1e-12)
+  }
+
+  test("equiDepth: bucket sizes differ by at most one, boundaries nest") {
+    val df = (1 to 103).map(i => ("t", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val h = Histogram.equiDepth(df, Seq("g"), "v", k = 8, tieBreak = col("id"))
+      .orderBy("bucket").collect()
+    assert(h.length == 8)
+    val sizes = h.map(_.getLong(2))
+    assert(sizes.sum == 103 && sizes.max - sizes.min <= 1)
+    // ntile puts the remainder in the FIRST buckets: 103 = 7*13 + 12
+    assert(sizes.take(7).forall(_ == 13L) && sizes.last == 12L)
+    // buckets tile the sorted domain: each hi < next lo (distinct values)
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) < b.getDouble(3))
+    }
+    assert(h.head.getDouble(3) == 1.0 && h.last.getDouble(4) == 103.0)
+  }
+
+  test("equiDepth: ties at boundaries split deterministically by tie-break") {
+    val df = Seq.tabulate(10)(i => ("g", 5.0, i.toLong)).toDF("g", "v", "id")
+    val a = Histogram.equiDepth(df, Seq("g"), "v", 3, col("id")).orderBy("bucket").collect()
+    val b = Histogram.equiDepth(df.repartition(7), Seq("g"), "v", 3, col("id"))
+      .orderBy("bucket").collect()
+    assert(a.map(_.getLong(2)).sameElements(Array(4L, 3L, 3L)))
+    assert(a.map(r => (r.getInt(1), r.getLong(2))).sameElements(
+      b.map(r => (r.getInt(1), r.getLong(2)))))
+  }
+
+  test("prioritySample: fixed size per stratum, weight-biased, deterministic") {
+    val rows = (1 to 400).map { i =>
+      val stratum = if (i % 2 == 0) "s1" else "s2"
+      // half the rows get 100x the weight of the other half
+      val w = if (i % 4 < 2) 1000.0 else 10.0
+      (i.toLong, stratum, w)
+    }
+    val df = rows.toDF("id", "s", "w")
+    val got = Splits.prioritySample(df, "id", "w", "s", k = 20)
+    val byStratum = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("s1" -> 20L, "s2" -> 20L))
+    // heavy rows (100x weight) should dominate the sample
+    val heavy = got.filter(col("w") === 1000.0).count()
+    assert(heavy >= 30, s"only $heavy/40 sampled rows are heavy-weight")
+    // deterministic under repartitioning
+    val again = Splits.prioritySample(df.repartition(13), "id", "w", "s", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("prioritySample: non-positive weights excluded, k guard") {
+    val df = Seq((1L, "s", 5.0), (2L, "s", 0.0), (3L, "s", -1.0)).toDF("id", "s", "w")
+    val got = Splits.prioritySample(df, "id", "w", "s", k = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Splits.prioritySample(df, "id", "w", "s", k = 0)
+    }
+  }
+}
