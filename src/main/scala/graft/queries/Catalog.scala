@@ -3593,6 +3593,59 @@ object Catalog {
       .transform(ordered("lang", "doc_id"))
   }
 
+  /** Dataset content fingerprint
+    * ([[graft.operators.Fingerprint.datasetFingerprint]]): per-source
+    * order-independent content digest (row count + 60-bit XOR + 32-bit
+    * sum of md5 content hashes) — the "is this rebuild byte-identical"
+    * check that survives any repartitioning/file layout, and merges
+    * across shards (xor the xors, add the sums). One projection + one
+    * map-side-combined aggregate.
+    */
+  val q112 = {
+    val sqlCols = Seq("CAST(doc_id AS VARCHAR)", "text", "lang")
+    q(
+      "q112_dataset_fingerprint",
+      s"""SELECT source, count(*) AS n_rows,
+        |       bit_xor(${graft.operators.Fingerprint.contentHash60Sql(sqlCols)}) AS xor60,
+        |       CAST(sum(${graft.operators.Fingerprint.contentHash32Sql(sqlCols)}) AS BIGINT) AS sum32
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      graft.operators.Fingerprint.datasetFingerprint(
+          Tables.documents(s, d),
+          groupCols = Seq("source"),
+          hashCols = Seq("doc_id", "text", "lang"))
+        .transform(ordered("source"))
+    }
+  }
+
+  /** Deterministic HyperLogLog cardinality ([[graft.operators.Hll]]):
+    * per-language distinct-token estimate from a 256-register md5-keyed
+    * sketch, vs the exact distinct — BOTH ENGINES BUILD THE IDENTICAL
+    * SKETCH (exact integer bucket/rank arithmetic; `2^(−M)` as exact
+    * dyadic divisions), something `approx_count_distinct` can never do
+    * cross-engine. The register table is the mergeable, constant-size
+    * cardinality artifact for 100 TB columns (exact distinct shuffles
+    * every token type; this shuffles ≤ 256 rows per group per partition).
+    */
+  val q113 = q(
+    "q113_hll_distinct",
+    s"""WITH ex AS (SELECT lang, count(DISTINCT tok) AS exact
+      |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents) t GROUP BY 1),
+      |est AS (${graft.operators.Hll.estimateSql(
+           "(SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) __toks",
+           Seq("lang"), "tok").linesIterator.mkString("\n      |")})
+      |SELECT ex.lang, ex.exact, floor(est.est * 10000 + 0.5) / 10000 AS est4
+      |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.operators.Hll
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val est = Hll.estimate(Hll.sketch(toks, Seq("lang"), "tok"), Seq("lang"))
+    toks.groupBy(col("lang")).agg(countDistinct(col("tok")).as("exact"))
+      .join(est, Seq("lang"))
+      .select(col("lang"), col("exact"), r4(col("est")).as("est4"))
+      .transform(ordered("lang"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3615,5 +3668,5 @@ object Catalog {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }
