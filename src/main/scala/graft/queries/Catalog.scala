@@ -3646,6 +3646,89 @@ object Catalog {
       .transform(ordered("lang"))
   }
 
+  /** Snapshot diff ([[graft.operators.Diff.snapshotDiff]]): added /
+    * removed / changed keys between two simulated order-table versions
+    * (drop-10%, add-back-under-%7, bump-price-on-%13) — the rebuild
+    * regression gate, and the row-level drill-down to q112's group
+    * digests. ONE co-partitioned full-outer equi-join; compare columns
+    * are string-safe (exact cents long + status), because cross-engine
+    * double formatting must never reach a hash.
+    */
+  val q114 = {
+    val hashSql = graft.operators.Fingerprint
+      .contentHash60Sql(Seq("CAST(cents AS VARCHAR)", "st"))
+    q(
+      "q114_snapshot_diff",
+      s"""WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |             o_orderstatus AS st
+        |           FROM orders WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) +
+        |               CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS cents,
+        |             o_orderstatus AS st
+        |      FROM orders WHERE o_orderkey % 7 <> 0),
+        |oh AS (SELECT k, $hashSql AS old_hash FROM o),
+        |nh AS (SELECT k, $hashSql AS new_hash FROM n)
+        |SELECT coalesce(oh.k, nh.k) AS k,
+        |       CASE WHEN oh.k IS NULL THEN 'added'
+        |            WHEN nh.k IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change_type,
+        |       oh.old_hash, nh.new_hash
+        |FROM oh FULL OUTER JOIN nh ON oh.k = nh.k
+        |WHERE oh.old_hash IS NULL OR nh.new_hash IS NULL
+        |   OR oh.old_hash <> nh.new_hash
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents0"),
+        col("o_orderstatus").as("st"))
+      val oldV = base.filter(col("k") % 10 =!= 0)
+        .select(col("k"), col("cents0").as("cents"), col("st"))
+      val newV = base.filter(col("k") % 7 =!= 0)
+        .select(col("k"),
+          (col("cents0") + when(col("k") % 13 === 0, 1).otherwise(0)).as("cents"),
+          col("st"))
+      graft.operators.Diff.snapshotDiff(oldV, newV, Seq("k"), Seq("cents", "st"))
+        .transform(orderedWide("k"))
+    }
+  }
+
+  /** Categorical association scan
+    * ([[graft.operators.Association.categoricalAssociation]]): χ²,
+    * Cramér's V and mutual information between documents' language and
+    * source — the slice-leakage / confounding detector (a metadata column
+    * that predicts the label is a training bug). One data-sized cell
+    * aggregate; margins and statistics are answer-sized follow-ons.
+    * Statistic doubles r4 under the q47 convention.
+    */
+  val q115 = q(
+    "q115_association",
+    """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c FROM documents
+      |               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(c) AS r FROM cells GROUP BY 1),
+      |cb AS (SELECT b, sum(c) AS cc FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(DISTINCT a) AS na,
+      |               count(DISTINCT b) AS nb FROM cells),
+      |j AS (SELECT CAST(cells.c AS DOUBLE) AS c,
+      |             CAST(ra.r AS BIGINT) AS r, CAST(cb.cc AS BIGINT) AS cc,
+      |             tot.n, tot.na, tot.nb
+      |      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+      |SELECT max(n) AS n, max(na) AS n_a, max(nb) AS n_b,
+      |       (max(na) - 1) * (max(nb) - 1) AS dof,
+      |       floor((sum(c * c / (CAST(r AS DOUBLE) * cc / n)) - max(n)) * 10000 + 0.5) / 10000 AS chi2_4,
+      |       floor(sqrt((sum(c * c / (CAST(r AS DOUBLE) * cc / n)) - max(n))
+      |                  / (max(n) * least(max(na) - 1, max(nb) - 1))) * 10000 + 0.5) / 10000 AS v4,
+      |       floor(sum((c / n) * log2(c * n / (r * cc))) * 10000 + 0.5) / 10000 AS mi4
+      |FROM j""".stripMargin) { (s, d) =>
+    graft.operators.Association.categoricalAssociation(
+        Tables.documents(s, d), "lang", "source")
+      .select(col("n"), col("n_a"), col("n_b"), col("dof"),
+        r4(col("chi2")).as("chi2_4"),
+        r4(col("cramers_v")).as("v4"),
+        r4(col("mi_bits")).as("mi4"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3668,5 +3751,5 @@ object Catalog {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }
