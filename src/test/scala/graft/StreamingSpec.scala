@@ -246,6 +246,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("streaming count-min sketch: micro-batched grid ≡ batch grid (mergeable agg)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData("a", "b", "a")
+    val q = graft.llm.CountMin.sketch(mem.toDF().toDF("tok"), "tok", depth = 3, width = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms")
+      .start() // default trigger: keep running so the second batch folds in
+    q.processAllAvailable()
+    mem.addData("a", "c") // second micro-batch folds into the same grid
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.llm.CountMin.sketch(
+        Seq("a", "b", "a", "a", "c").toDF("tok"), "tok", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming HLL sketch: register table and estimate ≡ batch (max-mergeable agg)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("g1", "x1"), ("g1", "x2"), ("g2", "x1"))
+    val q = graft.operators.Hll.sketch(mem.toDF().toDF("g", "v"), Seq("g"), "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll")
+      .start() // default trigger: keep running so the second batch folds in
+    q.processAllAvailable()
+    mem.addData(("g1", "x3"), ("g1", "x1")) // dup x1 must not move registers
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hll")
+    val batch = graft.operators.Hll.sketch(
+      Seq(("g1", "x1"), ("g1", "x2"), ("g2", "x1"), ("g1", "x3"), ("g1", "x1"))
+        .toDF("g", "v"), Seq("g"), "v")
+    val s = streamed.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(s == b)
+    val estS = graft.operators.Hll.estimate(streamed, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estB = graft.operators.Hll.estimate(batch, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estS == estB)
+  }
+
   test("streaming SCD2: intervals close across micro-batches; batch law vs Scd.scd2") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
