@@ -139,6 +139,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q105: funnel step joins share ONE entity partitioning (exchange reuse)") {
+    // the scale claim: every step aggregate/join keys on user_id, so the
+    // chain must reuse the first hash exchange, not re-shuffle per step —
+    // assert under the AQE-off static-planning regime like q87
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q105_funnel")
+      assert("ReusedExchange".r.findAllIn(p).length >= 1,
+        "funnel step chain no longer reuses the entity hash exchange")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("q107: count-min probe broadcasts the grid; build has partial aggregation") {
+    val p = planOf("q107_count_min")
+    assert(p.contains("BroadcastHashJoin"), "sketch probe must broadcast the KB-sized grid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q108/q112: hashing-trick and fingerprint are scan + partial-agg shapes") {
+    for (name <- Seq("q108_feature_hashing", "q112_dataset_fingerprint")) {
+      val p = planOf(name)
+      // partial_ markers prove map-side combine (the output-bounded shuffle claim)
+      assert(p.contains("partial_"), s"$name lost map-side partial aggregation")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window"), name)
+    }
+  }
+
+  test("q110: equi-depth histogram windows BY GROUP, never a global single partition") {
+    val p = planOf("q110_equidepth_hist")
+    assert(p.contains("hashpartitioning(event_type"),
+      "ntile window must partition by the group column")
+    assert(!p.contains("SinglePartition) AS bucket"), "global-window ntile is the scale-killer")
+  }
+
+  test("q114: snapshot diff is ONE co-partitioned full-outer join, change-sized output") {
+    val p = planOf("q114_snapshot_diff")
+    assert("FullOuter".r.findAllIn(p).length == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q97/q102: pagerank rounds broadcast the rank frame; no nested loop beyond the 1-row stats cross") {
     // BNLJ is legal here ONLY as the broadcast 1-row `n`/`ns` crossJoin
     // (IdentityBroadcastMode on an aggregate) — never between data-sized
