@@ -3729,6 +3729,61 @@ object Catalog {
         r4(col("mi_bits")).as("mi4"))
   }
 
+  /** Market-basket co-occurrence ([[graft.operators.Cooccurrence.pairStats]]):
+    * support / confidence / lift over part pairs within orders, top-20 by
+    * pair count — association-rule mining where pair generation is a
+    * basket-keyed self-equi-join (cost Σk², never |items|²; oversized
+    * baskets capped). Statistics are exact-integer-count divisions — raw
+    * scalar doubles, bit-identical cross-engine.
+    */
+  val q116 = q(
+    "q116_basket_lift",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS itm FROM lineitem),
+      |sz AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 1000),
+      |s AS (SELECT it.bk, it.itm FROM it JOIN sz USING (bk)),
+      |nn AS (SELECT count(DISTINCT bk) AS n FROM s),
+      |ic AS (SELECT itm, count(*) AS ni FROM s GROUP BY 1),
+      |pr AS (SELECT l.itm AS a, r.itm AS b, count(*) AS n_ab
+      |       FROM s l JOIN s r ON l.bk = r.bk AND l.itm < r.itm GROUP BY 1, 2)
+      |SELECT pr.a, pr.b, pr.n_ab, ia.ni AS n_a, ib.ni AS n_b,
+      |       CAST(pr.n_ab AS DOUBLE) / nn.n AS support,
+      |       CAST(pr.n_ab AS DOUBLE) / ia.ni AS conf_a_b,
+      |       CAST(pr.n_ab AS DOUBLE) * nn.n / (ia.ni * ib.ni) AS lift
+      |FROM pr JOIN ic ia ON pr.a = ia.itm JOIN ic ib ON pr.b = ib.itm CROSS JOIN nn
+      |ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.Cooccurrence.pairStats(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        basketCol = "l_orderkey", itemCol = "l_partkey")
+      .orderBy(col("n_ab").desc, col("a"), col("b")).limit(20)
+      .transform(ordered("a", "b"))
+  }
+
+  /** Markov transition matrix ([[graft.operators.Transitions.matrix]]):
+    * per-user next-event transition counts and row-normalized
+    * probabilities — the behavioral fingerprint (and the anomaly baseline:
+    * near-deterministic rows are scripted clients). One entity-partitioned
+    * `lead` window (entities parallelize; unique tie-break ⇒ engine-
+    * identical chains) + one bounded states² aggregate; probabilities are
+    * exact-count divisions, raw doubles.
+    */
+  val q117 = q(
+    "q117_markov_transitions",
+    """WITH s AS (SELECT user_id, event_type,
+      |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      |           FROM events),
+      |t AS (SELECT event_type AS from_state, to_state, count(*) AS n FROM s
+      |      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+      |SELECT t.from_state, t.to_state, t.n, f.n_from,
+      |       CAST(t.n AS DOUBLE) / f.n_from AS p
+      |FROM t JOIN f USING (from_state)
+      |ORDER BY from_state, to_state""".stripMargin) { (s, d) =>
+    graft.operators.Transitions.matrix(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        tieBreak = col("event_id"))
+      .transform(ordered("from_state", "to_state"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3751,5 +3806,6 @@ object Catalog {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
+    q116, q117)
 }
