@@ -3784,6 +3784,71 @@ object Catalog {
       .transform(ordered("from_state", "to_state"))
   }
 
+  /** Per-group OLS trend ([[graft.operators.Trend.groupTrend]]): slope /
+    * intercept / R² of value over event-time hours for every event type
+    * in ONE hash aggregate — the fleet-wide metric-drift detector (no
+    * per-slice model loop). Built on the q47-proven moment aggregates;
+    * outputs r4 under the same convention; zero-variance groups are NULL,
+    * not NaN.
+    */
+  val q118 = q(
+    "q118_group_trend",
+    """WITH t AS (SELECT event_type, epoch_us(ts) / 3600000000.0 AS x, value AS y
+      |           FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, count(*) AS n,
+      |       CASE WHEN var_samp(x) > 0 THEN
+      |         floor((covar_samp(x, y) / var_samp(x)) * 10000 + 0.5) / 10000 END AS slope4,
+      |       CASE WHEN var_samp(x) > 0 THEN
+      |         floor((avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x)) * 10000 + 0.5) / 10000 END AS intercept4,
+      |       CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0 THEN
+      |         floor((covar_samp(x, y) * covar_samp(x, y) / (var_samp(x) * var_samp(y))) * 10000 + 0.5) / 10000 END AS r2_4
+      |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Trend.groupTrend(
+        Tables.events(s, d), Seq("event_type"),
+        x = unix_micros(col("ts")) / lit(3600000000.0),
+        y = col("value"))
+      .select(col("event_type"), col("n"),
+        r4(col("slope")).as("slope4"),
+        r4(col("intercept")).as("intercept4"),
+        r4(col("r2")).as("r2_4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Z-order data-layout key ([[graft.functions.ZOrder.morton2]]):
+    * Morton-interleave (customer bucket × order-day bucket) and report
+    * per-curve-range occupancy with both dimensions' bounds — the
+    * multi-dimensional clustering key behind OPTIMIZE ZORDER: rows sorted
+    * by this key give min/max pruning on EITHER column's predicate. Pure
+    * integer bit arithmetic (no UDF, engine-identical); the locality the
+    * output exhibits (each 4096-key range spans a narrow x-band AND a
+    * narrow y-band) is exactly the pruning story.
+    */
+  val q119 = {
+    val zSql = graft.functions.ZOrder.mortonSql(
+      "o_custkey % 256", "(epoch_us(o_orderdate) // 86400000000) % 256", 8)
+    q(
+      "q119_zorder_layout",
+      s"""WITH t AS (SELECT $zSql AS z, o_custkey % 256 AS x,
+        |             (epoch_us(o_orderdate) // 86400000000) % 256 AS y
+        |           FROM orders)
+        |SELECT z // 4096 AS z_range, count(*) AS n,
+        |       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+        |FROM t GROUP BY 1 ORDER BY z_range""".stripMargin) { (s, d) =>
+      import graft.functions.ZOrder
+      val x = col("o_custkey") % 256
+      // NTZ date → session-UTC seconds (the C9/epochSeconds convention) →
+      // integer day, mirroring the oracle's epoch_us // 86400000000
+      val y = expr("cast(cast(o_orderdate as timestamp) as bigint) div 86400") % 256
+      Tables.orders(s, d)
+        .select(ZOrder.morton2(x, y, 8).as("z"), x.as("x"), y.as("y"))
+        .groupBy(expr("z div 4096").as("z_range"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+          min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+        .transform(ordered("z_range"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3807,5 +3872,5 @@ object Catalog {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117)
+    q116, q117, q118, q119)
 }

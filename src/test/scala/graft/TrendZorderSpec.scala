@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
+import graft.operators.Trend
+
+/** Group-wise OLS trend and Z-order layout keys. */
+class TrendZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupTrend: exact fit on a noiseless line; R^2 = 1") {
+    // g1: y = 3x + 2 exactly; g2: y = -0.5x + 10
+    val rows = (1 to 50).map(i => ("g1", i.toDouble, 3.0 * i + 2)) ++
+      (1 to 50).map(i => ("g2", i.toDouble, -0.5 * i + 10))
+    val got = Trend.groupTrend(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, s1, i1, r1) = got("g1")
+    assert(n1 == 50 && math.abs(s1 - 3.0) < 1e-9 && math.abs(i1 - 2.0) < 1e-7)
+    assert(math.abs(r1 - 1.0) < 1e-12)
+    val (_, s2, i2, _) = got("g2")
+    assert(math.abs(s2 + 0.5) < 1e-9 && math.abs(i2 - 10.0) < 1e-7)
+  }
+
+  test("groupTrend: zero-variance x and single-point groups give NULLs, not NaN") {
+    val rows = Seq(
+      ("flat", 5.0, 1.0), ("flat", 5.0, 2.0), ("flat", 5.0, 3.0),
+      ("single", 1.0, 7.0))
+    val got = Trend.groupTrend(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.isNullAt(2), r.isNullAt(3), r.isNullAt(4))).toMap
+    assert(got("flat") == ((true, true, true)))
+    assert(got("single") == ((true, true, true)))
+  }
+
+  test("groupTrend: null x or y rows excluded pairwise") {
+    val rows = Seq(
+      ("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
+      ("g", None, Some(9.0)), ("g", Some(9.0), None))
+    val got = Trend.groupTrend(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y")).head
+    assert(got.getLong(1) == 2)
+    assert(math.abs(got.getDouble(2) - 1.0) < 1e-12) // slope from the 2 clean points
+  }
+
+  test("morton2: bit interleaving matches a reference implementation") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (3L, 12L))
+    val df = cases.toDF("x", "y")
+    val got = df.select(ZOrder.morton2(col("x"), col("y"), 8)).collect().map(_.getLong(0))
+    val exp = cases.map { case (x, y) => ref(x, y, 8) }
+    assert(got.toSeq == exp)
+    assert(ref(255, 255, 8) == 65535) // sanity: full 16-bit key
+  }
+
+  test("morton2: locality — consecutive key ranges span narrow boxes in both dims") {
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val keyed = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton2(col("x"), col("y"), 6).as("z"))
+    // each 64-key range of a 6-bit curve is one 8x8 box: x/y span at most 8
+    val spans = keyed.groupBy(expr("z div 64").as("r"))
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(spans.length == 64)
+    assert(spans.forall(r => r.getLong(1) <= 7 && r.getLong(2) <= 7))
+  }
+
+  test("morton2/mortonSql: guards reject out-of-range bits") {
+    intercept[IllegalArgumentException] { ZOrder.morton2(col("x"), col("y"), 0) }
+    intercept[IllegalArgumentException] { ZOrder.mortonSql("x", "y", 32) }
+  }
+}
