@@ -203,4 +203,24 @@ object Splits {
       salt: String = "pri"): String =
     s"CAST($weightExprSql AS DOUBLE) / " +
       s"((CAST(('0x' || substr(md5('${sqlLit(salt)}|' || CAST($keyExprSql AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)"
+
+  /** K-fold cross-validation assignment, group-cohesive like
+    * [[splitColumn]]: fold = md5-keyspace draw mod k — every row of a
+    * group lands in one fold, folds are near-equal in EXPECTATION over
+    * groups (exactly the property CV needs: the unit of independence is
+    * the group, so per-group assignment is what prevents leakage across
+    * folds), zero RNG state, scan-time projection, engine-identical. The
+    * modulo is over the full 8-hex-digit draw, whose range 2³² is not a
+    * multiple of k — the resulting bias is ≤ k/2³² per fold, orders below
+    * any statistical noise floor.
+    */
+  def foldColumn(key: Column, k: Int, salt: String = "cv"): Column = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    conv(substring(md5(concat(lit(s"$salt|"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % k
+  }
+
+  /** SQL twin of [[foldColumn]] for cross-engine oracles (DuckDB). */
+  def foldSql(keyExprSql: String, k: Int, salt: String = "cv"): String =
+    s"CAST(('0x' || substr(md5('${sqlLit(salt)}|' || CAST($keyExprSql AS VARCHAR)), 1, 8)) AS BIGINT) % $k"
 }

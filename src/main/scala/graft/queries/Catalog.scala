@@ -3849,6 +3849,25 @@ object Catalog {
     }
   }
 
+  /** K-fold CV assignment ([[graft.llm.Splits.foldColumn]]):
+    * group-cohesive folds over events by user — per-fold row and
+    * distinct-user counts (the leakage audit: user totals across folds
+    * must sum to the corpus's distinct users, i.e. no user straddles
+    * folds). Scan-time md5 projection, zero RNG state; completes the
+    * split family (q53 fractions, q58/q70/q111 samples, q90 audit).
+    */
+  val q120 = q(
+    "q120_kfold_assign",
+    s"""SELECT ${graft.llm.Splits.foldSql("user_id", 5)} AS fold,
+      |       count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY fold""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("fold", graft.llm.Splits.foldColumn(col("user_id"), 5))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+      .transform(ordered("fold"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3872,5 +3891,5 @@ object Catalog {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119)
+    q116, q117, q118, q119, q120)
 }

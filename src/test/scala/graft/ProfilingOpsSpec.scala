@@ -78,6 +78,28 @@ class ProfilingOpsSpec extends SparkSpec {
     assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("foldColumn: group-cohesive, deterministic, near-balanced, k guard") {
+    val rows = (1 to 2000).map(i => (i.toLong % 500, i.toLong)) // 500 users, 4 rows each
+    val df = rows.toDF("user_id", "event_id")
+    val folded = df.withColumn("fold", Splits.foldColumn(col("user_id"), 5))
+    // cohesion: every user maps to exactly one fold
+    val perUser = folded.groupBy("user_id")
+      .agg(countDistinct("fold").as("nf")).agg(max("nf")).head.getLong(0)
+    assert(perUser == 1L)
+    // determinism under repartitioning
+    val a = folded.select("user_id", "fold").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = df.repartition(13).withColumn("fold", Splits.foldColumn(col("user_id"), 5))
+      .select("user_id", "fold").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // near-balance: 500 users over 5 folds → each fold well-populated
+    val sizes = folded.groupBy("fold").agg(countDistinct("user_id").as("u"))
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 5 && sizes.sum == 500 && sizes.min > 50)
+    intercept[IllegalArgumentException] { Splits.foldColumn(col("user_id"), 1) }
+  }
+
   test("prioritySample: non-positive weights excluded, k guard") {
     val df = Seq((1L, "s", 5.0), (2L, "s", 0.0), (3L, "s", -1.0)).toDF("id", "s", "w")
     val got = Splits.prioritySample(df, "id", "w", "s", k = 10).collect()
