@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT Jaccard similarity self-join under a threshold, via prefix
+  * filtering (the AllPairs / PPJoin family, Bayardo et al. WWW'07;
+  * Chaudhuri et al. ICDE'06) — the exact complement to the MinHash+LSH
+  * approximate path ([[MinHashLsh]]): LSH answers "probably similar,
+  * tunable recall"; this answers "provably EVERY pair with J ≥ num/den,
+  * zero misses", which is what a dedup audit or a recall measurement of
+  * the LSH tables needs.
+  *
+  * Why it scales — the lossless prefix filter: order every document's
+  * distinct tokens by a single GLOBAL total order (document frequency
+  * ascending, token as tie-break — rarest first) and keep only each
+  * document's first `n − ⌈t·n⌉ + 1` tokens as its PREFIX. Any pair with
+  * Jaccard ≥ t = num/den satisfies `|A∩B| ≥ t·|A|` (since
+  * `union ≥ |A|`), so the globally-first common token sits within both
+  * prefixes — the prefix×prefix equi-join loses NOTHING while joining
+  * only on each document's rarest tokens: the df-ascending order IS the
+  * skew defense (stopwords land at the END of the order and never enter
+  * short prefixes; no hot posting lists, no salting needed). Verification
+  * then touches candidates only.
+  *
+  * Exactness: threshold is a RATIONAL num/den; prefix length and the
+  * final gate (`inter·den ≥ num·union`) are pure integer arithmetic —
+  * bit-identical cross-engine, no floating-point threshold edge. The
+  * reported `sim` is one IEEE division of two small exact integers
+  * (deterministic), emitted raw.
+  *
+  * Cost model at 100 TB: token explode is corpus-token-bounded; the df
+  * frame is vocabulary-sized; candidates = Σ per-prefix-token df² over
+  * RARE tokens only (the filter's entire point); verification is two
+  * id-keyed equi-joins fanning candidates by set size. No all-pairs
+  * stage anywhere (PlanShapeSpec-style: no BNLJ/cartesian).
+  */
+object SetSimJoin {
+
+  /** floor(a / b) for non-negative integer Columns, in exact integer
+    * arithmetic: `(a − a mod b) / b` — the subtraction makes the numerator
+    * an exact multiple, so the double division is exact. Avoids
+    * `floor(a/b)` FP edges and keeps SQL twins (`//`) bit-identical.
+    */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** All pairs (id_a < id_b) with Jaccard(tokens_a, tokens_b) ≥ num/den.
+    *
+    * @param docs   input frame
+    * @param idCol  unique document id column name
+    * @param tokens array<string> expression (need not be distinct; empty
+    *               strings are dropped, mirroring SQL `string_split`
+    *               artifacts from repeated separators)
+    * @param num/den similarity threshold as a rational in (0, 1]
+    * @return (id_a, id_b, inter, union_n, sim) — sim = inter/union_n
+    */
+  def jaccardJoin(
+      docs: DataFrame, idCol: String, tokens: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold num/den must be in (0, 1], got $num/$den")
+
+    val tok = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("token"))
+      .filter(col("token") =!= "")
+    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+
+    val wPos = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("token").asc)
+    val wN = Window.partitionBy(col("__id"))
+    val td = tok.join(dfc, "token")
+      .select(col("__id"), col("token"),
+        row_number().over(wPos).cast("long").as("__pos"),
+        count(lit(1)).over(wN).as("__n"))
+
+    // prefix length = n − ⌈num·n/den⌉ + 1, all-integer
+    val prefLen =
+      col("__n") - floorDiv(lit(num.toLong) * col("__n") + lit(den - 1L), den) + 1
+    val pre = td.filter(col("__pos") <= prefLen)
+      .select(col("__id"), col("token"), col("__n"))
+
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.token") === col("b.token") && col("a.__id") < col("b.__id"))
+      .select(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+      .distinct()
+
+    val inter = cand
+      .join(tok.as("ta"), col("ta.__id") === col("id_a"))
+      .join(tok.as("tb"),
+        col("tb.__id") === col("id_b") && col("tb.token") === col("ta.token"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("inter"))
+
+    val unionN = col("__na") + col("__nb") - col("inter")
+    inter
+      .filter(col("inter") * den >= lit(num.toLong) * unionN)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        unionN.as("union_n"),
+        (col("inter") / unionN).as("sim"))
+  }
+}

@@ -3868,6 +3868,234 @@ object Catalog {
       .transform(ordered("fold"))
   }
 
+  /** Gap-based sessionization ([[graft.operators.Sessionize]]): row-level
+    * session ids per user (30-min inactivity gap, event_id tie-break)
+    * rolled up to one row per session — the batch complement of q45's
+    * `session_window` aggregate, keeping per-session identity for
+    * downstream sequence work. One entity-keyed Exchange carries the lag,
+    * the running sum, and the rollup.
+    */
+  val q121 = q(
+    "q121_sessionize",
+    """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |t AS (SELECT user_id, us,
+      |        sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |      FROM s)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(us) AS start_us, max(us) AS end_us,
+      |       max(us) - min(us) AS duration_us
+      |FROM t GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    graft.operators.Sessionize
+      .sessionSummary(Tables.events(s, d), "user_id", "ts",
+        gapUs = 1800000000L, tieCols = Seq("event_id"))
+      .transform(orderedWide("user_id", "session_idx"))
+  }
+
+  /** ROC-AUC per user segment ([[graft.operators.Eval.rocAuc]]): the
+    * Mann–Whitney rank-sum form with exact ×2-integer tie-averaged ranks —
+    * "does `value` rank purchases above other events?" graded per segment.
+    * Everything before the final division is exact long arithmetic.
+    */
+  val q122 = q(
+    "q122_roc_auc",
+    """WITH s AS (SELECT user_id % 4 AS segment, (event_type = 'purchase') AS pos,
+      |             value AS score
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT segment, pos,
+      |        2 * rank() OVER (PARTITION BY segment ORDER BY score)
+      |          + count(*) OVER (PARTITION BY segment, score) - 1 AS r2
+      |      FROM s),
+      |a AS (SELECT segment,
+      |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+      |        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+      |        sum(CASE WHEN pos THEN r2 ELSE 0 END) AS rs2
+      |      FROM r GROUP BY 1)
+      |SELECT segment, n_pos, n_neg,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |         floor(((rs2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)) * 10000 + 0.5) / 10000
+      |       END AS auc4
+      |FROM a ORDER BY segment""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .rocAuc(
+        Tables.events(s, d).withColumn("segment", pmod(col("user_id"), lit(4L))),
+        Seq("segment"),
+        labelCol = col("event_type") === "purchase",
+        scoreCol = col("value"))
+      .select(col("segment"), col("n_pos"), col("n_neg"), r4(col("auc")).as("auc4"))
+      .transform(ordered("segment"))
+  }
+
+  /** Spearman rank correlation per event type
+    * ([[graft.operators.Eval.spearman]]): monotone association of value
+    * with time, as Pearson moments over exact tie-averaged ranks (q47
+    * moment guards; r4 convention).
+    */
+  val q123 = q(
+    "q123_spearman",
+    """WITH s AS (SELECT event_type, epoch_us(ts) AS x, value AS y
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type,
+      |        2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+      |          + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+      |        2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+      |          + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+      |      FROM s)
+      |SELECT event_type, count(*) AS n,
+      |       CASE WHEN var_samp(rx) > 0 AND var_samp(ry) > 0 THEN
+      |         floor((covar_samp(rx, ry) / sqrt(var_samp(rx) * var_samp(ry))) * 10000 + 0.5) / 10000
+      |       END AS rho4
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .spearman(Tables.events(s, d), Seq("event_type"),
+        x = unix_micros(col("ts")), y = col("value"))
+      .select(col("event_type"), col("n"), r4(col("rho")).as("rho4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Gini concentration of order value per priority class
+    * ([[graft.operators.Eval.gini]]): the sorted-rank identity — one
+    * row_number window + one aggregate; the weighted sum is
+    * tie-permutation invariant, so no unique tie-break is needed.
+    */
+  val q124 = q(
+    "q124_gini",
+    """WITH r AS (SELECT o_orderpriority, o_totalprice AS v,
+      |             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS i
+      |           FROM orders WHERE o_totalprice IS NOT NULL)
+      |SELECT o_orderpriority, count(*) AS n,
+      |       CASE WHEN sum(v) <> 0 THEN
+      |         floor(((2 * sum(i * v) - (count(*) + 1) * sum(v)) / (count(*) * sum(v))) * 10000 + 0.5) / 10000
+      |       END AS gini4
+      |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .gini(Tables.orders(s, d), Seq("o_orderpriority"), col("o_totalprice"))
+      .select(col("o_orderpriority"), col("n"), r4(col("gini")).as("gini4"))
+      .transform(ordered("o_orderpriority"))
+  }
+
+  /** EXACT Jaccard self-join at threshold 3/5 over 3-gram shingle sets
+    * ([[graft.llm.SetSimJoin.jaccardJoin]]): the lossless prefix-filter
+    * (AllPairs/PPJoin) complement to q24's approximate MinHash path —
+    * provably every pair with J ≥ 0.6, no LSH misses. Prefix length and
+    * the threshold gate are all-integer; `sim` is one exact IEEE division.
+    */
+  val q125 = q(
+    "q125_setsim_join",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS token FROM w),
+      |dfc AS (SELECT token, count(*) AS df FROM sh GROUP BY 1),
+      |td AS (SELECT t.doc_id, t.token,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos,
+      |         count(*) OVER (PARTITION BY t.doc_id) AS n
+      |       FROM sh t JOIN dfc d USING (token)),
+      |pre AS (SELECT doc_id, token, n FROM td WHERE pos <= n - (3*n + 4) // 5 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
+      |         FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
+      |          FROM cand c JOIN sh ta ON ta.doc_id = c.id_a
+      |                      JOIN sh tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      |          GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, inter, na + nb - inter AS union_n,
+      |       inter * 1.0 / (na + nb - inter) AS sim
+      |FROM inter WHERE inter * 5 >= 3 * (na + nb - inter)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.llm.SetSimJoin
+      .jaccardJoin(Tables.documents(s, d), "doc_id",
+        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 3, den = 5)
+      .transform(ordered("id_a", "id_b"))
+  }
+
+  /** Link prediction on the q101 co-occurrence graph
+    * ([[graft.llm.LinkPredict.predict]]): common-neighbor / Jaccard /
+    * Adamic–Adar scores for distance-2 part pairs that are NOT yet
+    * connected — wedge join on the center node (the q101 Σdeg² term),
+    * one pair aggregate, degree joins, anti-join against existing edges.
+    * Rank order is integer-only (cn desc, u, v) so cross-engine rank
+    * agreement is exact; `jaccard` is one exact IEEE division; `aa` sums
+    * doubles → r4.
+    */
+  val q126 = q(
+    "q126_link_predict",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+      |und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |                        greatest(a.l_partkey, b.l_partkey) AS v
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                           AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v AS n, u AS m FROM und),
+      |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+      |ctr AS (SELECT adj.n, adj.m, deg.d FROM adj JOIN deg USING (n)),
+      |wedge AS (SELECT x.m AS a, y.m AS b, x.d AS dw
+      |          FROM ctr x JOIN ctr y ON x.n = y.n AND x.m < y.m),
+      |ps AS (SELECT a, b, count(*) AS cn, sum(1.0 / ln(dw)) AS aa FROM wedge GROUP BY 1, 2),
+      |nl AS (SELECT ps.a, ps.b, ps.cn, ps.aa
+      |       FROM ps LEFT JOIN und ON ps.a = und.u AND ps.b = und.v
+      |       WHERE und.u IS NULL),
+      |sc AS (SELECT nl.a AS u, nl.b AS v, cn, cn * 1.0 / (da.d + db.d - cn) AS jaccard, aa
+      |       FROM nl JOIN deg da ON nl.a = da.n JOIN deg db ON nl.b = db.n),
+      |rr AS (SELECT u, v, cn, jaccard, aa,
+      |              row_number() OVER (ORDER BY cn DESC, u, v) AS rnk FROM sc)
+      |SELECT rnk, u, v, cn, jaccard,
+      |       floor(aa * 10000 + 0.5) / 10000 AS aa4
+      |FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk")),
+        col("l_orderkey") === col("__ok") && col("l_partkey") < col("__pk"))
+      .select(col("l_partkey").as("src"), col("__pk").as("dst"))
+    graft.llm.LinkPredict.predict(pairs, "src", "dst", k = 20)
+      .select(col("rnk"), col("u"), col("v"), col("cn"), col("jaccard"),
+        r4(col("aa")).as("aa4"))
+      .transform(ordered("rnk"))
+  }
+
+  /** Calendar-baseline anomaly detection
+    * ([[graft.operators.Anomaly.calendarAnomalies]]): per-(type, hour)
+    * median baselines, residuals, and the Hampel fence on residuals per
+    * type — the seasonal-profile variant of q103, sharing its exact
+    * percentile kernel and the r4 boundary guard on the fence compare.
+    */
+  val q127 = q(
+    "q127_calendar_anomaly",
+    """WITH t AS (SELECT event_id, event_type, hour(ts) AS hr, value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |base AS (SELECT event_type, hr, quantile_cont(v, 0.5) AS baseline FROM t GROUP BY 1, 2),
+      |rj AS (SELECT t.event_id, t.event_type, t.v, base.baseline,
+      |              t.v - base.baseline AS resid
+      |       FROM t JOIN base USING (event_type, hr)),
+      |med AS (SELECT event_type, quantile_cont(resid, 0.5) AS med FROM rj GROUP BY 1),
+      |j AS (SELECT rj.*, med.med FROM rj JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(abs(resid - med), 0.5) AS mad
+      |        FROM j GROUP BY 1),
+      |o AS (SELECT j.event_id, j.event_type, j.v, j.baseline, j.resid, mad.mad
+      |      FROM j JOIN mad USING (event_type)
+      |      WHERE floor(abs(j.resid - j.med) * 10000 + 0.5) >
+      |            floor(3e0 * 1.4826e0 * mad.mad * 10000 + 0.5))
+      |SELECT event_id, event_type,
+      |       floor(v * 10000 + 0.5) / 10000 AS v4,
+      |       floor(baseline * 10000 + 0.5) / 10000 AS base4,
+      |       floor(resid * 10000 + 0.5) / 10000 AS resid4,
+      |       floor(mad * 10000 + 0.5) / 10000 AS mad4
+      |FROM o ORDER BY event_id""".stripMargin) { (s, d) =>
+    graft.operators.Anomaly
+      .calendarAnomalies(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value")),
+        groupCols = Seq("event_type"),
+        slotCols = Seq("hr" -> hour(col("ts"))),
+        valueCol = "value", k = 3.0)
+      .filter(floor(col("dev") * 10000 + 0.5) >
+        floor(lit(3.0) * lit(1.4826) * col("mad") * 10000 + 0.5))
+      .select(col("event_id"), col("event_type"),
+        r4(col("value")).as("v4"), r4(col("baseline")).as("base4"),
+        r4(col("resid")).as("resid4"), r4(col("mad")).as("mad4"))
+      .transform(ordered("event_id"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -3891,5 +4119,5 @@ object Catalog {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }

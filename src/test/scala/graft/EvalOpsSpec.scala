@@ -1,0 +1,208 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Eval, Sessionize}
+import graft.llm.SetSimJoin
+
+/** Evaluation statistics (AUC / Spearman / Gini), gap sessionization, and
+  * the exact prefix-filter Jaccard join.
+  */
+class EvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ rocAuc
+
+  test("rocAuc: hand-computed AUC, perfect and inverted separators") {
+    // g=perfect: all positives score above all negatives → AUC 1.
+    // g=inverted: all positives below all negatives → AUC 0.
+    // g=mixed: pos {3, 1}, neg {2, 0}: pairs won 3>2,3>0,1>0 = 3 of 4 → 0.75.
+    val df = Seq(
+      ("perfect", true, 10.0), ("perfect", true, 9.0),
+      ("perfect", false, 1.0), ("perfect", false, 2.0),
+      ("inverted", true, 1.0), ("inverted", false, 5.0),
+      ("mixed", true, 3.0), ("mixed", true, 1.0),
+      ("mixed", false, 2.0), ("mixed", false, 0.0)
+    ).toDF("g", "label", "score")
+    val out = Eval.rocAuc(df, Seq("g"), col("label"), col("score"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("perfect") == ((2L, 2L, 1.0)))
+    assert(out("inverted") == ((1L, 1L, 0.0)))
+    assert(out("mixed") == ((2L, 2L, 0.75)))
+  }
+
+  test("rocAuc: score ties count half; single-class groups are NULL") {
+    // pos at 1.0, neg at 1.0 (tied) and neg at 0.0: pairs = tie(½) + win(1)
+    // of 2 pairs → 0.75.
+    val df = Seq(
+      ("t", true, 1.0), ("t", false, 1.0), ("t", false, 0.0),
+      ("onlypos", true, 1.0), ("onlypos", true, 2.0)
+    ).toDF("g", "label", "score")
+    val rows = Eval.rocAuc(df, Seq("g"), col("label"), col("score"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(rows("t") == ((1L, 2L, Some(0.75))))
+    assert(rows("onlypos") == ((2L, 0L, None)))
+  }
+
+  test("rocAuc excludes null scores and labels") {
+    val df = Seq[(String, java.lang.Boolean, java.lang.Double)](
+      ("g", true, 2.0), ("g", false, 1.0),
+      ("g", null, 9.0), ("g", true, null)
+    ).toDF("g", "label", "score")
+    val Array(r) = Eval.rocAuc(df, Seq("g"), col("label"), col("score")).collect()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((1L, 1L, 1.0)))
+  }
+
+  // ---------------------------------------------------------- spearman
+
+  test("spearman: monotone nonlinear → 1, reversed → -1, ties averaged") {
+    // y = x³ is monotone in x: rho = 1 even though Pearson(x, y) < 1.
+    val mono = (1 to 8).map(i => ("m", i.toDouble, math.pow(i.toDouble, 3)))
+    val rev = (1 to 8).map(i => ("r", i.toDouble, -i.toDouble))
+    val df = (mono ++ rev).toDF("g", "x", "y")
+    val out = Eval.spearman(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("m") - 1.0) < 1e-12)
+    assert(math.abs(out("r") + 1.0) < 1e-12)
+  }
+
+  test("spearman: constant side → NULL; pairwise null exclusion") {
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0), ("c", 3.0, 5.0),
+      ("n", 1.0, 1.0), ("n", 2.0, 2.0), ("n", null, 9.0), ("n", 3.0, null)
+    ).toDF("g", "x", "y")
+    val out = Eval.spearman(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out("c") == ((3L, None))) // zero rank variance in y
+    assert(out("n")._1 == 2L && out("n")._2.isDefined)
+  }
+
+  // -------------------------------------------------------------- gini
+
+  test("gini: equality → 0, total concentration → (n-1)/n, hand case") {
+    val df = Seq(
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 12.0),
+      // sorted 1,2,3,4: G = (2·(1+4+9+16) − 5·10) / (4·10) = 10/40 = 0.25
+      ("hand", 3.0), ("hand", 1.0), ("hand", 4.0), ("hand", 2.0)
+    ).toDF("g", "v")
+    val out = Eval.gini(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("eq")) < 1e-12)
+    assert(math.abs(out("conc") - 0.75) < 1e-12) // (n-1)/n with n=4
+    assert(math.abs(out("hand") - 0.25) < 1e-12)
+  }
+
+  test("gini: zero-sum group → NULL; tie order does not matter") {
+    val df = Seq(("z", 0.0), ("z", 0.0), ("t", 1.0), ("t", 1.0), ("t", 4.0))
+      .toDF("g", "v")
+    val out = Eval.gini(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("z").isEmpty)
+    // ties 1,1,4: G = (2·(1+2+12) − 4·6)/(3·6) = 6/18
+    assert(math.abs(out("t").get.asInstanceOf[Double] - 6.0 / 18.0) < 1e-12)
+  }
+
+  // -------------------------------------------------------- sessionize
+
+  test("sessionize: gap opens sessions, boundary gap continues, ties ordered") {
+    val gap = 60L * 1000000 // 1 min in us
+    val events = Seq(
+      // u1: 3 events 30s apart (one session), then a 61s gap (new session)
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:30"), 2L),
+      (1L, ts("2024-01-01 10:01:00"), 3L),
+      (1L, ts("2024-01-01 10:02:01"), 4L),
+      // u2: exactly-60s gap CONTINUES the session
+      (2L, ts("2024-01-01 09:00:00"), 5L),
+      (2L, ts("2024-01-01 09:01:00"), 6L)
+    ).toDF("user_id", "ts", "event_id")
+    val tagged = Sessionize.sessionize(events, "user_id", "ts", gap, Seq("event_id"))
+      .select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tagged((1L, 1L)) == 1 && tagged((1L, 2L)) == 1 && tagged((1L, 3L)) == 1)
+    assert(tagged((1L, 4L)) == 2)
+    assert(tagged((2L, 5L)) == 1 && tagged((2L, 6L)) == 1)
+
+    val summary = Sessionize
+      .sessionSummary(events, "user_id", "ts", gap, Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(summary((1L, 1L)) == ((3L, 60000000L)))
+    assert(summary((1L, 2L)) == ((1L, 0L)))
+    assert(summary((2L, 1L)) == ((2L, 60000000L)))
+  }
+
+  test("sessionize: equal timestamps use the tie column deterministically") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 12:00:00"), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Sessionize.sessionize(events, "user_id", "ts", 1000000L, Seq("event_id"))
+    val opens = out.filter(col("session_open")).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(opens == Set(1L, 3L)) // first-by-tie opens; the other continues
+  }
+
+  // ------------------------------------------------------- setsim join
+
+  /** Reference brute force: exact Jaccard over ALL pairs. */
+  private def bruteJaccard(
+      sets: Map[Long, Set[String]], num: Int, den: Int): Set[(Long, Long, Int, Int)] =
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if union > 0 && inter * den >= num * union
+    } yield (a, b, inter, union)).toSet
+
+  test("jaccardJoin equals brute force (lossless prefix filter)") {
+    // overlapping token sets with hot tokens ("the") and rare ones
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "a completely different document entirely"),
+      (5L, "the and of to in"),
+      (6L, "the and of to on")
+    ).toDF("doc_id", "text")
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val got = SetSimJoin
+        .jaccardJoin(docs, "doc_id", split(col("text"), " "), num, den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt))
+        .toSet
+      assert(got == bruteJaccard(sets, num, den), s"threshold $num/$den")
+    }
+  }
+
+  test("jaccardJoin: duplicate tokens collapse; empty tokens dropped; sim exact") {
+    val docs = Seq(
+      (1L, "x x y  z"), // duplicate x and a double space → set {x,y,z}
+      (2L, "x y z"),
+      (3L, "q r")
+    ).toDF("doc_id", "text")
+    val rows = SetSimJoin
+      .jaccardJoin(docs, "doc_id", split(col("text"), " "), 1, 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 2L, 3L, 3L)))
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("jaccardJoin threshold validation") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SetSimJoin.jaccardJoin(docs, "doc_id", split(col("text"), " "), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      SetSimJoin.jaccardJoin(docs, "doc_id", split(col("text"), " "), 6, 5)
+    }
+  }
+}

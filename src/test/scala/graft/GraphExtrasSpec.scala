@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.llm.LinkPredict
+import graft.operators.Anomaly
+
+/** Link prediction (neighborhood overlap) and calendar-baseline anomaly
+  * detection.
+  */
+class GraphExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ link predict
+
+  test("predict: hand-computed scores on a path-and-square graph") {
+    // Square 1-2-3-4-1 plus pendant 5-1.
+    // Distance-2 non-edges: (1,3) via {2,4}, (2,4) via {1,3}, and the
+    // pendant's wedges: (2,5) via 1, (4,5) via 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val out = LinkPredict.predict(edges, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getInt(0), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)))
+    // (1,3): cn=2 (via 2 and 4, deg 2 each), deg1=3, deg3=2
+    val (r13, cn13, j13, aa13) = out((1L, 3L))
+    assert(r13 == 1 && cn13 == 2L)
+    assert(math.abs(j13 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(aa13 - 2.0 / math.log(2.0)) < 1e-12)
+    // (2,4): cn=2 (via 1 deg 3 and 3 deg 2)
+    val (r24, cn24, j24, aa24) = out((2L, 4L))
+    assert(r24 == 2 && cn24 == 2L)
+    assert(math.abs(j24 - 2.0 / 2.0) < 1e-12)
+    assert(math.abs(aa24 - (1.0 / math.log(3.0) + 1.0 / math.log(2.0))) < 1e-12)
+    // pendant wedges via node 1 (deg 3)
+    assert(out((2L, 5L))._2 == 1L && out((4L, 5L))._2 == 1L)
+    assert(math.abs(out((2L, 5L))._4 - 1.0 / math.log(3.0)) < 1e-12)
+  }
+
+  test("predict: existing edges are excluded; messy input normalized") {
+    // triangle with duplicate/reversed/self edges: every distance-2 pair
+    // is already an edge → no predictions
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    assert(LinkPredict.predict(edges, "src", "dst", k = 5).count() == 0)
+  }
+
+  test("predict: maxDeg excludes hub centers deterministically") {
+    // star: hub 0 connected to 1..5; every leaf pair is distance-2 via
+    // the hub. With maxDeg < 5 the hub is excluded → no wedges at all.
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(LinkPredict.predict(edges, "src", "dst", k = 100).count() == 10)
+    assert(LinkPredict.predict(edges, "src", "dst", k = 100, maxDeg = Some(4L)).count() == 0)
+  }
+
+  // -------------------------------------------------- calendar anomaly
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("calendarAnomalies: slot-normal value passes, slot-abnormal flagged") {
+    // hour-9 baseline = 100, hour-21 baseline = 10. A 100 at hour 21 is
+    // a seasonal anomaly even though 100 is globally normal.
+    val rows =
+      (1 to 10).map(i => (i.toLong, "m", ts(f"2024-01-0${(i % 5) + 1} 09:00:00"), 100.0 + i * 0.01)) ++
+      (11 to 20).map(i => (i.toLong, "m", ts(f"2024-01-0${(i % 5) + 1} 21:00:00"), 10.0 + i * 0.01)) :+
+      (99L, "m", ts("2024-01-03 21:30:00"), 100.0)
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val out = Anomaly.calendarAnomalies(
+      df, Seq("event_type"), Seq("hr" -> hour(col("ts"))), "value", k = 3.0)
+    val flagged = out.filter(col("is_outlier")).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(99L))
+    // and the residual is ~90 against the hour-21 baseline, not ~0
+    val r = out.filter(col("event_id") === 99L).select("resid").head.getDouble(0)
+    assert(r > 85.0)
+  }
+
+  test("calendarAnomalies: multi-column slots and null exclusion") {
+    val df = Seq[(Long, String, Timestamp, java.lang.Double)](
+      (1L, "a", ts("2024-01-01 09:00:00"), 1.0), // Mon
+      (2L, "a", ts("2024-01-08 09:00:00"), 1.0), // Mon
+      (3L, "a", ts("2024-01-02 09:00:00"), 50.0), // Tue
+      (4L, "a", ts("2024-01-09 09:00:00"), 50.0), // Tue
+      (5L, "a", ts("2024-01-01 09:30:00"), null)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = Anomaly.calendarAnomalies(
+      df, Seq("event_type"),
+      Seq("dow" -> dayofweek(col("ts")), "hr" -> hour(col("ts"))),
+      "value", k = 3.0)
+    assert(out.count() == 4) // null row excluded
+    // per-(dow,hr) baselines absorb the Mon/Tue difference → no outliers
+    assert(out.filter(col("is_outlier")).count() == 0)
+    assert(out.filter(col("resid") =!= 0.0).count() == 0)
+  }
+
+  test("calendarAnomalies validates inputs") {
+    val df = Seq((1L, "a", ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    intercept[IllegalArgumentException] {
+      Anomaly.calendarAnomalies(df, Seq("event_type"), Seq.empty, "value")
+    }
+    intercept[IllegalArgumentException] {
+      Anomaly.calendarAnomalies(df, Seq.empty, Seq("hr" -> hour(col("ts"))), "value")
+    }
+  }
+}
