@@ -192,4 +192,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), name)
     }
   }
+
+  test("q121: sessionize lag/run-sum/rollup ride ONE entity exchange") {
+    // gap-and-island's scale claim: both window passes and the session
+    // rollup key on the entity, so the plan carries exactly one
+    // user_id hash exchange (+ the ordered() output funnel)
+    val p = planOf("q121_sessionize")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "sessionize no longer shares the entity exchange across its passes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q125/q126: set-similarity and link-prediction joins are equi-joins, never nested loop or cartesian") {
+    // prefix-filter candidates, verification joins, wedge joins, degree
+    // joins, anti-join: all keyed — a BNLJ anywhere is the |D|² scale-killer
+    // these operators exist to avoid
+    for (name <- Seq("q125_setsim_join", "q126_link_predict")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
 }
