@@ -37,12 +37,20 @@ object LinkPredict {
     *
     * @param maxDeg wedge centers with degree above this are excluded
     *               (None = no cap)
+    * @param broadcastDegrees broadcast the node-sized degree frame into
+    *               its three join sites (default — the q97 broadcast-rank
+    *               precedent; saves three shuffle+sort pairs). Set false
+    *               for billion-node graphs where the degree frame
+    *               outgrows executor memory: every join is equi-keyed, so
+    *               the shuffle fallback is the same plan minus the
+    *               broadcast.
     * @return (rnk, u, v, cn, jaccard, aa) — ordered by (cn desc, u, v);
     *         jaccard = cn/(deg u + deg v − cn)
     */
   def predict(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxDeg: Option[Long] = None): DataFrame = {
+      k: Int, maxDeg: Option[Long] = None,
+      broadcastDegrees: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val und = edges
       .select(
@@ -54,7 +62,8 @@ object LinkPredict {
     // symmetric adjacency + degrees
     val adj = und.select(col("u").as("n"), col("v").as("m"))
       .unionAll(und.select(col("v").as("n"), col("u").as("m")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg0 = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = if (broadcastDegrees) broadcast(deg0) else deg0
 
     // wedges a–w–b (a<b), centered on w; hub centers excluded wholesale
     val centers = maxDeg match {
