@@ -136,6 +136,35 @@ class EvalOpsSpec extends SparkSpec {
     assert(summary((2L, 1L)) == ((2L, 60000000L)))
   }
 
+  test("sessionize law: session count ≡ session_window on boundary-landing data") {
+    // An event EXACTLY gap after its predecessor: Spark's session_window
+    // MERGES touching windows (probed: [10:00, 10:30, 10:30:01] is ONE
+    // 3-event session under session_window("30 minutes")), so Sessionize's
+    // strict-> boundary is the correct twin. Testdata never lands a gap
+    // exactly on the boundary, so this law is the only thing pinning it.
+    val gapUs = 1800000000L
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // exactly gap → same session
+      (1L, ts("2024-01-01 10:30:01"), 3L),
+      (1L, ts("2024-01-01 11:00:02"), 4L), // > gap after 10:30:01 → new
+      (2L, ts("2024-01-01 09:00:00"), 5L),
+      (2L, ts("2024-01-01 09:30:00"), 6L), // exactly gap → same session
+      (2L, ts("2024-01-01 11:00:00"), 7L)  // new
+    ).toDF("user_id", "ts", "event_id")
+    val bySessionWindow = rows
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySessionize = graft.operators.Sessionize
+      .sessionSummary(rows, "user_id", "ts", gapUs, Seq("event_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySessionWindow == bySessionize)
+    assert(bySessionize == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("sessionize: equal timestamps use the tie column deterministically") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 2L),
