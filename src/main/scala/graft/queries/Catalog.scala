@@ -4096,6 +4096,105 @@ object Catalog {
       .transform(ordered("event_id"))
   }
 
+  /** Bounded k-core peeling ([[graft.llm.KCore.kCorePeel]]): 4 peel
+    * rounds at k=3 over the q101 co-occurrence graph, each round one
+    * degree aggregate + two semi-joins, all lazy in ONE plan (the oracle
+    * unrolls the identical rounds as chained CTEs — q84/q102 convention).
+    * Pure integer arithmetic, exact cross-engine.
+    */
+  val q128 = q(
+    "q128_kcore",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+      |und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |                        greatest(a.l_partkey, b.l_partkey) AS v
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                           AND a.l_partkey < b.l_partkey),
+      |a0 AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v AS n, u AS m FROM und),
+      |k1 AS (SELECT n FROM (SELECT n, count(*) AS d FROM a0 GROUP BY 1) WHERE d >= 3),
+      |a1 AS (SELECT a.n, a.m FROM a0 a JOIN k1 x ON a.n = x.n JOIN k1 y ON a.m = y.n),
+      |k2 AS (SELECT n FROM (SELECT n, count(*) AS d FROM a1 GROUP BY 1) WHERE d >= 3),
+      |a2 AS (SELECT a.n, a.m FROM a1 a JOIN k2 x ON a.n = x.n JOIN k2 y ON a.m = y.n),
+      |k3 AS (SELECT n FROM (SELECT n, count(*) AS d FROM a2 GROUP BY 1) WHERE d >= 3),
+      |a3 AS (SELECT a.n, a.m FROM a2 a JOIN k3 x ON a.n = x.n JOIN k3 y ON a.m = y.n),
+      |k4 AS (SELECT n FROM (SELECT n, count(*) AS d FROM a3 GROUP BY 1) WHERE d >= 3),
+      |a4 AS (SELECT a.n, a.m FROM a3 a JOIN k4 x ON a.n = x.n JOIN k4 y ON a.m = y.n)
+      |SELECT n AS node, count(*) AS coredeg FROM a4 GROUP BY 1
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk")),
+        col("l_orderkey") === col("__ok") && col("l_partkey") < col("__pk"))
+      .select(col("l_partkey").as("src"), col("__pk").as("dst"))
+    graft.llm.KCore.kCorePeel(pairs, "src", "dst", k = 3, rounds = 4)
+      .transform(orderedWide("node"))
+  }
+
+  /** LSH recall audit: measure q24's MinHash+LSH candidate generator
+    * against q125's EXACT prefix-filter ground truth on the same corpus —
+    * recall = share of true J ≥ 3/5 pairs that LSH banding surfaced. The
+    * "measure your sketch" query every approximate-dedup deployment needs
+    * before trusting its miss rate; composition of two verified
+    * pipelines, counts exact, recall one IEEE division.
+    */
+  val q129 = q(
+    "q129_lsh_recall",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |msh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM w),
+      |hx AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> md5('0|' || s)) AS hx0,
+      |         list_transform(shingles, s -> md5('1|' || s)) AS hx1 FROM msh),
+      |mh AS (SELECT doc_id,
+      |         list_transform(generate_series(0, 7), i ->
+      |           list_min(list_transform(CASE WHEN i < 4 THEN hx0 ELSE hx1 END,
+      |             h -> substr(h, CAST(1 + 8*(i%4) AS BIGINT), 8)))) AS sig
+      |       FROM hx),
+      |bk AS (SELECT doc_id, g.b AS band, md5(sig[2*g.b+1] || sig[2*g.b+2]) AS band_key
+      |       FROM mh, (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |lsh AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |        FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+      |                           AND x.doc_id < y.doc_id),
+      |tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS token FROM msh),
+      |dfc AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+      |td AS (SELECT t.doc_id, t.token,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos,
+      |         count(*) OVER (PARTITION BY t.doc_id) AS n
+      |       FROM tok t JOIN dfc d USING (token)),
+      |pre AS (SELECT doc_id, token, n FROM td WHERE pos <= n - (3*n + 4) // 5 + 1),
+      |cand2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
+      |          FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
+      |          FROM cand2 c JOIN tok ta ON ta.doc_id = c.id_a
+      |                       JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      |          GROUP BY 1, 2, 3, 4),
+      |exact AS (SELECT id_a, id_b FROM inter
+      |          WHERE inter * 5 >= 3 * (na + nb - inter)),
+      |hit AS (SELECT e.id_a FROM exact e
+      |        JOIN lsh ON e.id_a = lsh.a AND e.id_b = lsh.b)
+      |SELECT (SELECT count(*) FROM exact) AS n_exact,
+      |       (SELECT count(*) FROM lsh) AS n_cand,
+      |       (SELECT count(*) FROM hit) AS n_hit,
+      |       CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+      |         (SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact)
+      |       END AS recall""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val exact = graft.llm.SetSimJoin
+      .jaccardJoin(docs, "doc_id",
+        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 3, den = 5)
+      .select(col("id_a"), col("id_b"))
+    val cand = graft.llm.MinHashLsh
+      .nearDupPairs(docs, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val hit = exact.join(cand,
+      exact("id_a") === cand("a") && exact("id_b") === cand("b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        when(col("n_exact") > 0, col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4119,5 +4218,6 @@ object Catalog {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
+    q128, q129)
 }

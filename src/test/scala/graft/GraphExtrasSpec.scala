@@ -55,6 +55,35 @@ class GraphExtrasSpec extends SparkSpec {
     assert(LinkPredict.predict(edges, "src", "dst", k = 100, maxDeg = Some(4L)).count() == 0)
   }
 
+  // ------------------------------------------------------------ k-core
+
+  test("kCorePeel: 2-core strips pendants and trees, keeps the cycle") {
+    // triangle 1-2-3 with pendant chain 3-4-5: 2-core = the triangle.
+    // One round removes 5; the second removes 4 (degree fell to 1).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r1 = graft.llm.KCore.kCorePeel(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L)) // 5 gone, 4 still present
+    val r2 = graft.llm.KCore.kCorePeel(edges, "src", "dst", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // extra rounds past the fixpoint are no-ops
+    val r5 = graft.llm.KCore.kCorePeel(edges, "src", "dst", k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5 == r2)
+  }
+
+  test("kCorePeel: k above max degree empties the graph; input normalized") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    assert(graft.llm.KCore.kCorePeel(edges, "src", "dst", k = 3, rounds = 2).count() == 0)
+    // the triangle (with dup/reversed/self edges collapsed) survives k=2
+    val core = graft.llm.KCore.kCorePeel(edges, "src", "dst", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   // -------------------------------------------------- calendar anomaly
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
