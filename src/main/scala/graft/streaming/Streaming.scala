@@ -210,6 +210,68 @@ object Streaming {
       .toDF(keyCol, "version", attrCol, "valid_from_us", "valid_to_us")
   }
 
+  /** Streaming row-level sessionization (the continuous form of
+    * `operators/Sessionize` / q121): per-entity gap-and-island session
+    * tracking that emits each session AS IT CLOSES —
+    * `(entity, session_idx, n_events, start_us, end_us)`. The OPEN
+    * session lives in per-key state (append streams cannot retract), so
+    * "the session in progress" belongs to a snapshot read while this
+    * emits the immutable closed history — the same split as
+    * [[scd2Closed]].
+    *
+    * Boundary matches the batch operator (and `session_window`, law-
+    * tested there): an event EXACTLY `gapUs` after the last one
+    * CONTINUES the session; strictly greater closes it. State per key =
+    * (session_idx, n_events, start, last) — O(1) regardless of session
+    * length. Arrivals behind the applied per-key frontier are dropped
+    * (the [[scd2Closed]] watermark discipline).
+    *
+    * Exact batch law (StreamingSpec): on a batch frame this equals
+    * `Sessionize.sessionSummary(...)` minus each entity's LAST
+    * (still-open) session, row for row.
+    */
+  def sessionizeClosed(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapUs > 0, "gapUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(entityCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Long, Long, Long, Long),
+          (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          var (idx, n, start, last) =
+            state.getOption.getOrElse((0L, 0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (idx != 0 && ts < last) {
+              // late arrival behind the applied frontier: dropped (see doc)
+            } else if (idx == 0) {
+              idx = 1; n = 1; start = ts; last = ts
+            } else if (ts - last > gapUs) {
+              out += ((key, idx, n, start, last))
+              idx += 1; n = 1; start = ts; last = ts
+            } else {
+              n += 1; last = ts
+            }
+          }
+          state.update((idx, n, start, last))
+          out.iterator
+      }
+      .toDF(entityCol, "session_idx", "n_events", "start_us", "end_us")
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

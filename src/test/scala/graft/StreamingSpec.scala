@@ -368,4 +368,58 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("valid_to_us") ==
       t("2024-06-01 10:20:00").getTime * 1000)
   }
+
+  test("streaming sessionize: sessions close across micro-batches; batch law vs Sessionize") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap = 60L * 1000000 // 1 minute
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.sessionizeClosed(mem.toDF().toDF("user_id", "ts"),
+        "user_id", "ts", gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .start()
+    // batch 1: two events 30s apart — session stays OPEN (nothing emitted)
+    mem.addData((1L, t("2024-06-01 10:00:00")), (1L, t("2024-06-01 10:00:30")))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0)
+    // batch 2: a >gap event closes session 1 (2 events) and opens session 2;
+    // the open run survived the micro-batch boundary in state
+    mem.addData((1L, t("2024-06-01 10:05:00")))
+    q.processAllAvailable()
+    val s1 = spark.table("sess").collect()
+    assert(s1.length == 1)
+    assert(s1(0).getAs[Long]("session_idx") == 1 &&
+      s1(0).getAs[Long]("n_events") == 2 &&
+      s1(0).getAs[Long]("end_us") == t("2024-06-01 10:00:30").getTime * 1000)
+    // batch 3: an EXACTLY-gap event continues session 2 (boundary law);
+    // then a >gap one closes it with both events inside
+    mem.addData((1L, t("2024-06-01 10:06:00")), (1L, t("2024-06-01 10:30:00")))
+    q.processAllAvailable(); q.stop()
+    val s2 = spark.table("sess").orderBy("session_idx").collect()
+    assert(s2.length == 2)
+    assert(s2(1).getAs[Long]("session_idx") == 2 &&
+      s2(1).getAs[Long]("n_events") == 2)
+
+    // BATCH LAW: on a batch frame, sessionizeClosed == sessionSummary
+    // minus each entity's LAST (still-open) session
+    val df = Seq(
+      (1L, t("2024-06-01 10:00:00")), (1L, t("2024-06-01 10:00:30")),
+      (1L, t("2024-06-01 10:05:00")), (1L, t("2024-06-01 10:30:00")),
+      (2L, t("2024-06-01 09:00:00")) // single open session: no closed rows
+    ).toDF("user_id", "ts")
+    val streamed = Streaming.sessionizeClosed(df, "user_id", "ts", gap)
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+    val summary = graft.operators.Sessionize
+      .sessionSummary(df, "user_id", "ts", gap, tieCols = Nil)
+    val open = summary.groupBy(col("user_id"))
+      .agg(max(col("session_idx")).as("session_idx"))
+    val closed = summary.join(open, Seq("user_id", "session_idx"), "left_anti")
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == closed && streamed.nonEmpty)
+  }
 }
