@@ -71,4 +71,65 @@ object Drift {
         floor(col("kl8").cast("double") / 100000000L * 10000 + 0.5) / 10000)
       .withColumnRenamed("__slice", byCol)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group:
+    * D = max_v |F_A(v) − F_B(v)| over the pooled distinct values — the
+    * nonparametric NUMERIC-drift companion to [[tokenKlDrift]]'s token
+    * drift ("did this metric's distribution move between snapshots /
+    * slices?"), sensitive to location AND shape with no binning choices.
+    *
+    * EXACT cross-engine: ECDF differences are compared as the integer
+    * cross-product |cumA·n_B − cumB·n_A| (never a float per step), so
+    * `d_num` is exact long arithmetic and `d = d_num/(n_A·n_B)` is one
+    * IEEE division. Ties are handled by evaluating at DISTINCT values
+    * with inclusive cumulative counts — the mathematically correct ECDF
+    * under ties.
+    *
+    * Plan: one (group, value) count aggregate (map-side combined — the
+    * only stage carrying row volume), then windows PARTITIONED BY GROUP
+    * over the distinct-value frame, then a bounded group aggregate. At
+    * 100 TB the distinct-value frame is the only window input; a
+    * continuous metric with data-sized distinct counts still windows per
+    * group, never globally.
+    *
+    * @param inSampleA boolean Column: true → sample A, false → sample B;
+    *                  null rows (either side) are excluded
+    * @return per group: (groupCols…, n_a, n_b, d_num, d); d is NULL when
+    *         either sample is empty
+    */
+  def ksStatistic(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      inSampleA: org.apache.spark.sql.Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(valueCol.isNotNull && inSampleA.isNotNull)
+      .select(g ++ Seq(valueCol.as("__v"),
+        inSampleA.cast("boolean").as("__a")): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    counts
+      .select(g ++ Seq(
+        sum(col("__ca")).over(wCum).as("__cuma"),
+        sum(col("__cb")).over(wCum).as("__cumb"),
+        sum(col("__ca")).over(wAll).as("__na"),
+        sum(col("__cb")).over(wAll).as("__nb")): _*)
+      .groupBy(g: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .select(g ++ Seq(
+        col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num") / (col("n_a") * col("n_b"))).as("d")): _*)
+  }
 }

@@ -4195,6 +4195,39 @@ object Catalog {
         when(col("n_exact") > 0, col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic
+    * ([[graft.llm.Drift.ksStatistic]]): weekend-vs-weekday value
+    * distributions per event type — ECDF max-gap with the integer
+    * cross-product comparison (`|cumA·nB − cumB·nA|`), exact until the
+    * one final division.
+    */
+  val q130 = q(
+    "q130_ks_drift",
+    """WITH s AS (SELECT event_type, value AS v, isodow(ts) >= 6 AS a
+      |           FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, v,
+      |        sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+      |        sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+      |      FROM s GROUP BY 1, 2),
+      |w AS (SELECT event_type,
+      |        sum(ca) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+      |        sum(cb) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+      |        sum(ca) OVER (PARTITION BY event_type) AS na,
+      |        sum(cb) OVER (PARTITION BY event_type) AS nb
+      |      FROM c)
+      |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+      |       max(abs(cuma * nb - cumb * na)) AS d_num,
+      |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+      |         max(abs(cuma * nb - cumb * na)) * 1.0 / (max(na) * max(nb))
+      |       END AS d
+      |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .ksStatistic(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"),
+        inSampleA = Macros.isoDow(col("ts")) >= 6)
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4219,5 +4252,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129)
+    q128, q129, q130)
 }

@@ -177,6 +177,43 @@ class EvalOpsSpec extends SparkSpec {
     assert(opens == Set(1L, 3L)) // first-by-tie opens; the other continues
   }
 
+  // ---------------------------------------------------------- KS drift
+
+  test("ksStatistic: disjoint supports → D=1, identical samples → D=0, hand case") {
+    import graft.llm.Drift
+    val df = Seq(
+      // disjoint: A = {1,2}, B = {10,11} → D = 1
+      ("dis", 1.0, true), ("dis", 2.0, true), ("dis", 10.0, false), ("dis", 11.0, false),
+      // identical: A = B = {1,2,3} → D = 0
+      ("same", 1.0, true), ("same", 2.0, true), ("same", 3.0, true),
+      ("same", 1.0, false), ("same", 2.0, false), ("same", 3.0, false),
+      // hand: A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2: |2/4 - 0/4| = 0.5
+      ("hand", 1.0, true), ("hand", 2.0, true), ("hand", 3.0, true), ("hand", 4.0, true),
+      ("hand", 3.0, false), ("hand", 4.0, false), ("hand", 5.0, false), ("hand", 6.0, false)
+    ).toDF("g", "v", "a")
+    val out = Drift.ksStatistic(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(out("dis") == ((2L, 2L, 1.0)))
+    assert(out("same") == ((3L, 3L, 0.0)))
+    assert(out("hand") == ((4L, 4L, 0.5)))
+  }
+
+  test("ksStatistic: ties evaluated at distinct values; empty side → NULL") {
+    import graft.llm.Drift
+    // A = {1,1,2}, B = {1,2,2}: at v=1 |2/3-1/3| = 1/3; at v=2 |1-1| = 0
+    val df = Seq(
+      ("t", 1.0, true), ("t", 1.0, true), ("t", 2.0, true),
+      ("t", 1.0, false), ("t", 2.0, false), ("t", 2.0, false),
+      ("onlya", 5.0, true)
+    ).toDF("g", "v", "a")
+    val out = Drift.ksStatistic(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(out("t")._3 == 3L) // d_num = |2·3 − 1·3| = 3
+    assert(out("t")._4.get.asInstanceOf[Double] == 3.0 / 9.0)
+    assert(out("onlya") == ((1L, 0L, 0L, None)))
+  }
+
   // ------------------------------------------------------- setsim join
 
   /** Reference brute force: exact Jaccard over ALL pairs. */
