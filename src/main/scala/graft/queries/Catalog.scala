@@ -4228,6 +4228,31 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Sorted-neighborhood candidate generation
+    * ([[graft.operators.SortedNeighborhood.pairs]]): customers paired
+    * with their 3 balance-sort neighbors per nation — the merge/purge
+    * blocking strategy; the bucket equi-join form of the rank-range
+    * join (never a theta BNLJ). Output ≤ w·n rows by construction;
+    * balances carried verbatim for downstream |Δ| gates.
+    */
+  val q131 = q(
+    "q131_sorted_neighborhood",
+    """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+      |             row_number() OVER (PARTITION BY c_nationkey
+      |                                ORDER BY c_acctbal, c_custkey) AS rnk
+      |           FROM customer)
+      |SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       a.c_acctbal AS c_acctbal_a, b.c_acctbal AS c_acctbal_b,
+      |       b.rnk - a.rnk AS rank_gap
+      |FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+      |                 AND b.rnk - a.rnk BETWEEN 1 AND 3
+      |ORDER BY a.c_nationkey, id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.SortedNeighborhood
+      .pairs(Tables.customer(s, d), Seq("c_nationkey"), "c_acctbal",
+        tieCols = Seq("c_custkey"), idCol = "c_custkey", w = 3)
+      .transform(orderedWide("c_nationkey", "id_a", "id_b"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4252,5 +4277,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130)
+    q128, q129, q130, q131)
 }

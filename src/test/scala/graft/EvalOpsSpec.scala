@@ -214,6 +214,47 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("onlya") == ((1L, 0L, 0L, None)))
   }
 
+  // ----------------------------------------------- sorted neighborhood
+
+  test("sortedNeighborhood: pairs equal the rank-range definition, once each") {
+    import graft.operators.SortedNeighborhood
+    // block X: 6 records; block Y: 2; values with ties broken by id
+    val df = Seq(
+      ("X", 1L, 10.0), ("X", 2L, 11.0), ("X", 3L, 11.0), ("X", 4L, 20.0),
+      ("X", 5L, 30.0), ("X", 6L, 31.0),
+      ("Y", 7L, 1.0), ("Y", 8L, 2.0)
+    ).toDF("blk", "id", "v")
+    for (w <- Seq(1, 2, 3, 5)) {
+      val got = SortedNeighborhood
+        .pairs(df, Seq("blk"), "v", Seq("id"), "id", w)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+        .toSet
+      // brute-force reference: rank by (v, id) per block, all 0<gap<=w
+      val ranked = df.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (blk, rows) =>
+          rows.sortBy(t => (t._3, t._2)).zipWithIndex
+            .map { case ((_, id, _), i) => (blk, id, i + 1) }
+        }
+      val want = (for {
+        (blk, ia, ra) <- ranked; (blk2, ib, rb) <- ranked
+        if blk == blk2 && rb - ra >= 1 && rb - ra <= w
+      } yield (blk, ia, ib, (rb - ra).toLong)).toSet
+      assert(got == want, s"w=$w")
+    }
+  }
+
+  test("sortedNeighborhood: output is at most w·n pairs and carries sort values") {
+    import graft.operators.SortedNeighborhood
+    val df = (1L to 40L).map(i => ("b", i, i.toDouble * 2)).toDF("blk", "id", "v")
+    val out = SortedNeighborhood.pairs(df, Seq("blk"), "v", Seq("id"), "id", 4)
+    assert(out.count() <= 4 * 40)
+    val r = out.filter(col("id_a") === 1L && col("id_b") === 3L).head
+    assert(r.getAs[Double]("v_a") == 2.0 && r.getAs[Double]("v_b") == 6.0)
+    assert(r.getAs[Long]("rank_gap") == 2L)
+  }
+
   // ------------------------------------------------------- setsim join
 
   /** Reference brute force: exact Jaccard over ALL pairs. */

@@ -213,4 +213,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), name)
     }
   }
+
+  test("q131: the rank-range neighborhood join is a bucket equi-join, not a theta BNLJ") {
+    // `b.rnk - a.rnk BETWEEN 1 AND w` as written plans nested-loop; the
+    // operator's bucket form must keep it hash-keyed
+    val p = planOf("q131_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
