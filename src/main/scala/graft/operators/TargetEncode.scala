@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Leave-one-out target encoding with additive smoothing — the standard
+  * high-cardinality categorical feature for tabular models, built to be
+  * LEAKAGE-FREE and ENGINE-EXACT:
+  *
+  *   te(row) = (S_cat − y_row + m·prior) / (n_cat − 1 + m)
+  *
+  * where S_cat/n_cat are the row's category target sum/count, prior is
+  * the global target mean, and m is the smoothing pseudo-count. The
+  * row's OWN target is subtracted (leave-one-out: the encoding never
+  * contains the label it will be asked to predict), and m pulls sparse
+  * categories toward the prior (a singleton category with m = 0 has
+  * nothing to average — NULL).
+  *
+  * Exactness: targets are fixed-pointed to integer units (`scale`, the
+  * catalog's cents-as-long convention), and the smoothed mean is
+  * computed as ONE rational:
+  *
+  *   ((S − y)·n_g + m·S_g) / ((n − 1 + m)·n_g·scale)
+  *
+  * — numerator and denominator are exact LONG arithmetic (the nested
+  * prior division is algebraically cleared), so the single long→double
+  * conversion + division is IEEE-identical cross-engine. No float
+  * accumulates anywhere.
+  *
+  * Plan shape: one category aggregate (answer-sized → broadcast join
+  * back) + one 1-row global aggregate (broadcast cross) + scalar row
+  * arithmetic — two scans' worth of work, zero data-sized shuffles
+  * beyond the category agg's own exchange. Out-of-fold variants
+  * compose: run per fold over `Splits.foldColumn` slices.
+  */
+object TargetEncode {
+
+  /** Input columns + `te` (the smoothed leave-one-out encoding, in the
+    * target's original units). NULL targets are excluded from the
+    * statistics and receive a NULL encoding.
+    *
+    * @param m     smoothing pseudo-count (≥ 0; with m = 0 singleton
+    *              categories encode as NULL)
+    * @param scale fixed-point scale of the target (100 = 2-decimal money)
+    */
+  def loo(
+      df: DataFrame, catCols: Seq[String], targetCol: Column,
+      m: Int = 10, scale: Int = 100): DataFrame = {
+    require(catCols.nonEmpty, "catCols must be non-empty")
+    require(m >= 0, "m must be >= 0")
+    require(scale > 0, "scale must be positive")
+    val t = df.withColumn("__y",
+      floor(targetCol * scale + 0.5).cast("long"))
+    val cat = t.filter(col("__y").isNotNull)
+      .groupBy(catCols.map(col): _*)
+      .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
+    val g = t.filter(col("__y").isNotNull)
+      .agg(sum(col("__y")).as("__sg"), count(lit(1)).as("__ng"))
+    val denom = (col("__n") - 1 + m) * col("__ng") * lit(scale.toLong)
+    t.join(broadcast(cat), catCols, "left")
+      .crossJoin(broadcast(g))
+      .withColumn("te",
+        when(col("__y").isNotNull && denom > 0,
+          ((col("__s") - col("__y")) * col("__ng") + lit(m.toLong) * col("__sg"))
+            / denom))
+      .drop("__y", "__s", "__n", "__sg", "__ng")
+  }
+}

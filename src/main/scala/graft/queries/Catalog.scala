@@ -4253,6 +4253,31 @@ object Catalog {
       .transform(orderedWide("c_nationkey", "id_a", "id_b"))
   }
 
+  /** Leave-one-out target encoding ([[graft.operators.TargetEncode.loo]]):
+    * order priority encoded by the smoothed LOO mean of order value — the
+    * leakage-free categorical feature, with the nested prior division
+    * cleared into ONE exact long rational so the encoding hashes
+    * identically cross-engine.
+    */
+  val q132 = q(
+    "q132_target_encode",
+    """WITH t AS (SELECT o_orderkey, o_orderpriority,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      |           FROM orders),
+      |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM t),
+      |c AS (SELECT o_orderpriority, sum(y) AS s, count(*) AS n FROM t GROUP BY 1)
+      |SELECT t.o_orderkey, t.o_orderpriority,
+      |       ((c.s - t.y) * g.ng + 10 * g.sg) * 1.0 / ((c.n - 1 + 10) * g.ng * 100) AS te
+      |FROM t JOIN c USING (o_orderpriority) CROSS JOIN g
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.operators.TargetEncode
+      .loo(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        Seq("o_orderpriority"), col("o_totalprice"), m = 10, scale = 100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("te"))
+      .transform(orderedWide("o_orderkey"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4277,5 +4302,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131)
+    q128, q129, q130, q131, q132)
 }

@@ -214,6 +214,48 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("onlya") == ((1L, 0L, 0L, None)))
   }
 
+  // ------------------------------------------------- target encoding
+
+  test("targetEncode: hand-computed LOO means; m=0 singleton → NULL") {
+    import graft.operators.TargetEncode
+    // cat A: targets 10, 20, 30 (cents 1000/2000/3000), cat B: 40 alone
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0), (4L, "B", 40.0))
+      .toDF("id", "cat", "y")
+    val m0 = TargetEncode.loo(df, Seq("cat"), col("y"), m = 0)
+      .select("id", "te")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id=1: (20+30)/2 = 25; id=4 singleton: NULL
+    assert(m0(1L).get.asInstanceOf[Double] == 25.0)
+    assert(m0(2L).get.asInstanceOf[Double] == 20.0)
+    assert(m0(3L).get.asInstanceOf[Double] == 15.0)
+    assert(m0(4L).isEmpty)
+  }
+
+  test("targetEncode: smoothing pulls toward the global prior exactly") {
+    import graft.operators.TargetEncode
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 100.0))
+      .toDF("id", "cat", "y")
+    // prior = 130/3; id=1 with m=2: (20 + 2·130/3)/(1+2) = (20·3 + 260)/9
+    val out = TargetEncode.loo(df, Seq("cat"), col("y"), m = 2)
+      .select("id", "te")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - (20.0 * 3 + 260.0) / 9) < 1e-12)
+    // id=3 singleton with m=2: (0 + 2·prior)/(0+2) = prior
+    assert(math.abs(out(3L) - 130.0 / 3) < 1e-12)
+  }
+
+  test("targetEncode: null targets excluded from stats and encoded NULL") {
+    import graft.operators.TargetEncode
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", null)
+    ).toDF("id", "cat", "y")
+    val out = TargetEncode.loo(df, Seq("cat"), col("y"), m = 0)
+      .select("id", "te")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).get.asInstanceOf[Double] == 20.0) // null row not in S/n
+    assert(out(3L).isEmpty)
+  }
+
   // ----------------------------------------------- sorted neighborhood
 
   test("sortedNeighborhood: pairs equal the rank-range definition, once each") {
