@@ -4128,7 +4128,7 @@ object Catalog {
       .select(col("l_partkey").as("src"), col("__pk").as("dst"))
     graft.llm.KCore.kCorePeel(pairs, "src", "dst", k = 3, rounds = 4)
       .transform(orderedWide("node"))
-  }
+  }.copy(eagerBuild = true) // peel rounds checkpoint at build time (cf. q61)
 
   /** LSH recall audit: measure q24's MinHash+LSH candidate generator
     * against q125's EXACT prefix-filter ground truth on the same corpus —
