@@ -4278,6 +4278,74 @@ object Catalog {
       .transform(orderedWide("o_orderkey"))
   }
 
+  /** Product quantization + asymmetric-distance search
+    * ([[graft.llm.ProductQuant]]): m=2 subspaces × k=4 codes, one Lloyd
+    * round per subspace (q84 conventions: md5 seeds, lowest-code ties,
+    * per-subspace chained-CTE oracle), then ADC top-10 for 5 query
+    * vectors over the ENCODED frame — search touches only the code
+    * columns, the PQ memory story. Squared-Euclidean decomposes
+    * additively across subspaces; distance sums are sequential folds on
+    * both sides.
+    */
+  val q133 = q(
+    "q133_pq_adc",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |sv AS (SELECT vec_id, vec[1:32] AS s0, vec[33:64] AS s1 FROM v),
+      |sd AS (SELECT row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+      |              vec[1:32] AS s0, vec[33:64] AS s1
+      |       FROM (SELECT vec_id, vec FROM v
+      |             ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+      |a0 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, sd.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s0[i]-sd.s0[i])*(sv.s0[i]-sd.s0[i]))) ASC, sd.code) AS rn
+      |    FROM sv, sd) WHERE rn = 1),
+      |c0 AS (SELECT code, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a0.code, g.i AS dim, avg(sv.s0[g.i]) AS c
+      |    FROM a0 JOIN sv USING (vec_id), (SELECT unnest(generate_series(1, 32)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY code),
+      |a1 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, sd.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s1[i]-sd.s1[i])*(sv.s1[i]-sd.s1[i]))) ASC, sd.code) AS rn
+      |    FROM sv, sd) WHERE rn = 1),
+      |c1 AS (SELECT code, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a1.code, g.i AS dim, avg(sv.s1[g.i]) AS c
+      |    FROM a1 JOIN sv USING (vec_id), (SELECT unnest(generate_series(1, 32)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY code),
+      |f0 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, c0.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s0[i]-c0.cvec[i])*(sv.s0[i]-c0.cvec[i]))) ASC, c0.code) AS rn
+      |    FROM sv, c0) WHERE rn = 1),
+      |f1 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, c1.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s1[i]-c1.cvec[i])*(sv.s1[i]-c1.cvec[i]))) ASC, c1.code) AS rn
+      |    FROM sv, c1) WHERE rn = 1),
+      |qv AS (SELECT vec_id AS query_id, s0, s1 FROM sv WHERE vec_id < 5),
+      |d0 AS (SELECT qv.query_id, c0.code,
+      |         list_sum(list_transform(generate_series(1, 32), i -> (qv.s0[i]-c0.cvec[i])*(qv.s0[i]-c0.cvec[i]))) AS d
+      |       FROM qv, c0),
+      |d1 AS (SELECT qv.query_id, c1.code,
+      |         list_sum(list_transform(generate_series(1, 32), i -> (qv.s1[i]-c1.cvec[i])*(qv.s1[i]-c1.cvec[i]))) AS d
+      |       FROM qv, c1),
+      |ad AS (SELECT d0.query_id, f0.vec_id, d0.d + d1.d AS adist
+      |       FROM f0 JOIN f1 USING (vec_id)
+      |       JOIN d0 ON d0.code = f0.code
+      |       JOIN d1 ON d1.code = f1.code AND d1.query_id = d0.query_id
+      |       WHERE f0.vec_id <> d0.query_id),
+      |rr AS (SELECT query_id, vec_id, adist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+      |       FROM ad)
+      |SELECT query_id, rnk, vec_id, floor(adist * 10000 + 0.5) / 10000 AS adist4
+      |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val bk = graft.llm.ProductQuant.fit(emb, m = 2, k = 4, iters = 1)
+    val enc = graft.llm.ProductQuant.encode(emb, bk)
+    graft.llm.ProductQuant
+      .adcTopK(enc, bk, emb.filter(col("vec_id") < 5), topK = 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        r4(col("adist")).as("adist4"))
+      .transform(ordered("query_id", "rnk"))
+  }.copy(eagerBuild = true) // PQ fit collects codebooks at build time (cf. q84)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4302,5 +4370,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132)
+    q128, q129, q130, q131, q132, q133)
 }

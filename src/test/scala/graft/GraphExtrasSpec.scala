@@ -84,6 +84,54 @@ class GraphExtrasSpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  // ------------------------------------------------------ product quant
+
+  test("productQuant: codes reconstruct cluster structure; ADC exact on centroids") {
+    import graft.llm.ProductQuant
+    // 4-dim vectors, m=2 subspaces of 2 dims; two obvious clusters per
+    // subspace → after a round, codes separate them and ADC distance to
+    // a vector AT a centroid is 0 for the matching codes.
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(0.1f, 0.0f, 10.1f, 10.0f)),
+      (2L, Array(5.0f, 5.0f, 0.0f, 0.0f)),
+      (3L, Array(5.1f, 5.0f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.1f, 10.0f, 10.1f)),
+      (5L, Array(5.0f, 5.1f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val bk = ProductQuant.fit(vecs, m = 2, k = 2, iters = 2)
+    assert(bk.subDim == 2 && bk.books.length == 2)
+    val codes = ProductQuant.encode(vecs, bk)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // the {0,1,4} and {2,3,5} families must share codes in BOTH subspaces
+    assert(codes(0L) == codes(1L) && codes(1L) == codes(4L))
+    assert(codes(2L) == codes(3L) && codes(3L) == codes(5L))
+    assert(codes(0L) != codes(2L))
+    // ADC: query 0 must rank its own family first
+    val top = ProductQuant.adcTopK(
+        ProductQuant.encode(vecs, bk), bk, vecs.filter(col("vec_id") === 0L), 5)
+      .orderBy("rnk").collect().map(_.getLong(2))
+    assert(top.take(2).toSet == Set(1L, 4L))
+  }
+
+  test("productQuant: dimension must divide by m; codes stay stable ids") {
+    import graft.llm.ProductQuant
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      ProductQuant.seed(vecs, m = 2, k = 1)
+    }
+    // k > distinct clusters: empty codes drop but survivors keep ids < k0
+    val v2 = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.1f)),
+      (2L, Array(9.0f, 9.0f)), (3L, Array(9.1f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val bk = ProductQuant.fit(v2, m = 1, k = 4, iters = 2)
+    val codes = ProductQuant.encode(v2, bk)
+      .collect().map(_.getSeq[Int](1).head).toSet
+    assert(codes.subsetOf((0 until 4).toSet))
+    assert(bk.books.head.forall { case (code, _) => code >= 0 && code < 4 })
+  }
+
   // -------------------------------------------------- calendar anomaly
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
