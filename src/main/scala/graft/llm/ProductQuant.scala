@@ -133,6 +133,30 @@ object ProductQuant {
     * @param queries (vec_id, embedding) rows — must be answer-sized
     * @return (query_id, rnk, vec_id, adist) — topK rows per query
     */
+  /** EXACT squared-L2 top-k (brute force) — the ground-truth leg for PQ
+    * recall audits (the q26 brute-force role, L2 metric): broadcast the
+    * answer-sized query set, sequential-fold distances, rank per query.
+    */
+  def exactL2TopK(
+      corpus: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val v = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qvec")))
+    val dist = aggregate(
+      zip_with(col("__qvec"), col("vec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    v.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("dist"))
+  }
+
   def adcTopK(
       encoded: DataFrame, bk: Books, queries: DataFrame, topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")

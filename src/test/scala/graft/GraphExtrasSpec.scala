@@ -114,6 +114,18 @@ class GraphExtrasSpec extends SparkSpec {
     assert(top.take(2).toSet == Set(1L, 4L))
   }
 
+  test("productQuant: exactL2TopK ranks by true squared distance, excludes self") {
+    import graft.llm.ProductQuant
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f)), (3L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = ProductQuant.exactL2TopK(vecs, vecs.filter(col("vec_id") === 0L), 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 1L, 1.0), (2, 3L, 4.0), (3, 2L, 9.0)))
+  }
+
   test("productQuant: dimension must divide by m; codes stay stable ids") {
     import graft.llm.ProductQuant
     val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
