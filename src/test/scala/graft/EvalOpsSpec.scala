@@ -177,6 +177,56 @@ class EvalOpsSpec extends SparkSpec {
     assert(opens == Set(1L, 3L)) // first-by-tie opens; the other continues
   }
 
+  // ------------------------------------------- invariance law batteries
+
+  test("laws: AUC/Spearman/KS invariant under monotone score transforms; Gini scale-invariant") {
+    // Rank statistics must not move under strictly increasing transforms
+    // (x³+7, exp) — the property that makes them robust eval choices; and
+    // Gini is scale-free (G(c·x) = G(x)). Seeded money-shaped data.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      ("g" + (i % 3), rnd.nextBoolean(), math.floor(rnd.nextDouble() * 1e4) / 100)
+    }
+    val df = rows.toDF("g", "label", "score")
+    def aucOf(score: org.apache.spark.sql.Column) =
+      Eval.rocAuc(df, Seq("g"), col("label"), score)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val base = aucOf(col("score"))
+    assert(aucOf(col("score") * col("score") * col("score") + 7) == base)
+    assert(aucOf(exp(col("score") / 100)) == base)
+
+    def rhoOf(y: org.apache.spark.sql.Column) =
+      Eval.spearman(df, Seq("g"), col("score"), y)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rhoBase = rhoOf(col("label").cast("int") + col("score"))
+    assert(rhoOf(exp((col("label").cast("int") + col("score")) / 50)) == rhoBase)
+
+    import graft.llm.Drift
+    def ksOf(v: org.apache.spark.sql.Column) =
+      Drift.ksStatistic(df, Seq("g"), v, col("label"))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ksOf(col("score") * col("score") * col("score")) == ksOf(col("score")))
+
+    def giniOf(v: org.apache.spark.sql.Column) =
+      Eval.gini(df.filter(col("score") > 0), Seq("g"), v)
+        .collect().map(r => r.getString(0) ->
+          math.floor(r.getDouble(2) * 1e10)).toMap
+    assert(giniOf(col("score") * 17) == giniOf(col("score")))
+  }
+
+  test("laws: setsim threshold monotonicity — pairs at 4/5 ⊆ pairs at 3/5 ⊆ pairs at 1/2") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c g h"),
+      (4L, "x y z w v"), (5L, "x y z w u"), (6L, "p q r s t")
+    ).toDF("doc_id", "text")
+    def pairsAt(num: Int, den: Int) = SetSimJoin
+      .jaccardJoin(docs, "doc_id", split(col("text"), " "), num, den)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p45 = pairsAt(4, 5); val p35 = pairsAt(3, 5); val p12 = pairsAt(1, 2)
+    assert(p45.subsetOf(p35) && p35.subsetOf(p12))
+    assert(p12.nonEmpty)
+  }
+
   // ---------------------------------------------------------- KS drift
 
   test("ksStatistic: disjoint supports → D=1, identical samples → D=0, hand case") {
