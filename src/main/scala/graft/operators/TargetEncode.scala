@@ -65,4 +65,66 @@ object TargetEncode {
             / denom))
       .drop("__y", "__s", "__n", "__sg", "__ng")
   }
+
+  /** OUT-OF-FOLD target encoding — the cross-validation-correct variant:
+    * each row's encoding uses ONLY statistics from the other folds
+    * (its own fold's rows, including itself, are excluded), so a model
+    * evaluated fold-wise never sees its own labels through the feature.
+    *
+    *   te = (S_c − S_cf + m·prior_−f) / (n_c − n_cf + m)
+    *   prior_−f = (S_g − S_gf) / (n_g − n_gf)
+    *
+    * with the prior division cleared into one exact long rational
+    * (the [[loo]] algebra, fold-subtracted): no per-fold loop, no
+    * leakage — ONE (cat, fold) aggregate + answer-sized rollups give
+    * every fold's complement by subtraction.
+    *
+    * Plan: category totals derive from the (cat, fold) frame (one
+    * data-sized aggregate carries row volume); all four stat frames are
+    * answer-sized and broadcast. NULL when the complement is empty
+    * (single-fold data, or m = 0 with a fold-exclusive category).
+    *
+    * @param foldCol integer fold assignment (e.g. `Splits.foldColumn`)
+    */
+  def outOfFold(
+      df: DataFrame, catCols: Seq[String], targetCol: Column,
+      foldCol: Column, m: Int = 10, scale: Int = 100): DataFrame = {
+    require(catCols.nonEmpty, "catCols must be non-empty")
+    require(m >= 0, "m must be >= 0")
+    require(scale > 0, "scale must be positive")
+    val t = df
+      .withColumn("__y", floor(targetCol * scale + 0.5).cast("long"))
+      .withColumn("__f", foldCol.cast("long"))
+    val nn = t.filter(col("__y").isNotNull)
+    val catFold = nn.groupBy((catCols.map(col) :+ col("__f")): _*)
+      .agg(sum(col("__y")).as("__scf"), count(lit(1)).as("__ncf"))
+    val cat = catFold.groupBy(catCols.map(col): _*)
+      .agg(sum(col("__scf")).as("__sc"), sum(col("__ncf")).as("__nc"))
+    val gFold = nn.groupBy(col("__f").as("__gf"))
+      .agg(sum(col("__y")).as("__sgf"), count(lit(1)).as("__ngf"))
+    val g = nn.agg(sum(col("__y")).as("__sg"), count(lit(1)).as("__ng"))
+    val ngc = col("__ng") - col("__ngf") // complement global count
+    val sgc = col("__sg") - col("__sgf")
+    val denom = (col("__nc") - coalesce(col("__ncf"), lit(0L)) + m) * ngc *
+      lit(scale.toLong)
+    // rename the (cat, fold) frame's keys to avoid post-join ambiguity;
+    // NULL categories get NULL stats (equi-join), hence a NULL encoding —
+    // same convention as [[loo]]
+    val catFoldR = catFold.select(
+      (catCols.map(c => col(c).as(s"__cf_$c")) ++
+        Seq(col("__f").as("__cff"), col("__scf"), col("__ncf"))): _*)
+    t.join(broadcast(cat), catCols, "left")
+      .join(broadcast(catFoldR),
+        catCols.map(c => col(c) === col(s"__cf_$c")).reduce(_ && _) &&
+          col("__f") === col("__cff"), "left")
+      .join(broadcast(gFold), col("__f") === col("__gf"), "left")
+      .crossJoin(broadcast(g))
+      .withColumn("te_oof",
+        when(col("__y").isNotNull && ngc > 0 && denom > 0,
+          ((col("__sc") - coalesce(col("__scf"), lit(0L))) * ngc +
+            lit(m.toLong) * sgc) / denom))
+      .drop((Seq("__y", "__f", "__scf", "__ncf", "__sc", "__nc",
+        "__sgf", "__ngf", "__sg", "__ng", "__gf", "__cff") ++
+        catCols.map(c => s"__cf_$c")): _*)
+  }
 }

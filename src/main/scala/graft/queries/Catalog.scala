@@ -4267,7 +4267,8 @@ object Catalog {
       |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM t),
       |c AS (SELECT o_orderpriority, sum(y) AS s, count(*) AS n FROM t GROUP BY 1)
       |SELECT t.o_orderkey, t.o_orderpriority,
-      |       ((c.s - t.y) * g.ng + 10 * g.sg) * 1.0 / ((c.n - 1 + 10) * g.ng * 100) AS te
+      |       CAST((c.s - t.y) * g.ng + 10 * g.sg AS DOUBLE)
+      |         / CAST((c.n - 1 + 10) * g.ng * 100 AS DOUBLE) AS te
       |FROM t JOIN c USING (o_orderpriority) CROSS JOIN g
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     graft.operators.TargetEncode
@@ -4432,6 +4433,48 @@ object Catalog {
       .transform(ordered("query_id"))
   }.copy(eagerBuild = true) // PQ fit collects codebooks at build time (cf. q133)
 
+  /** Out-of-fold target encoding
+    * ([[graft.operators.TargetEncode.outOfFold]] over
+    * [[graft.llm.Splits.foldColumn]]): the CV-correct encoding — each
+    * order's priority feature uses only OTHER folds' statistics, with
+    * every fold complement obtained by SUBTRACTION from one (cat, fold)
+    * aggregate (no per-fold loop) and the prior division cleared into
+    * one exact long rational. The q120 k-fold split and the q132
+    * encoder composed the way a real CV pipeline runs them.
+    */
+  val q135 = q(
+    "q135_oof_target_encode",
+    s"""WITH t AS (SELECT o_orderkey, o_orderpriority,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+      |             ${graft.llm.Splits.foldSql("o_custkey", 5)} AS fold
+      |           FROM orders),
+      |cf AS (SELECT o_orderpriority, fold, sum(y) AS scf, count(*) AS ncf
+      |       FROM t GROUP BY 1, 2),
+      |c AS (SELECT o_orderpriority, sum(scf) AS sc, sum(ncf) AS nc
+      |      FROM cf GROUP BY 1),
+      |gf AS (SELECT fold, sum(y) AS sgf, count(*) AS ngf FROM t GROUP BY 1),
+      |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM t)
+      |SELECT t.o_orderkey, t.o_orderpriority, t.fold,
+      |       CAST((c.sc - cf.scf) * (g.ng - gf.ngf) + 10 * (g.sg - gf.sgf) AS DOUBLE)
+      |         / CAST((c.nc - cf.ncf + 10) * (g.ng - gf.ngf) * 100 AS DOUBLE) AS te_oof
+      |FROM t JOIN c USING (o_orderpriority)
+      |       JOIN cf ON cf.o_orderpriority = t.o_orderpriority AND cf.fold = t.fold
+      |       JOIN gf ON gf.fold = t.fold
+      |       CROSS JOIN g
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.operators.TargetEncode
+      .outOfFold(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("o_custkey"))
+          .withColumn("fold", graft.llm.Splits.foldColumn(col("o_custkey"), 5)),
+        Seq("o_orderpriority"), col("o_totalprice"),
+        foldCol = col("fold"), m = 10, scale = 100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("fold"),
+        col("te_oof"))
+      .transform(orderedWide("o_orderkey"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4456,5 +4499,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134)
+    q128, q129, q130, q131, q132, q133, q134, q135)
 }

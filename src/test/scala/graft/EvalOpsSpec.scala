@@ -306,6 +306,42 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("targetEncode.outOfFold: own fold fully excluded; equals hand complement") {
+    import graft.operators.TargetEncode
+    // cat A rows: fold0 = {10, 20}, fold1 = {40}; global fold0 also has B=100
+    val df = Seq(
+      (1L, "A", 10.0, 0), (2L, "A", 20.0, 0), (3L, "A", 40.0, 1),
+      (4L, "B", 100.0, 0)
+    ).toDF("id", "cat", "y", "fold")
+    val out = TargetEncode.outOfFold(df, Seq("cat"), col("y"), col("fold"), m = 0)
+      .select("id", "te_oof")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id=1 (fold 0): complement stats for A = {40} → 40; its own 10 and
+    // sibling 20 (same fold) both excluded
+    assert(out(1L).get.asInstanceOf[Double] == 40.0)
+    assert(out(2L).get.asInstanceOf[Double] == 40.0)
+    // id=3 (fold 1): complement = {10, 20} → 15
+    assert(out(3L).get.asInstanceOf[Double] == 15.0)
+    // id=4: B exists only in fold 0 → empty complement with m=0 → NULL
+    assert(out(4L).isEmpty)
+  }
+
+  test("targetEncode.outOfFold: m>0 pulls toward the OUT-OF-FOLD prior exactly") {
+    import graft.operators.TargetEncode
+    val df = Seq(
+      (1L, "A", 10.0, 0), (2L, "A", 30.0, 1), (3L, "B", 50.0, 1)
+    ).toDF("id", "cat", "y", "fold")
+    val out = TargetEncode.outOfFold(df, Seq("cat"), col("y"), col("fold"), m = 2)
+      .select("id", "te_oof")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id=1: complement A = {30}, prior_-0 = (30+50)/2 = 40:
+    // (30 + 2·40)/(1+2) = 110/3
+    assert(math.abs(out(1L) - 110.0 / 3) < 1e-12)
+    // id=3: complement B = {} (B only in fold 1), prior_-1 = 10:
+    // (0 + 2·10)/(0+2) = 10
+    assert(out(3L) == 10.0)
+  }
+
   // ----------------------------------------------- sorted neighborhood
 
   test("sortedNeighborhood: pairs equal the rank-range definition, once each") {
