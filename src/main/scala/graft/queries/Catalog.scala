@@ -3385,8 +3385,8 @@ object Catalog {
       |      FROM t JOIN b USING (event_type))
       |SELECT event_type,
       |       count(*) AS n,
-      |       sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_lo,
-      |       sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_hi,
+      |       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
       |       CAST(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_raw4,
       |       CAST(sum(CAST(floor(vw * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_w4
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -3881,8 +3881,8 @@ object Catalog {
       |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |           FROM events),
       |t AS (SELECT user_id, us,
-      |        sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
-      |          OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |        CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       |      FROM s)
       |SELECT user_id, session_idx, count(*) AS n_events,
       |       min(us) AS start_us, max(us) AS end_us,
@@ -3909,9 +3909,9 @@ object Catalog {
       |          + count(*) OVER (PARTITION BY segment, score) - 1 AS r2
       |      FROM s),
       |a AS (SELECT segment,
-      |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
-      |        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
-      |        sum(CASE WHEN pos THEN r2 ELSE 0 END) AS rs2
+      |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+      |        CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS rs2
       |      FROM r GROUP BY 1)
       |SELECT segment, n_pos, n_neg,
       |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
@@ -4215,8 +4215,8 @@ object Catalog {
       |        sum(ca) OVER (PARTITION BY event_type) AS na,
       |        sum(cb) OVER (PARTITION BY event_type) AS nb
       |      FROM c)
-      |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
-      |       max(abs(cuma * nb - cumb * na)) AS d_num,
+      |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
       |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
       |         max(abs(cuma * nb - cumb * na)) * 1.0 / (max(na) * max(nb))
       |       END AS d
@@ -4408,7 +4408,7 @@ object Catalog {
       |        list_sum(list_transform(generate_series(1, 64), i -> (qf.vec[i]-v.vec[i])*(qf.vec[i]-v.vec[i]))) ASC, v.vec_id) AS rn
       |    FROM qf, v WHERE v.vec_id <> qf.query_id) WHERE rn <= 10)
       |SELECT ex.query_id AS query_id, count(*) AS n_exact,
-      |       sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+      |       CAST(sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
       |       sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS recall
       |FROM ex LEFT JOIN adc ON adc.query_id = ex.query_id AND adc.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY 1""".stripMargin) { (s, d) =>

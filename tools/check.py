@@ -20,6 +20,10 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated query names (mirrors GRAFT_VERIFY_ONLY)
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
@@ -47,6 +51,26 @@ for name, sql in sorted(oracle.items()):
         continue
     gs = got.sort_values(list(got.columns)).reset_index(drop=True)
     es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    # Strict dtype-family gate: the driver hashes rendered values, so an
+    # int column on one side vs float on the other (e.g. DuckDB HUGEINT
+    # -> pandas float64 vs Spark bigint) hashes 123 vs 123.0 and FAILS
+    # even when every value is numerically identical. Reproduce that here
+    # BEFORE the value compare so the class can't ship again (r10 lesson).
+    dtype_bad = []
+    for c in gs.columns:
+        a_int = pd.api.types.is_integer_dtype(gs[c])
+        b_int = pd.api.types.is_integer_dtype(es[c])
+        a_flt = pd.api.types.is_float_dtype(gs[c])
+        b_flt = pd.api.types.is_float_dtype(es[c])
+        if (a_int and b_flt) or (a_flt and b_int):
+            dtype_bad.append((c, str(gs[c].dtype), str(es[c].dtype)))
+    if dtype_bad:
+        for c, da, db in dtype_bad:
+            print(f"  col {c}: DTYPE FAMILY mismatch spark={da} oracle={db} "
+                  f"(driver hash would differ — CAST the oracle column)")
+        print(f"FAIL {name}: int-vs-float dtype divergence")
+        fails.append(name)
+        continue
     # normalize dtypes for compare (timestamps → int ns, floats stay)
     exact = True
     approx = True
