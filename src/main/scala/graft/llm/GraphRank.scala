@@ -64,6 +64,15 @@ object GraphRank {
     *                    fully-lazy single-plan form — right for rounds ≤ 2
     *                    consumed once; reuse wins for more rounds or
     *                    repeated executions of the result.
+    * @param symmetric caller's declaration that the edge set is symmetric
+    *                  BY CONSTRUCTION (every (u,v) has its (v,u) — e.g.
+    *                  built as `e ∪ reverse(e)`). Then dst set ≡ src set,
+    *                  so the dangling-sink probe is vacuous (skipped even
+    *                  under `validate`) and the in-degree-0 frame is empty
+    *                  by construction — skipping its |E|-sized dst-distinct
+    *                  and the per-round unionAll. Declaring this falsely
+    *                  silently drains mass (the sink contract above) —
+    *                  only pass true for symmetrize-first callers.
     * @param broadcastRanks when true, each round joins the |V|-sized rank
     *                       frame into the edge frame as a BROADCAST — the
     *                       edge frame then never shuffles at all; each
@@ -82,7 +91,7 @@ object GraphRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, damping: Double = 0.85,
       validate: Boolean = true, reuseFrames: Boolean = false,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false, symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     def ck(df: DataFrame): DataFrame =
       if (reuseFrames) df.localCheckpoint() else df
@@ -94,7 +103,7 @@ object GraphRank {
     val src = col(srcCol)
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
-    if (validate) {
+    if (validate && !symmetric) {
       // loud dangling-sink check: a dst that is never a src absorbs mass
       // that then drains from the total each round
       val dangling = base.select(dst.as("node")).distinct()
@@ -127,12 +136,17 @@ object GraphRank {
     // (possibly checkpointed) base — cheap to recompute per consumer, so
     // they are NOT separately checkpointed: under reuseFrames the extra
     // job-materialization barrier costs more than the re-derivation saves
-    val dstNodes = base.select(dst.as("node")).distinct()
-    val noIn = od.select(col("node"))
-      .join(if (broadcastRanks) broadcast(dstNodes) else dstNodes,
-        Seq("node"), "left_anti")
-      .crossJoin(broadcast(n))
-      .select(col("node"), (lit(oneMinusD) / col("n")).as("pr"))
+    // on a symmetric graph (dst set ≡ src set) this frame is EMPTY by
+    // construction — skip its |E|-sized dst-distinct and the per-round
+    // unionAll entirely (the r11 job-count trim, cf. personalizedPageRank)
+    val noIn: Option[DataFrame] = if (symmetric) None else {
+      val dstNodes = base.select(dst.as("node")).distinct()
+      Some(od.select(col("node"))
+        .join(if (broadcastRanks) broadcast(dstNodes) else dstNodes,
+          Seq("node"), "left_anti")
+        .crossJoin(broadcast(n))
+        .select(col("node"), (lit(oneMinusD) / col("n")).as("pr")))
+    }
     val odR = od
     var r: DataFrame = odR.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
@@ -151,7 +165,7 @@ object GraphRank {
         .select(col("node"),
           (lit(oneMinusD) / col("n") +
             lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
-        .unionAll(noIn)
+      ranks = noIn.fold(ranks)(ranks.unionAll)
       // intermediate rounds only: re-attach deg for the next round's
       // contribution division (a broadcast/small join on the |V|-sized
       // frames) and checkpoint under reuseFrames so round k+1 (and its
@@ -192,7 +206,7 @@ object GraphRank {
       seeds: DataFrame, seedCol: String,
       rounds: Int, damping: Double = 0.85,
       validate: Boolean = true, reuseFrames: Boolean = false,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false, symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     def ck(df: DataFrame): DataFrame =
       if (reuseFrames) df.localCheckpoint() else df
@@ -201,20 +215,18 @@ object GraphRank {
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
     val sd = seeds.select(col(seedCol).as("node")).distinct()
-    // loud unknown-seed check (always on: a dropped seed silently deletes
-    // teleport mass, the PPR analog of a dangling sink)
-    val unknown = sd.join(od, Seq("node"), "left_anti").limit(1).collect()
-    require(unknown.isEmpty,
-      s"seed '${unknown.headOption.map(_.get(0)).orNull}' is not an edge " +
-        "source: every seed must be a node of the graph")
-    if (validate) {
+    // |S| collected ONCE (seed sets are dimension-sized by contract) and
+    // embedded as a literal: removes the per-plan 1-row crossJoin AND
+    // gives the seed-presence check below its expected count for free
+    val ns = sd.count()
+    require(ns > 0, "seed set is empty: PPR needs at least one seed")
+    if (validate && !symmetric) {
       val dangling = base.select(dst.as("node")).distinct()
         .join(od, Seq("node"), "left_anti").limit(1).collect()
       require(dangling.isEmpty,
         s"dangling node '${dangling.headOption.map(_.get(0)).orNull}': every " +
           "destination must also appear as an edge source (symmetrize first)")
     }
-    val nSeed = sd.agg(count(lit(1)).as("ns"))
     def rankSide(r: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
     val se =
@@ -225,22 +237,44 @@ object GraphRank {
     // teleport rides next to deg in the node frame: 1/|S| on seeds, 0 off
     val odT = ck(od
       .join(broadcast(sd.withColumn("__isSeed", lit(1))), Seq("node"), "left")
-      .crossJoin(broadcast(nSeed))
       .select(col("node"), col("deg"),
-        when(col("__isSeed").isNotNull, lit(1.0) / col("ns"))
+        when(col("__isSeed").isNotNull, lit(1.0 / ns))
           .otherwise(lit(0.0)).as("tele")))
+    // loud unknown-seed check (always on: a dropped seed silently deletes
+    // teleport mass, the PPR analog of a dangling sink). Counted off the
+    // (checkpointed) node frame instead of a separate |E|-aggregating
+    // anti-join probe — the r11 job-count trim; the anti-join runs only
+    // on the FAILURE path, to name the offender.
+    val present = odT.filter(col("tele") > 0).count()
+    if (present != ns) {
+      val unknown = sd.join(od, Seq("node"), "left_anti").limit(1).collect()
+      require(unknown.isEmpty,
+        s"seed '${unknown.headOption.map(_.get(0)).orNull}' is not an edge " +
+          "source: every seed must be a node of the graph")
+    }
     // in-degree-0 nodes: rank pinned at (1−d)·tele from round 1 on (0 for
     // non-seeds — still emitted, the complete-frame convention). Re-unioned
     // EVERY round so a source-only seed keeps feeding its out-neighbors —
     // the same retention rule pageRank enforces.
-    val pprDst = base.select(dst.as("node")).distinct()
-      .withColumn("__hasIn", lit(1))
-    val noInR = odT
-      .join(if (broadcastRanks) broadcast(pprDst) else pprDst,
-        Seq("node"), "left")
-      .filter(col("__hasIn").isNull)
-      .select(col("node"), col("deg"), col("tele"),
-        (lit(oneMinusD) * col("tele")).as("pr"))
+    // in-degree-0 frame: EMPTY by construction on a symmetric graph
+    // (dst set ≡ src set), so `symmetric = true` skips both the |E|-sized
+    // dst-distinct in its lineage and the per-round unionAll entirely —
+    // the r11 job-count trim for the q97/q102 symmetrize-first callers.
+    // Otherwise it is static and ck'd ONCE under reuseFrames: its
+    // dst-distinct would re-execute inside every round's checkpoint AND
+    // the final lazy round (unlike pageRank's noIn, whose recompute was
+    // measured cheaper than a barrier, this one rides in `rounds`
+    // unionAlls, so the barrier amortizes).
+    val noInR: Option[DataFrame] = if (symmetric) None else {
+      val pprDst = base.select(dst.as("node")).distinct()
+        .withColumn("__hasIn", lit(1))
+      Some(ck(odT
+        .join(if (broadcastRanks) broadcast(pprDst) else pprDst,
+          Seq("node"), "left")
+        .filter(col("__hasIn").isNull)
+        .select(col("node"), col("deg"), col("tele"),
+          (lit(oneMinusD) * col("tele")).as("pr"))))
+    }
 
     var r: DataFrame = odT
       .select(col("node"), col("deg"), col("tele"), col("tele").as("pr"))
@@ -259,7 +293,7 @@ object GraphRank {
         .select(col("node"), col("deg"), col("tele"),
           (lit(oneMinusD) * col("tele") +
             lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
-        .unionAll(noInR)
+      ranks = noInR.fold(ranks)(ranks.unionAll)
       r = if (k < rounds) ck(ranks) else ranks
     }
     ranks.select(col("node"), col("pr"))

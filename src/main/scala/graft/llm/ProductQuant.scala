@@ -68,6 +68,8 @@ object ProductQuant {
       .limit(k)
       .collect()
       .map(_.getSeq[Double](1))
+    require(rows.nonEmpty,
+      "PQ seed: corpus is empty — cannot seed codebooks from zero vectors")
     val dim = rows.head.length
     require(dim % m == 0, s"dim $dim must divide by m=$m")
     val subDim = dim / m
@@ -114,6 +116,35 @@ object ProductQuant {
     for (_ <- 1 to iters) bk = trainRound(corpus, bk)
     bk
   }
+
+  /** Memoized codebooks per (dataset, hyperparameters): the same
+    * model-registry pattern as [[Embeddings.quantizerFor]] — a resident
+    * engine trains the PQ model once per corpus and serves every
+    * encode/search from the artifact, rather than re-running the seed
+    * scan + Lloyd rounds on each query. Keyed by dataset path + params +
+    * a content fingerprint (recursive file listing) so regenerating the
+    * data under the same path retrains instead of serving stale
+    * codebooks; the superseded entry is evicted, not leaked.
+    */
+  private val booksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Books]()
+  private val latestFp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def booksFor(datasetPath: String, corpus: => DataFrame,
+      m: Int, k: Int, iters: Int, salt: String = "pq"): Books = {
+    val key = s"$datasetPath|m=$m|k=$k|iters=$iters|salt=$salt"
+    val fp = Embeddings.datasetFingerprint(datasetPath)
+    val prev = latestFp.put(key, fp)
+    if (prev != null && prev != fp) booksMemo.remove(s"$key#$prev")
+    booksMemo.computeIfAbsent(s"$key#$fp", _ => fit(corpus, m, k, iters, salt))
+  }
+
+  /** Drop all memoized codebooks (explicit invalidation hook). */
+  def invalidateBooks(): Unit = { booksMemo.clear(); latestFp.clear() }
+
+  /** Test hook: entry count of the codebook memo (eviction regression). */
+  private[graft] def booksCacheSize: Int = booksMemo.size
 
   /** Compressed representation: (vec_id, codes array<int>) — the frame a
     * 100 TB deployment PERSISTS (m·log₂k bits per vector).
@@ -165,7 +196,15 @@ object ProductQuant {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       .collect()
       .map { r =>
-        val id = r.getLong(0)
+        // generic integral read: a non-integral vec_id is a contract
+        // violation and should fail with the contract, not a cast trace
+        val id = r.get(0) match {
+          case l: java.lang.Long    => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => throw new IllegalArgumentException(
+            "adcTopK: query vec_id must be an integral id column, got " +
+              (if (other == null) "null" else other.getClass.getSimpleName))
+        }
         val vec = r.getSeq[Double](1)
         val dts: Seq[Seq[Double]] = (0 until bk.m).map { s =>
           val qs = vec.slice(s * bk.subDim, (s + 1) * bk.subDim)

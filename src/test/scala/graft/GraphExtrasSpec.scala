@@ -144,6 +144,50 @@ class GraphExtrasSpec extends SparkSpec {
     assert(bk.books.head.forall { case (code, _) => code >= 0 && code < 4 })
   }
 
+  test("productQuant: booksFor memoizes per (dataset, params) and evicts on regeneration") {
+    import graft.llm.ProductQuant
+    ProductQuant.invalidateBooks()
+    val dir = java.nio.file.Files.createTempDirectory("pqmemo").toString
+    val path = s"$dir/emb.parquet"
+    def write(shift: Float): Unit = Seq(
+      (0L, Array(0.0f + shift, 0.0f)), (1L, Array(0.1f + shift, 0.0f)),
+      (2L, Array(9.0f + shift, 9.0f)), (3L, Array(9.1f + shift, 9.0f))
+    ).toDF("vec_id", "embedding").write.mode("overwrite").parquet(path)
+    write(0.0f)
+    def corpus = spark.read.parquet(path)
+    val b1 = ProductQuant.booksFor(path, corpus, m = 1, k = 2, iters = 1)
+    val b2 = ProductQuant.booksFor(path, corpus, m = 1, k = 2, iters = 1)
+    assert(b1 eq b2, "same dataset + params must serve the memoized artifact")
+    assert(ProductQuant.booksCacheSize == 1)
+    // different params → separate entry
+    ProductQuant.booksFor(path, corpus, m = 2, k = 2, iters = 1)
+    assert(ProductQuant.booksCacheSize == 2)
+    // regenerated data under the same path → retrain, superseded entry evicted
+    Thread.sleep(5) // ensure a distinct mtime for the fingerprint
+    write(1.0f)
+    val b3 = ProductQuant.booksFor(path, corpus, m = 1, k = 2, iters = 1)
+    assert(!(b3 eq b1), "regenerated dataset must retrain, not serve stale books")
+    assert(ProductQuant.booksCacheSize == 2, "superseded entry must be evicted")
+    ProductQuant.invalidateBooks()
+  }
+
+  test("productQuant: empty corpus and non-integral query ids fail with contract errors") {
+    import graft.llm.ProductQuant
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val boom = intercept[IllegalArgumentException] {
+      ProductQuant.seed(empty, m = 1, k = 2)
+    }
+    assert(boom.getMessage.contains("empty"))
+    val vecs = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val bk = ProductQuant.fit(vecs, m = 1, k = 2, iters = 1)
+    val badQ = Seq(("x", Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val boom2 = intercept[IllegalArgumentException] {
+      ProductQuant.adcTopK(ProductQuant.encode(vecs, bk), bk, badQ, 1)
+    }
+    assert(boom2.getMessage.contains("integral"))
+  }
+
   // -------------------------------------------------- calendar anomaly
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)

@@ -1331,17 +1331,19 @@ class LlmSpec extends SparkSpec {
       df.collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
     val combos = for {
       reuse <- Seq(false, true); bcast <- Seq(false, true)
-    } yield (reuse, bcast)
-    val prs = combos.map { case (reuse, bcast) =>
+      symm <- Seq(false, true)
+    } yield (reuse, bcast, symm)
+    val prs = combos.map { case (reuse, bcast, symm) =>
       m(GraphRank.pageRank(sym, "src", "dst", rounds = 2,
-        reuseFrames = reuse, broadcastRanks = bcast))
+        reuseFrames = reuse, broadcastRanks = bcast, symmetric = symm))
     }
     assert(prs.forall(_ == prs.head), s"pageRank modes disagree: $prs")
     assert(prs.head == Map("a" -> 312083333333L, "b" -> 375833333334L,
       "c" -> 312083333333L)) // the hand-computed reference values
-    val pprs = combos.map { case (reuse, bcast) =>
+    val pprs = combos.map { case (reuse, bcast, symm) =>
       m(GraphRank.personalizedPageRank(sym, "src", "dst", seedA, "node",
-        rounds = 2, reuseFrames = reuse, broadcastRanks = bcast))
+        rounds = 2, reuseFrames = reuse, broadcastRanks = bcast,
+        symmetric = symm))
     }
     assert(pprs.forall(_ == pprs.head), s"ppr modes disagree: $pprs")
     assert(pprs.head == Map("a" -> 511250000000L, "b" -> 127500000000L,
