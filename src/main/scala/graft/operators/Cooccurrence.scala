@@ -72,7 +72,12 @@ object Cooccurrence {
     // side, Σk² rows — its two statistics shuffles. Opt out only for
     // vocabularies too large to broadcast (the joins then sort-merge on
     // a/b, still equi-joins).
+    // N rides IN the item-count frame (one crossJoin against the 1-row
+    // frame BEFORE the broadcast) so the Σk²-sized pair frame pays exactly
+    // two map-side statistics joins and no third scalar-attach stage —
+    // the r11 stage-chain trim
     val itemCounts0 = sized.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+      .crossJoin(broadcast(nFrame))
     val itemCounts = if (broadcastItemCounts) broadcast(itemCounts0) else itemCounts0
     val pairs = sized.as("l")
       .join(sized.as("r"), col("l.__bk") === col("r.__bk") &&
@@ -81,8 +86,7 @@ object Cooccurrence {
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(itemCounts.withColumnRenamed("__it", "a").withColumnRenamed("__ni", "n_a"), "a")
-      .join(itemCounts.withColumnRenamed("__it", "b").withColumnRenamed("__ni", "n_b"), "b")
-      .crossJoin(broadcast(nFrame))
+      .join(itemCounts.select(col("__it").as("b"), col("__ni").as("n_b")), "b")
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         (col("n_ab").cast("double") / col("__n")).as("support"),
         (col("n_ab").cast("double") / col("n_a")).as("conf_a_b"),
