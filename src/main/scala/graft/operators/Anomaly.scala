@@ -55,7 +55,16 @@ object Anomaly {
       .agg(element_at(
         graft.functions.NativeAgg.percentileArray(col(valueCol), Seq(0.5)),
         1).as("baseline"))
-    val withResid = slotted.join(baseline, keys)
+    // NULL-SAFE baseline attach (the Drift.tokenKlDrift convention):
+    // groupBy keeps NULL group/slot values as groups, so a plain equi-join
+    // would silently drop exactly those rows it just computed baselines
+    // for — <=> keeps NULL-keyed slices first-class (SQL twins mirror
+    // with IS NOT DISTINCT FROM)
+    val bl = baseline.select(
+      keys.map(kk => col(kk).as(s"__b_$kk")) :+ col("baseline"): _*)
+    val cond = keys.map(kk => col(kk) <=> col(s"__b_$kk")).reduce(_ && _)
+    val withResid = slotted.join(bl, cond)
+      .drop(keys.map(kk => s"__b_$kk"): _*)
       .withColumn("resid", col(valueCol) - col("baseline"))
     Robust.madOutliers(withResid, groupCols, "resid", k)
   }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * estimate σ under normality.
   *
   * Plan shape: two per-group aggregates (median, then median of absolute
-  * deviations) + two group-keyed equi-joins — the aggregates use the same
+  * deviations) + two group-keyed NULL-SAFE equi-joins (`<=>`: a NULL
+  * group key is its own first-class slice, the repo convention; SQL
+  * twins use IS NOT DISTINCT FROM) — the aggregates use the same
   * native exact-percentile kernel as q02 ([[graft.functions.NativeAgg]],
   * ObjectHashAggregate with per-group primitive count maps), so memory is
   * bounded by each group's value multiset, with
@@ -32,6 +34,21 @@ import org.apache.spark.sql.functions._
   * twin.
   */
 object Robust {
+
+  /** Null-safe group-stats attach: join `df` to the answer-sized `stats`
+    * frame on `keys` with `<=>` (the repo's null-safe-join convention —
+    * groupBy keeps NULL keys as groups, so a plain equi-join would drop
+    * exactly the rows those stats were computed for). SQL twins mirror
+    * with `IS NOT DISTINCT FROM`.
+    */
+  private def nsAttach(
+      df: DataFrame, stats: DataFrame, keys: Seq[String]): DataFrame = {
+    val renamed = stats.select(stats.columns.map { c =>
+      if (keys.contains(c)) col(c).as(s"__g_$c") else col(c)
+    }: _*)
+    val cond = keys.map(kk => col(kk) <=> col(s"__g_$kk")).reduce(_ && _)
+    df.join(renamed, cond).drop(keys.map(kk => s"__g_$kk"): _*)
+  }
 
   /** Per-group winsorization: clip `valueCol` to its group's
     * [`pLo`, `pHi`] percentile band instead of dropping tail rows — the
@@ -59,7 +76,7 @@ object Robust {
       .agg(graft.functions.NativeAgg.percentileArray(v, Seq(pLo, pHi)).as("__b"))
       .select((g :+ element_at(col("__b"), 1).as("lo")
         :+ element_at(col("__b"), 2).as("hi")): _*)
-    df.filter(v.isNotNull).join(bounds, groupCols)
+    nsAttach(df.filter(v.isNotNull), bounds, groupCols)
       .withColumn("v_w", least(greatest(v, col("lo")), col("hi")))
   }
 
@@ -78,13 +95,13 @@ object Robust {
       .groupBy(g: _*)
       .agg(element_at(
         graft.functions.NativeAgg.percentileArray(v, Seq(0.5)), 1).as("med"))
-    val withMed = df.filter(v.isNotNull).join(med, groupCols)
+    val withMed = nsAttach(df.filter(v.isNotNull), med, groupCols)
     val mad = withMed
       .groupBy(g: _*)
       .agg(element_at(
         graft.functions.NativeAgg.percentileArray(abs(v - col("med")), Seq(0.5)),
         1).as("mad"))
-    withMed.join(mad, groupCols)
+    nsAttach(withMed, mad, groupCols)
       .withColumn("dev", abs(v - col("med")))
       .withColumn("is_outlier",
         col("dev") > lit(k) * lit(1.4826) * col("mad"))

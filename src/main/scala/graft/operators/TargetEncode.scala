@@ -42,22 +42,30 @@ object TargetEncode {
     * @param m     smoothing pseudo-count (≥ 0; with m = 0 singleton
     *              categories encode as NULL)
     * @param scale fixed-point scale of the target (100 = 2-decimal money)
+    * @param broadcastStats broadcast the per-category stats frame
+    *              (default). Set false when the category domain itself is
+    *              too large for one executor (billion-category ids) — the
+    *              stats attach then falls back to a shuffle equi-join
+    *              (the LinkPredict.broadcastDegrees convention). The
+    *              1-row global frame broadcasts either way.
     */
   def loo(
       df: DataFrame, catCols: Seq[String], targetCol: Column,
-      m: Int = 10, scale: Int = 100): DataFrame = {
+      m: Int = 10, scale: Int = 100,
+      broadcastStats: Boolean = true): DataFrame = {
     require(catCols.nonEmpty, "catCols must be non-empty")
     require(m >= 0, "m must be >= 0")
     require(scale > 0, "scale must be positive")
     val t = df.withColumn("__y",
       floor(targetCol * scale + 0.5).cast("long"))
-    val cat = t.filter(col("__y").isNotNull)
+    val cat0 = t.filter(col("__y").isNotNull)
       .groupBy(catCols.map(col): _*)
       .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
+    val cat = if (broadcastStats) broadcast(cat0) else cat0
     val g = t.filter(col("__y").isNotNull)
       .agg(sum(col("__y")).as("__sg"), count(lit(1)).as("__ng"))
     val denom = (col("__n") - 1 + m) * col("__ng") * lit(scale.toLong)
-    t.join(broadcast(cat), catCols, "left")
+    t.join(cat, catCols, "left")
       .crossJoin(broadcast(g))
       .withColumn("te",
         when(col("__y").isNotNull && denom > 0,
@@ -85,10 +93,15 @@ object TargetEncode {
     * (single-fold data, or m = 0 with a fold-exclusive category).
     *
     * @param foldCol integer fold assignment (e.g. `Splits.foldColumn`)
+    * @param broadcastStats broadcast the per-category and per-(category,
+    *              fold) stats frames (default); false falls back to
+    *              shuffle equi-joins for category domains too large to
+    *              broadcast — see [[loo]]
     */
   def outOfFold(
       df: DataFrame, catCols: Seq[String], targetCol: Column,
-      foldCol: Column, m: Int = 10, scale: Int = 100): DataFrame = {
+      foldCol: Column, m: Int = 10, scale: Int = 100,
+      broadcastStats: Boolean = true): DataFrame = {
     require(catCols.nonEmpty, "catCols must be non-empty")
     require(m >= 0, "m must be >= 0")
     require(scale > 0, "scale must be positive")
@@ -113,8 +126,10 @@ object TargetEncode {
     val catFoldR = catFold.select(
       (catCols.map(c => col(c).as(s"__cf_$c")) ++
         Seq(col("__f").as("__cff"), col("__scf"), col("__ncf"))): _*)
-    t.join(broadcast(cat), catCols, "left")
-      .join(broadcast(catFoldR),
+    def stats(df0: DataFrame): DataFrame =
+      if (broadcastStats) broadcast(df0) else df0
+    t.join(stats(cat), catCols, "left")
+      .join(stats(catFoldR),
         catCols.map(c => col(c) === col(s"__cf_$c")).reduce(_ && _) &&
           col("__f") === col("__cff"), "left")
       .join(broadcast(gFold), col("__f") === col("__gf"), "left")

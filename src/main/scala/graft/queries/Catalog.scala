@@ -3342,11 +3342,11 @@ object Catalog {
       |           WHERE value IS NOT NULL),
       |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM t GROUP BY 1),
       |j AS (SELECT t.event_id, t.event_type, t.v, med.med
-      |      FROM t JOIN med USING (event_type)),
+      |      FROM t JOIN med ON t.event_type IS NOT DISTINCT FROM med.event_type),
       |mad AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
       |        FROM j GROUP BY 1),
       |o AS (SELECT j.event_id, j.event_type, j.v, j.med, mad.mad
-      |      FROM j JOIN mad USING (event_type)
+      |      FROM j JOIN mad ON j.event_type IS NOT DISTINCT FROM mad.event_type
       |      WHERE floor(abs(j.v - j.med) * 10000 + 0.5) >
       |            floor(3e0 * 1.4826e0 * mad.mad * 10000 + 0.5))
       |SELECT event_id, event_type,
@@ -3383,7 +3383,7 @@ object Catalog {
       |      FROM t GROUP BY 1),
       |j AS (SELECT t.event_type, t.v, b.lo, b.hi,
       |             least(greatest(t.v, b.lo), b.hi) AS vw
-      |      FROM t JOIN b USING (event_type))
+      |      FROM t JOIN b ON t.event_type IS NOT DISTINCT FROM b.event_type)
       |SELECT event_type,
       |       count(*) AS n,
       |       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
@@ -4067,13 +4067,15 @@ object Catalog {
       |base AS (SELECT event_type, hr, quantile_cont(v, 0.5) AS baseline FROM t GROUP BY 1, 2),
       |rj AS (SELECT t.event_id, t.event_type, t.v, base.baseline,
       |              t.v - base.baseline AS resid
-      |       FROM t JOIN base USING (event_type, hr)),
+      |       FROM t JOIN base ON t.event_type IS NOT DISTINCT FROM base.event_type
+      |                       AND t.hr IS NOT DISTINCT FROM base.hr),
       |med AS (SELECT event_type, quantile_cont(resid, 0.5) AS med FROM rj GROUP BY 1),
-      |j AS (SELECT rj.*, med.med FROM rj JOIN med USING (event_type)),
+      |j AS (SELECT rj.*, med.med FROM rj JOIN med
+      |      ON rj.event_type IS NOT DISTINCT FROM med.event_type),
       |mad AS (SELECT event_type, quantile_cont(abs(resid - med), 0.5) AS mad
       |        FROM j GROUP BY 1),
       |o AS (SELECT j.event_id, j.event_type, j.v, j.baseline, j.resid, mad.mad
-      |      FROM j JOIN mad USING (event_type)
+      |      FROM j JOIN mad ON j.event_type IS NOT DISTINCT FROM mad.event_type
       |      WHERE floor(abs(j.resid - j.med) * 10000 + 0.5) >
       |            floor(3e0 * 1.4826e0 * mad.mad * 10000 + 0.5))
       |SELECT event_id, event_type,

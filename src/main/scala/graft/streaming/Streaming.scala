@@ -235,25 +235,60 @@ object Streaming {
       entityCol: String,
       tsCol: String,
       gapUs: Long): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(gapUs > 0, "gapUs must be positive")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col(entityCol).cast("long").as("k"),
-        unix_micros(col(tsCol).cast("timestamp")).as("ts"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
+    // State is keyed on the entity's NATIVE type (the batch Sessionize
+    // convention): a blanket cast-to-long would, under non-ANSI
+    // semantics, turn string ids into NULL and silently collapse every
+    // entity into one state group. Integral keys run long-keyed (output
+    // cast back to the input dtype); string keys run string-keyed; other
+    // key types are a loud contract error.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val dt = events.schema(entityCol).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        sessionLoop[Long](
+          events.select(col(entityCol).cast("long").as("k"),
+            unix_micros(col(tsCol).cast("timestamp")).as("ts"))
+            .as[(Long, Long)],
+          gapUs)
+          .toDF(entityCol, "session_idx", "n_events", "start_us", "end_us")
+          .withColumn(entityCol, col(entityCol).cast(dt))
+      case StringType =>
+        sessionLoop[String](
+          events.select(col(entityCol).cast("string").as("k"),
+            unix_micros(col(tsCol).cast("timestamp")).as("ts"))
+            .as[(String, Long)],
+          gapUs)
+          .toDF(entityCol, "session_idx", "n_events", "start_us", "end_us")
+      case other => throw new IllegalArgumentException(
+        s"sessionizeClosed: entity column '$entityCol' has unsupported key " +
+          s"type ${other.simpleString}; use an integral or string entity id")
+    }
+  }
+
+  /** The per-entity gap-and-island loop behind [[sessionizeClosed]],
+    * generic in the state-key type (long and string instantiations).
+    */
+  private def sessionLoop[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long)], gapUs: Long)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      se: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)],
+      oe: org.apache.spark.sql.Encoder[(K, Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState[
           (Long, Long, Long, Long),
-          (Long, Long, Long, Long, Long)](
+          (K, Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long)],
+        (key: K, rows: Iterator[(K, Long)],
             state: GroupState[(Long, Long, Long, Long)]) =>
           var (idx, n, start, last) =
             state.getOption.getOrElse((0L, 0L, 0L, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long, Long)]
+            .empty[(K, Long, Long, Long, Long)]
           rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
             if (idx != 0 && ts < last) {
               // late arrival behind the applied frontier: dropped (see doc)
@@ -269,7 +304,6 @@ object Streaming {
           state.update((idx, n, start, last))
           out.iterator
       }
-      .toDF(entityCol, "session_idx", "n_events", "start_us", "end_us")
   }
 
   /** Gap-based session aggregation (the streaming form of q45): sessions

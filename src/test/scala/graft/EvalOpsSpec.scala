@@ -342,6 +342,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(3L) == 10.0)
   }
 
+  test("targetEncode: broadcastStats=false (shuffle-join fallback) is value-identical") {
+    import graft.operators.TargetEncode
+    val df = Seq(
+      (1L, "A", 10.0, 0), (2L, "A", 20.0, 0), (3L, "A", 40.0, 1),
+      (4L, "B", 100.0, 0), (5L, "B", 60.0, 1)
+    ).toDF("id", "cat", "y", "fold")
+    def m(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select("id", c).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val looB = m(TargetEncode.loo(df, Seq("cat"), col("y"), m = 3), "te")
+    val looS = m(TargetEncode.loo(df, Seq("cat"), col("y"), m = 3,
+      broadcastStats = false), "te")
+    assert(looB == looS)
+    val oofB = m(TargetEncode.outOfFold(df, Seq("cat"), col("y"),
+      col("fold"), m = 3), "te_oof")
+    val oofS = m(TargetEncode.outOfFold(df, Seq("cat"), col("y"),
+      col("fold"), m = 3, broadcastStats = false), "te_oof")
+    assert(oofB == oofS)
+  }
+
   // ----------------------------------------------- sorted neighborhood
 
   test("sortedNeighborhood: pairs equal the rank-range definition, once each") {

@@ -228,6 +228,23 @@ class GraphExtrasSpec extends SparkSpec {
     assert(out.filter(col("resid") =!= 0.0).count() == 0)
   }
 
+  test("calendarAnomalies: NULL group/slot keys survive the baseline join") {
+    // a NULL event_type is a legitimate slice: the baseline join is
+    // null-safe (<=>), so its rows must come back out, not silently drop
+    val df = Seq[(Long, String, Timestamp, java.lang.Double)](
+      (1L, null, ts("2024-01-01 09:00:00"), 2.0),
+      (2L, null, ts("2024-01-08 09:00:00"), 2.0),
+      (3L, "a", ts("2024-01-01 09:00:00"), 5.0),
+      (4L, "a", ts("2024-01-08 09:00:00"), 5.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = Anomaly.calendarAnomalies(
+      df, Seq("event_type"), Seq("hr" -> hour(col("ts"))), "value", k = 3.0)
+    assert(out.count() == 4, "NULL-keyed rows must be retained")
+    val nullSlice = out.filter(col("event_type").isNull).collect()
+    assert(nullSlice.length == 2)
+    assert(nullSlice.forall(_.getAs[Double]("baseline") == 2.0))
+  }
+
   test("calendarAnomalies validates inputs") {
     val df = Seq((1L, "a", ts("2024-01-01 09:00:00"), 1.0))
       .toDF("event_id", "event_type", "ts", "value")

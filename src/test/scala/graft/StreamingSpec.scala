@@ -422,4 +422,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == closed && streamed.nonEmpty)
   }
+
+  test("streaming sessionize: string entity keys keep per-entity state; bad key type fails loudly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap = 60L * 1000000
+    // a string user id must NOT collapse into one state group (the
+    // cast-to-long-under-non-ANSI trap): two interleaved entities, each
+    // with its own closed session
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streaming.sessionizeClosed(mem.toDF().toDF("user_id", "ts"),
+        "user_id", "ts", gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_str")
+      .start()
+    mem.addData(
+      ("alice", t("2024-06-01 10:00:00")), ("bob", t("2024-06-01 10:00:10")),
+      ("alice", t("2024-06-01 10:00:30")), ("bob", t("2024-06-01 10:00:40")))
+    q.processAllAvailable()
+    mem.addData(("alice", t("2024-06-01 10:05:00")),
+      ("bob", t("2024-06-01 10:05:00")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_str").collect()
+    assert(rows.length == 2, "one closed session per string entity")
+    assert(rows.map(_.getAs[String]("user_id")).toSet == Set("alice", "bob"))
+    assert(rows.forall(_.getAs[Long]("n_events") == 2))
+    // unsupported key type: loud contract error, not silent collapse
+    val bad = Seq((Array(1.toByte), t("2024-06-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val boom = intercept[IllegalArgumentException] {
+      Streaming.sessionizeClosed(bad, "user_id", "ts", gap)
+    }
+    assert(boom.getMessage.contains("unsupported key type"))
+  }
 }
