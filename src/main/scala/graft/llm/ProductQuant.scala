@@ -131,9 +131,15 @@ object ProductQuant {
   private val latestFp =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** @param variant extra cache-key component for DERIVED corpora read
+    *                 from the same dataset path (e.g. an in-plan vector
+    *                 transform): distinct variants must never share books
+    *                 even though they fingerprint the same files
+    */
   def booksFor(datasetPath: String, corpus: => DataFrame,
-      m: Int, k: Int, iters: Int, salt: String = "pq"): Books = {
-    val key = s"$datasetPath|m=$m|k=$k|iters=$iters|salt=$salt"
+      m: Int, k: Int, iters: Int, salt: String = "pq",
+      variant: String = ""): Books = {
+    val key = s"$datasetPath|m=$m|k=$k|iters=$iters|salt=$salt|variant=$variant"
     val fp = Embeddings.datasetFingerprint(datasetPath)
     val prev = latestFp.put(key, fp)
     if (prev != null && prev != fp) booksMemo.remove(s"$key#$prev")

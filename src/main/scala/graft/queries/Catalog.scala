@@ -4482,6 +4482,111 @@ object Catalog {
       .transform(orderedWide("o_orderkey"))
   }
 
+  /** PQ recall audit on STRUCTURED vectors — the q134 audit's
+    * complementary outcome: q134 honestly measures recall 0.0 at m=2,k=4
+    * on the isotropic embeddings fixture (PQ cells carry no signal when
+    * the corpus has no cluster structure); this variant imposes 4 tight
+    * clusters IN-PLAN (`v'ᵢ = 0.05·vᵢ + 10·(vec_id mod 4)`, identical
+    * IEEE op order both engines) and runs the same fit→encode→ADC→exact
+    * audit at k = 64 (Lloyd subdivides each cluster ~16-fold per
+    * subspace, giving ADC within-cluster resolution), measuring recall
+    * 0.2–0.3 on every query at sf0.01 — nonzero across the board where
+    * the isotropic corpus gives exactly zero. Same machinery, both
+    * outcomes measured — the q129 "measure your sketch" discipline,
+    * completed. (k=4 on this fixture still reads ~0: 16 code combos
+    * cannot rank within a cell; resolution needs cells ≪ cluster size.)
+    */
+  val q136 = q(
+    "q136_pq_recall_clustered",
+    """WITH v AS (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> x * 5e-2 + CAST(vec_id % 4 AS DOUBLE) * 1e1) AS vec
+      |           FROM embeddings),
+      |sv AS (SELECT vec_id, vec[1:32] AS s0, vec[33:64] AS s1 FROM v),
+      |sd AS (SELECT row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+      |              vec[1:32] AS s0, vec[33:64] AS s1
+      |       FROM (SELECT vec_id, vec FROM v
+      |             ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
+      |a0 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, sd.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s0[i]-sd.s0[i])*(sv.s0[i]-sd.s0[i]))) ASC, sd.code) AS rn
+      |    FROM sv, sd) WHERE rn = 1),
+      |c0 AS (SELECT code, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a0.code, g.i AS dim, avg(sv.s0[g.i]) AS c
+      |    FROM a0 JOIN sv USING (vec_id), (SELECT unnest(generate_series(1, 32)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY code),
+      |a1 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, sd.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s1[i]-sd.s1[i])*(sv.s1[i]-sd.s1[i]))) ASC, sd.code) AS rn
+      |    FROM sv, sd) WHERE rn = 1),
+      |c1 AS (SELECT code, list(c ORDER BY dim) AS cvec FROM (
+      |    SELECT a1.code, g.i AS dim, avg(sv.s1[g.i]) AS c
+      |    FROM a1 JOIN sv USING (vec_id), (SELECT unnest(generate_series(1, 32)) AS i) g
+      |    GROUP BY 1, 2) GROUP BY code),
+      |f0 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, c0.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s0[i]-c0.cvec[i])*(sv.s0[i]-c0.cvec[i]))) ASC, c0.code) AS rn
+      |    FROM sv, c0) WHERE rn = 1),
+      |f1 AS (SELECT vec_id, code FROM (
+      |    SELECT sv.vec_id, c1.code, row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 32), i -> (sv.s1[i]-c1.cvec[i])*(sv.s1[i]-c1.cvec[i]))) ASC, c1.code) AS rn
+      |    FROM sv, c1) WHERE rn = 1),
+      |qv AS (SELECT vec_id AS query_id, s0, s1 FROM sv WHERE vec_id < 5),
+      |d0 AS (SELECT qv.query_id, c0.code,
+      |         list_sum(list_transform(generate_series(1, 32), i -> (qv.s0[i]-c0.cvec[i])*(qv.s0[i]-c0.cvec[i]))) AS d
+      |       FROM qv, c0),
+      |d1 AS (SELECT qv.query_id, c1.code,
+      |         list_sum(list_transform(generate_series(1, 32), i -> (qv.s1[i]-c1.cvec[i])*(qv.s1[i]-c1.cvec[i]))) AS d
+      |       FROM qv, c1),
+      |ad AS (SELECT d0.query_id, f0.vec_id, d0.d + d1.d AS adist
+      |       FROM f0 JOIN f1 USING (vec_id)
+      |       JOIN d0 ON d0.code = f0.code
+      |       JOIN d1 ON d1.code = f1.code AND d1.query_id = d0.query_id
+      |       WHERE f0.vec_id <> d0.query_id),
+      |adc AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+      |    FROM ad) WHERE rnk <= 10),
+      |qf AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 5),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |    SELECT qf.query_id, v.vec_id,
+      |      row_number() OVER (PARTITION BY qf.query_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> (qf.vec[i]-v.vec[i])*(qf.vec[i]-v.vec[i]))) ASC, v.vec_id) AS rn
+      |    FROM qf, v WHERE v.vec_id <> qf.query_id) WHERE rn <= 10)
+      |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+      |       CAST(sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |       sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS recall
+      |FROM ex LEFT JOIN adc ON adc.query_id = ex.query_id AND adc.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY 1""".stripMargin) { (s, d) =>
+    // 4 tight in-plan clusters: v'_i = 0.05·v_i + 10·(vec_id mod 4) —
+    // multiply-then-add per element, the same IEEE sequence as the twin
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x * lit(0.05) +
+          pmod(col("vec_id"), lit(4L)).cast("double") * lit(10.0))
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val bk = graft.llm.ProductQuant.booksFor(
+      s"$d/embeddings.parquet", emb, m = 2, k = 64, iters = 1,
+      variant = "clustered4")
+    val adc = graft.llm.ProductQuant
+      .adcTopK(graft.llm.ProductQuant.encode(emb, bk), bk, queries, topK = 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = graft.llm.ProductQuant
+      .exactL2TopK(emb, queries, topK = 10)
+      .select(col("query_id"), col("vec_id"))
+    val adcR = adc.select(col("query_id").as("__qid"), col("vec_id").as("__hit"))
+    exact.join(adcR,
+        col("query_id") === col("__qid") && col("vec_id") === col("__hit"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit") / col("n_exact")).as("recall"))
+      .transform(ordered("query_id"))
+  }.copy(eagerBuild = true) // PQ fit collects codebooks at build time (cf. q133)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4506,5 +4611,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
