@@ -217,9 +217,11 @@ object GraphRank {
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     // |S| collected ONCE (seed sets are dimension-sized by contract) and
     // embedded as a literal: removes the per-plan 1-row crossJoin AND
-    // gives the seed-presence check below its expected count for free
+    // gives the seed-presence check below its expected count for free.
+    // An EMPTY seed set is a legal degenerate: every tele is 0, so every
+    // rank converges to 0 — the same all-zero frame the SQL form yields
+    // (its CASE never reaches the 1/ns division), kept consistent here.
     val ns = sd.count()
-    require(ns > 0, "seed set is empty: PPR needs at least one seed")
     if (validate && !symmetric) {
       val dangling = base.select(dst.as("node")).distinct()
         .join(od, Seq("node"), "left_anti").limit(1).collect()
