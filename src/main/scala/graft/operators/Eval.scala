@@ -128,6 +128,69 @@ object Eval {
     *
     * @return one row per group: (groupCols…, n, gini)
     */
+  /** nDCG@k and MRR per query group — the RANKING-QUALITY member of the
+    * eval family (AUC grades a classifier, Spearman a monotone fit; this
+    * grades a RETRIEVAL ORDERING against graded relevance — the offline
+    * metric for the BM25/RRF/ANN stack).
+    *
+    *   DCG@k  = Σ_{i≤k} rel_i / log₂(i+1)   (linear gains)
+    *   IDCG@k = DCG@k of the relevance-descending ideal ordering
+    *   nDCG   = DCG/IDCG (NULL when IDCG = 0 — no relevant candidate)
+    *   MRR    = 1 / rank of the first candidate with rel > 0 (NULL if none)
+    *
+    * Exactness: each DCG term is floored to a SCALE-8 LONG
+    * (`floor((rel / log₂(i+1))·10⁸ + 0.5)`, the [[graft.llm.LanguageModel]]
+    * fixed-point convention), so both DCG sums are exact integer
+    * additions on any merge tree and the single nDCG division is
+    * IEEE-identical cross-engine. `log₂` carries the q71 ±1-ulp libm
+    * caveat (a term flips only if it sits within an ulp of a 0.5·10⁻⁸
+    * boundary; exact at ranks 2ᵏ−1 where log₂ is integral). The ideal
+    * ordering's tie assignment does not affect IDCG (equal gains at
+    * whichever of the tied positions), so only the SCORE ranking needs
+    * the caller's deterministic tie-break.
+    *
+    * Scale: two rank windows over the same group partitioning (one
+    * exchange, two sorts) + one hash aggregate — no global sort, no
+    * collect; parallelism = queries × partitions, the q122 shape.
+    *
+    * @param scoreCol ranking score (higher = better); null-score or
+    *                 null-relevance rows are excluded
+    * @param relCol   graded relevance (≥ 0 for the standard reading)
+    * @param tieCol   unique-per-(group, score) tie-break making the
+    *                 ranking a total order (e.g. the document id)
+    * @return one row per group: (groupCols…, n_cand, dcg8, idcg8, ndcg, mrr)
+    */
+  def ndcgAtK(
+      df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, relCol: Column, k: Int, tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val g = groupCols.map(col)
+    val wScore = Window.partitionBy(g: _*).orderBy(scoreCol.desc, tieCol.asc)
+    val wIdeal = Window.partitionBy(g: _*).orderBy(relCol.desc, tieCol.asc)
+    val t = df.filter(scoreCol.isNotNull && relCol.isNotNull)
+      .select(g ++ Seq(
+        relCol.cast("double").as("__rel"),
+        row_number().over(wScore).cast("long").as("__rnk"),
+        row_number().over(wIdeal).cast("long").as("__irnk")): _*)
+    def term8(rankCol: Column): Column =
+      floor((col("__rel") / log2(rankCol + lit(1L))) * lit(1e8) + 0.5)
+        .cast("long")
+    t.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("__rnk") <= k, term8(col("__rnk"))).otherwise(0L))
+          .as("dcg8"),
+        sum(when(col("__irnk") <= k, term8(col("__irnk"))).otherwise(0L))
+          .as("idcg8"),
+        min(when(col("__rel") > 0, col("__rnk"))).as("__frank"))
+      .select(g ++ Seq(
+        col("n_cand"), col("dcg8"), col("idcg8"),
+        when(col("idcg8") > 0,
+          col("dcg8").cast("double") / col("idcg8")).as("ndcg"),
+        when(col("__frank").isNotNull, lit(1.0) / col("__frank")).as("mrr")): _*)
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

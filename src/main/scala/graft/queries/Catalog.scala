@@ -4587,6 +4587,128 @@ object Catalog {
       .transform(ordered("query_id"))
   }.copy(eagerBuild = true) // PQ fit collects codebooks at build time (cf. q133)
 
+  /** Ranking-quality evaluation ([[graft.operators.Eval.ndcgAtK]]):
+    * nDCG@10 + MRR per order-priority "query" over a part ranking by
+    * exact summed quantity, against the synthetic graded qrels
+    * `rel = partkey mod 4` — the retrieval-eval member the BM25/RRF/ANN
+    * stack is graded by offline. DCG terms are scale-8 longs (exact
+    * integer sums on any merge tree; the one ±1-ulp `log2` caveat is
+    * q71's), the nDCG division one IEEE op.
+    */
+  val q137 = q(
+    "q137_ndcg_eval",
+    """WITH cand AS (SELECT o_orderpriority AS qid, l_partkey AS doc,
+      |    CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS score4,
+      |    CAST(l_partkey % 4 AS DOUBLE) AS rel
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT qid, doc, rel,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score4 DESC, doc) AS rnk,
+      |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS irnk
+      |       FROM cand),
+      |a AS (SELECT qid, count(*) AS n_cand,
+      |        CAST(sum(CASE WHEN rnk <= 10
+      |          THEN CAST(floor((rel / log2(rnk + 1)) * 1e8 + 0.5) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS dcg8,
+      |        CAST(sum(CASE WHEN irnk <= 10
+      |          THEN CAST(floor((rel / log2(irnk + 1)) * 1e8 + 0.5) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS idcg8,
+      |        min(CASE WHEN rel > 0 THEN rnk END) AS frank
+      |      FROM rk GROUP BY 1)
+      |SELECT qid, n_cand, dcg8, idcg8,
+      |       CASE WHEN idcg8 > 0 THEN CAST(dcg8 AS DOUBLE) / idcg8 END AS ndcg,
+      |       CASE WHEN frank IS NOT NULL THEN 1e0 / frank END AS mrr
+      |FROM a ORDER BY qid""".stripMargin) { (s, d) =>
+    val cand = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("qid"), col("l_partkey").as("doc"))
+      .agg(sum(floor(col("l_quantity") * 10000 + 0.5).cast("long")).as("score4"))
+      .withColumn("rel", pmod(col("doc"), lit(4L)).cast("double"))
+    graft.operators.Eval
+      .ndcgAtK(cand, Seq("qid"), scoreCol = col("score4"),
+        relCol = col("rel"), k = 10, tieCol = col("doc"))
+      .transform(ordered("qid"))
+  }
+
+  /** End-to-end entity resolution — four verified operators COMPOSED the
+    * way a dedup/ER pipeline actually runs:
+    * [[graft.operators.SortedNeighborhood.pairs]] (balance-sort blocking,
+    * ≤ w·n candidates) → a null-safe similarity gate
+    * ([[graft.functions.JaroWinklerSim]] at the r4-floor compare
+    * convention + an exact-cents |Δbalance| band) →
+    * [[graft.llm.DedupCluster.components]] under ALTERNATING STAR
+    * (log-round convergence — the balance band chains records, so
+    * components can be path-shaped and min-label propagation's
+    * O(diameter) rounds would not converge in bounded iterations) → a
+    * canonical-record pick per cluster (max balance, id tie-break).
+    * Scale: candidates bounded by construction, name/balance attach is a
+    * dimension-broadcast, the closure runs bucketed star rounds — no
+    * all-pairs anywhere; the recursive-CTE twin re-derives the closure
+    * per execution (both engines pay full cost, the q61 convention).
+    */
+  val q138 = q(
+    "q138_entity_resolution",
+    """WITH RECURSIVE r AS (SELECT c_nationkey, c_custkey, c_name,
+      |             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal2,
+      |             row_number() OVER (PARTITION BY c_nationkey
+      |                                ORDER BY c_acctbal, c_custkey) AS rnk
+      |           FROM customer),
+      |cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |                a.c_name AS n_a, b.c_name AS n_b,
+      |                a.bal2 AS bal_a, b.bal2 AS bal_b
+      |         FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+      |                          AND b.rnk - a.rnk BETWEEN 1 AND 3),
+      |pairs AS (SELECT id_a, id_b FROM cand
+      |          WHERE abs(bal_a - bal_b) <= 2000
+      |            AND floor(jaro_winkler_similarity(n_a, n_b) * 10000 + 0.5) >= 9000),
+      |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT x AS id, x AS rep FROM edges
+      |          UNION
+      |          SELECT e.x, r.rep FROM edges e JOIN reach r ON r.id = e.y),
+      |comp AS (SELECT id, min(rep) AS rep FROM reach GROUP BY id),
+      |m AS (SELECT comp.rep, comp.id, r.bal2,
+      |        row_number() OVER (PARTITION BY comp.rep
+      |                           ORDER BY r.bal2 DESC, comp.id) AS pick
+      |      FROM comp JOIN r ON r.c_custkey = comp.id)
+      |SELECT rep, count(*) AS n_members,
+      |       max(CASE WHEN pick = 1 THEN id END) AS canonical_id,
+      |       max(CASE WHEN pick = 1 THEN bal2 END) AS canonical_bal2
+      |FROM m GROUP BY rep ORDER BY rep""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(col("c_nationkey"),
+      col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val cand = graft.operators.SortedNeighborhood.pairs(
+      cust, Seq("c_nationkey"), "c_acctbal",
+      tieCols = Seq("c_custkey"), idCol = "c_custkey", w = 3)
+    val attrs = cust.select(col("c_custkey"), col("c_name"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal2"))
+    val pairs = cand
+      .join(broadcast(attrs.select(col("c_custkey").as("id_a"),
+        col("c_name").as("n_a"), col("bal2").as("bal_a"))), Seq("id_a"))
+      .join(broadcast(attrs.select(col("c_custkey").as("id_b"),
+        col("c_name").as("n_b"), col("bal2").as("bal_b"))), Seq("id_b"))
+      .filter(abs(col("bal_a") - col("bal_b")) <= 2000 &&
+        floor(graft.functions.JaroWinklerSim.jaroWinkler(
+          col("n_a"), col("n_b")) * 10000 + 0.5) >= 9000)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.llm.DedupCluster.components(pairs, "id_a", "id_b",
+      algorithm = graft.llm.DedupCluster.AlternatingStar)
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("bal2").desc, col("id").asc)
+    comp
+      .join(broadcast(attrs.select(col("c_custkey").as("id"), col("bal2"))),
+        Seq("id"))
+      .withColumn("pick", row_number().over(w))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("pick") === 1, col("id"))).as("canonical_id"),
+        max(when(col("pick") === 1, col("bal2"))).as("canonical_bal2"))
+      .transform(ordered("rep"))
+  }.copy(eagerBuild = true) // star rounds run driver-side actions at build
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4611,5 +4733,5 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -342,6 +342,45 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(3L) == 10.0)
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG at scale 8; MRR; degenerate groups") {
+    import graft.operators.Eval
+    // group "q": ranking d1(rel 3) > d2(rel 0) > d3(rel 1) > d4(rel 2)
+    //   DCG@3  = 3/log2(2) + 0 + 1/log2(4)            = 3.5
+    //   IDCG@3 = 3 + 2/log2(3) + 1/2 (ideal d1,d4,d3) = 4.76185951(e-8 floored)
+    // group "z": all rel 0 -> idcg8 = 0 -> ndcg NULL, mrr NULL
+    val df = Seq(
+      ("q", "d1", 10.0, 3.0), ("q", "d2", 9.0, 0.0),
+      ("q", "d3", 8.0, 1.0), ("q", "d4", 7.0, 2.0),
+      ("z", "e1", 5.0, 0.0), ("z", "e2", 4.0, 0.0)
+    ).toDF("qid", "doc", "score", "rel")
+    val out = Eval.ndcgAtK(df, Seq("qid"), col("score"), col("rel"),
+        k = 3, tieCol = col("doc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    val (n, dcg8, idcg8, ndcg, mrr) = out("q")
+    assert(n == 4L && dcg8 == 350000000L && idcg8 == 476185951L)
+    assert(ndcg.get.asInstanceOf[Double] == 350000000.0 / 476185951L)
+    assert(mrr.get.asInstanceOf[Double] == 1.0)
+    val (nz, dz, iz, ndz, mz) = out("z")
+    assert(nz == 2L && dz == 0L && iz == 0L && ndz.isEmpty && mz.isEmpty)
+    // first relevant below rank 1: mrr = 1/rank of it
+    val df2 = Seq(("p", "a", 3.0, 0.0), ("p", "b", 2.0, 0.0),
+      ("p", "c", 1.0, 2.0)).toDF("qid", "doc", "score", "rel")
+    val m2 = Eval.ndcgAtK(df2, Seq("qid"), col("score"), col("rel"),
+        k = 2, tieCol = col("doc")).collect().head
+    assert(m2.getAs[Double]("mrr") == 1.0 / 3)
+    assert(m2.getAs[Long]("dcg8") == 0L)    // relevant doc outside k
+    assert(m2.getAs[Long]("idcg8") == 200000000L) // ideal puts it at rank 1
+    // null scores/rels excluded from the candidate pool
+    val df3 = Seq[(String, String, java.lang.Double, java.lang.Double)](
+      ("r", "a", 2.0, 1.0), ("r", "b", null, 3.0), ("r", "c", 1.0, null)
+    ).toDF("qid", "doc", "score", "rel")
+    val m3 = Eval.ndcgAtK(df3, Seq("qid"), col("score"), col("rel"),
+        k = 5, tieCol = col("doc")).collect().head
+    assert(m3.getAs[Long]("n_cand") == 1L)
+  }
+
   test("targetEncode: broadcastStats=false (shuffle-join fallback) is value-identical") {
     import graft.operators.TargetEncode
     val df = Seq(
