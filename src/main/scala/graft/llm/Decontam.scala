@@ -158,4 +158,62 @@ object Decontam {
       .filter(col("containment") >= minContainment)
       .select(col("a"), col("b"), col("n_shared"), col("b_grams"), col("containment"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space member of the family
+    * ([[exactNgramOverlap]]/[[bloomDecontaminate]] catch verbatim
+    * n-grams; a paraphrased benchmark answer shares no n-gram but sits
+    * next to its source in embedding space): flag eval vectors whose
+    * cosine similarity to some TRAIN vector clears `threshold`, with
+    * candidates generated by the q27 sign-plane LSH bucket join — never
+    * an eval×train all-pairs.
+    *
+    * The bucket key is [[Embeddings.lshBucket]]'s deterministic
+    * md5-derived hyperplane signs, so both engines derive identical
+    * candidates; the gate compares at the r4-floor convention
+    * (`⌊sim·10⁴ + 0.5⌋ ≥ ⌊threshold·10⁴⌋`) so a boundary similarity
+    * cannot flip between engines except at the documented ±1-ulp cosine
+    * exposure. Recall caveat (the q129 "measure your sketch"
+    * discipline): bucketing is approximate — a near-duplicate pair split
+    * by a hyperplane is missed; raise `numPlanes` for precision or drop
+    * to fewer planes for recall, and measure against [[Embeddings
+    * .cosineTopK]] ground truth on a sample before trusting the sweep.
+    *
+    * @param corpus    (idCol, vecCol) rows for BOTH splits
+    * @param inEvalCol boolean Column: true → eval/benchmark side,
+    *                  false → train side
+    * @return one row per CONTAMINATED eval id: (eval_id, n_hits,
+    *         top_train_id, top_sim) — top = highest similarity, train-id
+    *         tie-break; eval vectors with no hit are absent (clean)
+    */
+  def semanticOverlap(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      inEvalCol: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val v = corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__vec"),
+        inEvalCol.cast("boolean").as("__eval"))
+      .filter(col("__eval").isNotNull)
+      .withColumn("__bucket", Embeddings.lshBucket(col("__vec"), planes))
+    val ev = v.filter(col("__eval"))
+      .select(col("__id").as("eval_id"), col("__vec").as("__ve"),
+        col("__bucket"))
+    val tr = v.filter(!col("__eval"))
+      .select(col("__id").as("train_id"), col("__vec").as("__vt"),
+        col("__bucket"))
+    val thr4 = math.floor(threshold * 10000).toLong
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("__sim").desc, col("train_id").asc)
+    ev.join(tr, Seq("__bucket"))
+      .withColumn("__sim", Embeddings.cosine(col("__ve"), col("__vt")))
+      .filter(floor(col("__sim") * 10000 + 0.5).cast("long") >= thr4)
+      // vectors pruned BEFORE the per-eval ranking shuffle (ivfTopK rule)
+      .select(col("eval_id"), col("train_id"), col("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy(col("eval_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("eval_id"), col("n_hits"),
+        col("train_id").as("top_train_id"), col("__sim").as("top_sim"))
+  }
 }

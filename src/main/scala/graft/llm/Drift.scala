@@ -97,6 +97,92 @@ object Drift {
     * @return per group: (groupCols…, n_a, n_b, d_num, d); d is NULL when
     *         either sample is empty
     */
+  /** Population Stability Index per group — the BINNED two-sample drift
+    * statistic model-monitoring dashboards standardize on (PSI < 0.1
+    * stable, > 0.25 action), complementing [[ksStatistic]] (max ECDF gap,
+    * bin-free) and [[tokenKlDrift]] (categorical KL):
+    *
+    *   PSI = Σ_bins (p_B(i) − p_A(i)) · ln(p_B(i) / p_A(i))   ≥ 0
+    *
+    * Binning is EQUI-WIDTH over the group's combined [min, max] into
+    * `bins` buckets (`⌊(v−min)·bins/(max−min)⌋` capped to bins−1; a
+    * degenerate max = min group puts everything in bin 0) — deterministic
+    * given the data, no quantile estimation. Proportions use ADD-ONE
+    * (Laplace) smoothing over the nominal bin count,
+    * `p(i) = (c_i + 1)/(n + bins)`, so a bin empty on one side
+    * contributes a finite term instead of ±∞ (the standard
+    * epsilon-handling, made exact and engine-identical); bins empty on
+    * BOTH sides are not emitted and contribute nothing.
+    *
+    * Determinism: counts are exact longs; each bin term is floored at
+    * scale 8 (`floor(t·10⁸ + 0.5)` as long, the [[tokenKlDrift]]
+    * convention) so the per-group sum is exact long addition on any
+    * merge tree; `ln` carries the q71 ±1-ulp caveat. Plan: an
+    * answer-sized min/max aggregate broadcast-attached (null-safe) to
+    * the rows, one (group, bin)-keyed count aggregate, and group totals
+    * via a window over the ≤ bins-rows-per-group bin frame — no window
+    * ever sees raw rows, no collect.
+    *
+    * @param inBaseline boolean Column: true → baseline sample A,
+    *                   false → current sample B; null value/flag rows
+    *                   are excluded
+    * @return per group: (groupCols…, n_a, n_b, psi8, psi); psi NULL when
+    *         either sample is empty
+    */
+  def psi(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      inBaseline: org.apache.spark.sql.Column,
+      bins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bins >= 2, "bins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val base = df
+      .filter(valueCol.isNotNull && inBaseline.isNotNull)
+      .select(g ++ Seq(valueCol.cast("double").as("__v"),
+        inBaseline.cast("boolean").as("__a")): _*)
+    // group [min, max] via an answer-sized aggregate + NULL-SAFE broadcast
+    // attach (never a window over raw rows — a billion-row group must not
+    // funnel through one window partition; the repo's <=> convention keeps
+    // NULL group keys first-class)
+    val mm = base.groupBy(g: _*)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val mmR = broadcast(mm.select(
+      groupCols.map(c => col(c).as(s"__m_$c")) ++
+        Seq(col("__mn"), col("__mx")): _*))
+    val mmCond = groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _)
+    val s = base.join(mmR, mmCond)
+      .drop(groupCols.map(c => s"__m_$c"): _*)
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col("__v") - col("__mn")) * bins / (col("__mx") - col("__mn")))
+              .cast("long"))))
+    // per-(group, bin) counts; group totals ride a window over the
+    // BIN-AGGREGATED frame (≤ bins rows per group — answer-sized)
+    val wAll = Window.partitionBy(g: _*)
+    val c = s.groupBy(g :+ col("__bin"): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val pa = (col("__ca") + 1).cast("double") / (col("__na") + bins)
+    val pb = (col("__cb") + 1).cast("double") / (col("__nb") + bins)
+    c.withColumn("__t8",
+        floor(((pb - pa) * log(pb / pa)) * lit(1e8) + 0.5).cast("long"))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(col("__t8")).as("psi8"))
+      .select(g ++ Seq(
+        col("n_a"), col("n_b"), col("psi8"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("psi8").cast("double") / lit(1e8)).as("psi")): _*)
+  }
+
   def ksStatistic(
       df: DataFrame, groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column,

@@ -191,6 +191,132 @@ object Eval {
         when(col("__frank").isNotNull, lit(1.0) / col("__frank")).as("mrr")): _*)
   }
 
+  /** Cohen's kappa per group — chance-corrected agreement between two
+    * categorical labelings (annotator vs annotator, model vs heuristic
+    * gate): the data-labeling QA statistic.
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (n·Σ_k d_k − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)
+    *
+    * where d_k = diagonal (both said k), r_k/c_k = marginal counts. The
+    * second form clears both divisions: numerator and denominator are
+    * EXACT LONG arithmetic from confusion-cell counts, one IEEE division
+    * at the end — engine-identical, the [[rocAuc]] discipline. Agreement
+    * on labels is null-safe (both-NULL counts as agreement on the NULL
+    * label — the `<=>` convention); rows where either label is null form
+    * the NULL marginal rather than dropping.
+    *
+    * Scale: one (group, label, label) confusion aggregate (cells ≤
+    * |labels|² per group — answer-sized) + marginal rollups derived from
+    * it; nothing data-sized after the first aggregate.
+    *
+    * @return per group: (groupCols…, n, n_agree, kappa); kappa NULL when
+    *         p_e = 1 (degenerate single-cell table)
+    */
+  def cohenKappa(
+      df: DataFrame, groupCols: Seq[String],
+      rater1: Column, rater2: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val cells = df
+      .select(g ++ Seq(rater1.cast("string").as("__r1"),
+        rater2.cast("string").as("__r2")): _*)
+      .groupBy(g ++ Seq(col("__r1"), col("__r2")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val rows = cells.groupBy(g :+ col("__r1"): _*)
+      .agg(sum(col("__c")).as("__rs"))
+    val cols = cells.groupBy(g :+ col("__r2").as("__r1"): _*)
+      .agg(sum(col("__c")).as("__cs"))
+    // Σ r_k·c_k: marginals joined per label, NULL-SAFE so the NULL label's
+    // marginals pair up too
+    val peCond = groupCols.map(c => col(c) <=> col(s"__x_$c"))
+      .reduce(_ && _) && (col("__r1") <=> col("__x_r1"))
+    val pe = rows.join(
+        cols.select(groupCols.map(c => col(c).as(s"__x_$c")) ++
+          Seq(col("__r1").as("__x_r1"), col("__cs")): _*),
+        peCond, "inner")
+      .groupBy(g: _*)
+      .agg(sum(col("__rs") * col("__cs")).as("__rc"))
+    val agg = cells.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__r1") <=> col("__r2"), col("__c")).otherwise(0L))
+          .as("n_agree"))
+    val aCond = groupCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    agg.join(
+        broadcast(pe.select(groupCols.map(c => col(c).as(s"__p_$c")) :+
+          col("__rc"): _*)),
+        aCond)
+      .drop(groupCols.map(c => s"__p_$c"): _*)
+      .select(g ++ Seq(
+        col("n"), col("n_agree"),
+        when(col("n") * col("n") =!= col("__rc"),
+          (col("n") * col("n_agree") - col("__rc")).cast("double") /
+            (col("n") * col("n") - col("__rc"))).as("kappa")): _*)
+  }
+
+  /** Brier score + reliability (calibration) bins per group — "are the
+    * model's probabilities honest?": the probability-quality check run
+    * before a classifier's scores are trusted as sampling weights or
+    * quality gates.
+    *
+    * Probabilities fix-point at scale 4 (`p4 = ⌊p·10⁴ + 0.5⌋`, the
+    * catalog convention), so the squared error sum `Σ (p4 − y·10⁴)²` is
+    * EXACT LONG arithmetic and the Brier mean one IEEE division.
+    * Reliability bins are exact integer deciles of p4 (`min(bins−1,
+    * ⌊p4·bins/10⁴⌋)` — integer ops only); per bin the mean prediction
+    * and empirical positive rate are exact-count divisions.
+    *
+    * Scale: one (group, bin) hash aggregate — answer-sized output, the
+    * [[rocAuc]] shape without even a window.
+    *
+    * @param probCol predicted probability in [0, 1] (validated: out-of-
+    *                range p4 fails the run loudly rather than skewing)
+    * @param labelCol boolean outcome
+    * @return per (group, bin): (groupCols…, bin, n, n_pos, mean_p,
+    *         frac_pos, sse8, brier) — `sse8`/`brier` are the GROUP
+    *         totals repeated on each of the group's bins (≤ bins rows
+    *         per group; slice one bin row to read the group scalar)
+    */
+  def brierCalibration(
+      df: DataFrame, groupCols: Seq[String],
+      probCol: Column, labelCol: Column, bins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bins >= 2, "bins must be >= 2")
+    val g = groupCols.map(col)
+    val p4 = floor(probCol.cast("double") * 10000 + 0.5).cast("long")
+    val t = df
+      .filter(probCol.isNotNull && labelCol.isNotNull)
+      .select(g ++ Seq(p4.as("__p4"),
+        labelCol.cast("boolean").as("__y")): _*)
+      .withColumn("__p4", when(col("__p4") >= 0 && col("__p4") <= 10000,
+        col("__p4")).otherwise(raise_error(concat(
+          lit("brierCalibration: probability out of [0,1]: p4="),
+          col("__p4").cast("string")))))
+      .withColumn("__bin",
+        least(lit(bins - 1L), (col("__p4") * bins - pmod(col("__p4") * bins,
+          lit(10000L))) / 10000L).cast("long"))
+      .withColumn("__e", col("__p4") -
+        when(col("__y"), lit(10000L)).otherwise(lit(0L)))
+    val byBin = t.groupBy(g :+ col("__bin").as("bin"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__p4")).as("__sp4"),
+        sum(col("__e") * col("__e")).as("__sse8"))
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(g: _*) // over the ≤ bins-rows bin frame
+    byBin
+      .withColumn("__gn", sum(col("n")).over(wG))
+      .withColumn("sse8", sum(col("__sse8")).over(wG))
+      .select(g ++ Seq(
+        col("bin"), col("n"), col("n_pos"),
+        (col("__sp4").cast("double") / (col("n") * 10000)).as("mean_p"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+        col("sse8"),
+        (col("sse8").cast("double") / (col("__gn") * 100000000L))
+          .as("brier")): _*)
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

@@ -4709,6 +4709,166 @@ object Catalog {
       .transform(ordered("rep"))
   }.copy(eagerBuild = true) // star rounds run driver-side actions at build
 
+  /** Population Stability Index ([[graft.llm.Drift.psi]]): weekday-vs-
+    * weekend value drift per event type over 10 equi-width bins with
+    * exact Laplace-smoothed proportions — the binned drift member next
+    * to q130's KS (bin-free ECDF gap) and q89's token KL. Bin terms are
+    * scale-8 longs (exact merge-tree-independent sums); `ln` carries the
+    * q71 ±1-ulp caveat.
+    */
+  val q139 = q(
+    "q139_psi_drift",
+    """WITH s AS (SELECT event_type, value AS v, isodow(ts) < 6 AS a
+      |           FROM events WHERE value IS NOT NULL),
+      |mm AS (SELECT event_type, min(v) AS mn, max(v) AS mx FROM s GROUP BY 1),
+      |b AS (SELECT s.event_type, s.a,
+      |        CASE WHEN mm.mx = mm.mn THEN 0
+      |             ELSE least(9, CAST(floor((s.v - mm.mn) * 10 / (mm.mx - mm.mn)) AS BIGINT)) END AS bin
+      |      FROM s JOIN mm ON s.event_type IS NOT DISTINCT FROM mm.event_type),
+      |c AS (SELECT event_type, bin,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, ca, cb,
+      |        CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      |      FROM c),
+      |p AS (SELECT event_type, na, nb,
+      |        CAST(ca + 1 AS DOUBLE) / (na + 10) AS pa,
+      |        CAST(cb + 1 AS DOUBLE) / (nb + 10) AS pb
+      |      FROM t)
+      |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+      |       CAST(sum(CAST(floor(((pb - pa) * ln(pb / pa)) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS psi8,
+      |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+      |         CAST(sum(CAST(floor(((pb - pa) * ln(pb / pa)) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8
+      |       END AS psi
+      |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .psi(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"),
+        inBaseline = Macros.isoDow(col("ts")) < 6,
+        bins = 10)
+      .transform(ordered("event_type"))
+  }
+
+  /** Cohen's kappa ([[graft.operators.Eval.cohenKappa]]): chance-
+    * corrected agreement between two synthetic mod-3 "annotators" per
+    * event type — the labeling-QA statistic, with both divisions cleared
+    * into one exact long rational (the q122 discipline): κ =
+    * (n·Σdiag − Σ r·c) / (n² − Σ r·c), one IEEE division at the end.
+    */
+  val q140 = q(
+    "q140_cohen_kappa",
+    """WITH t AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS r1,
+      |             CAST(event_id % 3 AS VARCHAR) AS r2 FROM events),
+      |cells AS (SELECT event_type, r1, r2, count(*) AS c FROM t GROUP BY 1, 2, 3),
+      |rs AS (SELECT event_type, r1, CAST(sum(c) AS BIGINT) AS rsum FROM cells GROUP BY 1, 2),
+      |cs AS (SELECT event_type, r2, CAST(sum(c) AS BIGINT) AS csum FROM cells GROUP BY 1, 2),
+      |pe AS (SELECT rs.event_type, CAST(sum(rsum * csum) AS BIGINT) AS rc
+      |       FROM rs JOIN cs ON rs.event_type = cs.event_type AND rs.r1 = cs.r2
+      |       GROUP BY 1),
+      |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT) AS n_agree
+      |      FROM cells GROUP BY 1)
+      |SELECT a.event_type, n, n_agree,
+      |       CASE WHEN n * n <> rc THEN
+      |         CAST(n * n_agree - rc AS DOUBLE) / (n * n - rc) END AS kappa
+      |FROM a JOIN pe ON a.event_type = pe.event_type
+      |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .cohenKappa(Tables.events(s, d), Seq("event_type"),
+        rater1 = pmod(col("user_id"), lit(3L)),
+        rater2 = pmod(col("event_id"), lit(3L)))
+      .transform(ordered("event_type"))
+  }
+
+  /** Brier score + reliability bins
+    * ([[graft.operators.Eval.brierCalibration]]): a synthetic hash
+    * probability (`orderkey mod 1000 / 1000`) graded against the
+    * high-value-order outcome per priority — the probability-honesty
+    * check (an uninformative prediction reads flat at the base rate
+    * with Brier ≈ p̄·(1−p̄) + Var(p); the numbers here demonstrate the
+    * meter, not a model). Exact long squared-error sums at scale 8;
+    * integer decile bins of p4 — zero float in any count path.
+    */
+  val q141 = q(
+    "q141_brier_calibration",
+    """WITH t AS (SELECT o_orderpriority AS qid,
+      |             (o_orderkey % 1000) * 10 AS p4,
+      |             o_totalprice > 150000 AS y
+      |           FROM orders),
+      |e AS (SELECT qid, p4, y,
+      |        CAST(least(9, p4 * 10 // 10000) AS BIGINT) AS bin,
+      |        p4 - CASE WHEN y THEN 10000 ELSE 0 END AS err
+      |      FROM t),
+      |bb AS (SELECT qid, bin, count(*) AS n,
+      |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |         CAST(sum(p4) AS BIGINT) AS sp4,
+      |         CAST(sum(err * err) AS BIGINT) AS sseb
+      |       FROM e GROUP BY 1, 2),
+      |g AS (SELECT qid, bin, n, n_pos, sp4,
+      |        CAST(sum(n) OVER (PARTITION BY qid) AS BIGINT) AS gn,
+      |        CAST(sum(sseb) OVER (PARTITION BY qid) AS BIGINT) AS sse8
+      |      FROM bb)
+      |SELECT qid, bin, n, n_pos,
+      |       CAST(sp4 AS DOUBLE) / (n * 10000) AS mean_p,
+      |       CAST(n_pos AS DOUBLE) / n AS frac_pos,
+      |       sse8,
+      |       CAST(sse8 AS DOUBLE) / (gn * 100000000) AS brier
+      |FROM g ORDER BY qid, bin""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .brierCalibration(
+        Tables.orders(s, d).withColumnRenamed("o_orderpriority", "qid"),
+        Seq("qid"),
+        probCol = pmod(col("o_orderkey"), lit(1000L)).cast("double") / 1000.0,
+        labelCol = col("o_totalprice") > 150000,
+        bins = 10)
+      .transform(orderedWide("qid", "bin"))
+  }
+
+  /** Semantic decontamination ([[graft.llm.Decontam.semanticOverlap]]):
+    * eval vectors (`vec_id mod 10 = 0`) whose cosine to some TRAIN
+    * vector clears 0.3, candidates via the q27 sign-plane LSH bucket
+    * join — the embedding-space leak sweep next to the lexical q55/q62/
+    * q68 (a paraphrase shares no 8-gram but sits next to its source in
+    * embedding space). 0.3 is the sweep setting for THIS isotropic
+    * fixture (≈2.4σ of the random-pair cosine); normalized real
+    * embedding models run ~0.8. Bucketing is approximate by design —
+    * recall is measured against exact ground truth by the q129
+    * discipline, not assumed.
+    */
+  val q142: Q = {
+    val planes = graft.llm.Embeddings.hyperplanes(6, 64)
+    val planeSql = planes.map { p =>
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(vec, $lits) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    q(
+      "q142_semantic_decontam",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+         |             vec_id % 10 = 0 AS ev FROM embeddings),
+         |b AS (SELECT vec_id, vec, ev, $planeSql AS bucket FROM v),
+         |h AS (SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+         |             list_cosine_similarity(e.vec, t.vec) AS sim
+         |      FROM b e JOIN b t ON e.bucket = t.bucket AND e.ev AND NOT t.ev
+         |      WHERE CAST(floor(list_cosine_similarity(e.vec, t.vec) * 10000 + 0.5) AS BIGINT) >= 3000),
+         |r AS (SELECT eval_id, train_id, sim,
+         |        row_number() OVER (PARTITION BY eval_id ORDER BY sim DESC, train_id) AS rn,
+         |        count(*) OVER (PARTITION BY eval_id) AS n_hits
+         |      FROM h)
+         |SELECT eval_id, n_hits, train_id AS top_train_id,
+         |       floor(sim * 10000 + 0.5) / 10000 AS top_sim4
+         |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin) { (s, d) =>
+      graft.llm.Decontam
+        .semanticOverlap(Tables.embeddings(s, d), "vec_id", "embedding",
+          inEvalCol = pmod(col("vec_id"), lit(10L)) === 0,
+          planes = planes, threshold = 0.3)
+        .select(col("eval_id"), col("n_hits"), col("top_train_id"),
+          r4(col("top_sim")).as("top_sim4"))
+        .transform(ordered("eval_id"))
+    }
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4733,5 +4893,6 @@ object Catalog {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
+    q139, q140, q141, q142)
 }

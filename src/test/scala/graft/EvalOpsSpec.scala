@@ -499,4 +499,90 @@ class EvalOpsSpec extends SparkSpec {
       SetSimJoin.jaccardJoin(docs, "doc_id", split(col("text"), " "), 6, 5)
     }
   }
+
+  // --------------------------------------------------------------- psi
+
+  test("psi: hand-built 2-bin case; symmetric in the samples; empty side NULL") {
+    import graft.llm.Drift
+    // A = {0, 0, 10}, B = {10, 10} over [0, 10] in 2 bins:
+    //   bin0: ca=2 cb=0, bin1: ca=1 cb=2; Laplace over bins=2:
+    //   pa = (3/5, 2/5), pb = (1/4, 3/4)
+    val df = Seq(("g", 0.0, true), ("g", 0.0, true), ("g", 10.0, true),
+      ("g", 10.0, false), ("g", 10.0, false)).toDF("g", "v", "a")
+    val out = Drift.psi(df, Seq("g"), col("v"), col("a"), bins = 2)
+      .collect().head
+    val t0 = math.floor((0.25 - 0.6) * math.log(0.25 / 0.6) * 1e8 + 0.5).toLong
+    val t1 = math.floor((0.75 - 0.4) * math.log(0.75 / 0.4) * 1e8 + 0.5).toLong
+    assert(out.getAs[Long]("n_a") == 3L && out.getAs[Long]("n_b") == 2L)
+    assert(out.getAs[Long]("psi8") == t0 + t1)
+    assert(out.getAs[Double]("psi") > 0)
+    // PSI's term (pb−pa)·ln(pb/pa) is symmetric under sample swap
+    val swapped = Drift.psi(df, Seq("g"), col("v"), !col("a"), bins = 2)
+      .collect().head
+    assert(swapped.getAs[Long]("psi8") == out.getAs[Long]("psi8"))
+    // one empty sample → psi NULL (counts still reported)
+    val oneSided = Drift.psi(df.filter(col("a")), Seq("g"), col("v"),
+      col("a"), bins = 2).collect().head
+    assert(oneSided.getAs[Long]("n_b") == 0L && oneSided.isNullAt(
+      oneSided.fieldIndex("psi")))
+    // identical samples → every pa = pb → psi exactly 0
+    val same = Seq(("g", 1.0, true), ("g", 1.0, false),
+      ("g", 5.0, true), ("g", 5.0, false)).toDF("g", "v", "a")
+    assert(Drift.psi(same, Seq("g"), col("v"), col("a"), bins = 2)
+      .collect().head.getAs[Long]("psi8") == 0L)
+  }
+
+  // ------------------------------------------------------- cohen kappa
+
+  test("cohenKappa: hand confusion table, perfect agreement, degenerate NULL") {
+    // cells (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15: n=50 diag=35,
+    // rows {a:25,b:25} cols {a:30,b:20}, Σrc=1250 → κ = 500/1250 = 0.4
+    def rows(c: (String, String, Int)*) =
+      c.flatMap { case (x, y, k) => Seq.fill(k)(("g", x, y)) }
+        .toDF("g", "r1", "r2")
+    val out = Eval.cohenKappa(
+        rows(("a", "a", 20), ("a", "b", 5), ("b", "a", 10), ("b", "b", 15)),
+        Seq("g"), col("r1"), col("r2"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 50L && out.getAs[Long]("n_agree") == 35L)
+    assert(out.getAs[Double]("kappa") == 0.4)
+    // perfect agreement over 2 labels → κ = 1
+    val perf = Eval.cohenKappa(rows(("a", "a", 3), ("b", "b", 2)),
+      Seq("g"), col("r1"), col("r2")).collect().head
+    assert(perf.getAs[Double]("kappa") == 1.0)
+    // both raters constant → p_e = 1 → NULL
+    val degen = Eval.cohenKappa(rows(("a", "a", 4)),
+      Seq("g"), col("r1"), col("r2")).collect().head
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+    // both-NULL labels count as agreement (null-safe <=>)
+    val withNull = Seq[(String, String, String)](
+      ("g", null, null), ("g", "a", "a"), ("g", "a", "b"))
+      .toDF("g", "r1", "r2")
+    val nOut = Eval.cohenKappa(withNull, Seq("g"), col("r1"), col("r2"))
+      .collect().head
+    assert(nOut.getAs[Long]("n") == 3L && nOut.getAs[Long]("n_agree") == 2L)
+  }
+
+  // ------------------------------------------------- brier calibration
+
+  test("brierCalibration: exact sse8/bins; out-of-range probability fails loudly") {
+    val df = Seq(("g", 0.8, true), ("g", 0.2, false),
+      ("g", 0.5, true), ("g", 1.0, true)).toDF("g", "p", "y")
+    val out = Eval.brierCalibration(df, Seq("g"), col("p"), col("y"))
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    // err4: −2000, 2000, −5000, 0 → sse8 = 33e6; brier = 33e6/4e8
+    assert(out.keySet == Set(8L, 2L, 5L, 9L)) // p=1.0 caps into bin 9
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("sse8") == 33000000L)
+      assert(r.getAs[Double]("brier") == 33000000.0 / 400000000L)
+    }
+    assert(out(8L).getAs[Double]("mean_p") == 0.8)
+    assert(out(8L).getAs[Double]("frac_pos") == 1.0)
+    assert(out(2L).getAs[Long]("n_pos") == 0L)
+    val bad = Seq(("g", 1.2, true)).toDF("g", "p", "y")
+    val boom = intercept[Exception] {
+      Eval.brierCalibration(bad, Seq("g"), col("p"), col("y")).collect()
+    }
+    assert(boom.getMessage.contains("probability out of"))
+  }
 }

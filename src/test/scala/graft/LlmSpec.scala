@@ -741,6 +741,42 @@ class LlmSpec extends SparkSpec {
     assert(capped == 0) // every gram of the boilerplate is in 3 > 2 docs
   }
 
+  test("semanticOverlap: bucket-blocked cosine sweep; threshold + bucket misses") {
+    // one sign plane on the x-axis: bucket '1' = x > 0
+    val planes = Seq(Seq(1.0, 0.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f), true),   // eval, bucket 1
+      (2L, Array(-1.0f, 0.0f), true),  // eval, bucket 0 — no train neighbor there
+      (10L, Array(1.0f, 0.0f), false), // train, bucket 1: cos(e1) ≈ 0.995
+      (11L, Array(0.1f, 1.0f), false), // train, bucket 1: cos(e1) ≈ 0.197 < τ
+      (12L, Array(-1.0f, 0.1f), false) // train, bucket 0: near e2 but e2 has
+                                       // no hit ABOVE τ? cos(e2,12) ≈ 0.985 — hit!
+    ).toDF("vec_id", "embedding", "is_eval")
+    val out = graft.llm.Decontam.semanticOverlap(
+        corpus, "vec_id", "embedding", col("is_eval"), planes, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("eval_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("top_train_id"),
+          r.getAs[Double]("top_sim"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 10L && out(1L)._3 > 0.99)
+    assert(out(2L)._2 == 12L)
+    // raise the bar: nothing clears 0.999 → clean sweep, empty frame
+    assert(graft.llm.Decontam.semanticOverlap(
+      corpus, "vec_id", "embedding", col("is_eval"), planes, 0.999).count() == 0)
+    // bucket miss is a DESIGN property: a cross-plane near-duplicate is
+    // not a candidate (eval e2 at x<0 never scans train vec 10 at x>0)
+    val split = Seq(
+      (1L, Array(0.001f, 1.0f), true),   // bucket 1 (x barely > 0)
+      (20L, Array(-0.001f, 1.0f), false) // bucket 0, cosine ≈ 1 — missed
+    ).toDF("vec_id", "embedding", "is_eval")
+    assert(graft.llm.Decontam.semanticOverlap(
+      split, "vec_id", "embedding", col("is_eval"), planes, 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.llm.Decontam.semanticOverlap(
+        corpus, "vec_id", "embedding", col("is_eval"), planes, 0.0)
+    }
+  }
+
   test("normalized + char-gram jaccard: canonical forms and set similarity") {
     val t = TextAnalysis
     val r = Seq(
