@@ -183,6 +183,80 @@ object Drift {
           col("psi8").cast("double") / lit(1e8)).as("psi")): _*)
   }
 
+  /** CUSUM change-point scan per group — the SEQUENTIAL drift member
+    * ([[psi]]/[[ksStatistic]] compare two labeled samples; this finds
+    * WHERE an unlabeled ordered series shifted): the classic cumulative
+    * sum of deviations from the series mean,
+    *
+    *   S_i = Σ_{j≤i} (v_j − v̄),   change point = argmax_i |S_i|
+    *
+    * — S drifts away from 0 until the level shift and back after it, so
+    * the peak marks the most likely single shift (Page 1954 / the
+    * standard offline CUSUM segmentation step).
+    *
+    * Exactness: values fix-point at scale 4 and the statistic is kept in
+    * ×n units — `D_i = n·C_i − i·T` with C_i the exact prefix sum of v4
+    * and T the group total — so every compare (argmax, tie on earliest
+    * index) is exact LONG arithmetic; the reported `cusum` double is one
+    * IEEE division `D_peak / (n·10⁴)`. Overflow bound (documented
+    * contract): |v|·10⁴·n² must fit a long — fine to ~10⁶-row groups at
+    * |v| ≤ 10⁴; pre-aggregate (e.g. to time buckets) before scanning
+    * longer series, which is also what makes the per-group window safe.
+    *
+    * Plan: one (group)-partitioned cumulative window over the ordered
+    * series + an answer-sized total attach (null-safe) + one argmax
+    * aggregate. The window IS per-group sequential by nature of the
+    * statistic — bucket first at scale, as above.
+    *
+    * @param orderCol ordering column (time); `tieCols` must make the
+    *                 order total for engine-identical prefix sums
+    * @return per group: (groupCols…, n, cp_idx, cp_order, d_peak, cusum)
+    *         — cp_idx the 1-based position of the peak, cp_order the
+    *         orderCol value there, d_peak the exact ×n·10⁴ statistic
+    *         (signed: > 0 = upward-then-down level shift), cusum the
+    *         normalized double |peak| magnitude
+    */
+  def cusum(
+      df: DataFrame, groupCols: Seq[String],
+      orderCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      tieCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val ties = tieCols.zipWithIndex.map { case (c, i) => c.as(s"__tie_$i") }
+    val ord = col("__o").asc +: tieCols.indices.map(i => col(s"__tie_$i").asc)
+    val wCum = Window.partitionBy(g: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4")) ++
+        ties: _*)
+      .withColumn("__i", count(lit(1)).over(wCum))
+      .withColumn("__c", sum(col("__v4")).over(wCum))
+      .drop(tieCols.indices.map(i => s"__tie_$i"): _*)
+    val tot = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v4")).as("__t"))
+    val totR = broadcast(tot.select(
+      groupCols.map(c => col(c).as(s"__t_$c")) ++
+        Seq(col("__n"), col("__t")): _*))
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val d = base.join(totR, cond)
+      .drop(groupCols.map(c => s"__t_$c"): _*)
+      .withColumn("__d", col("__n") * col("__c") - col("__i") * col("__t"))
+    val wPick = Window.partitionBy(g: _*)
+      .orderBy(abs(col("__d")).desc, col("__i").asc)
+    d.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(g ++ Seq(
+        col("__n").as("n"),
+        col("__i").as("cp_idx"),
+        col("__o").as("cp_order"),
+        col("__d").as("d_peak"),
+        (abs(col("__d")).cast("double") / (col("__n") * lit(10000L)))
+          .as("cusum")): _*)
+  }
+
   def ksStatistic(
       df: DataFrame, groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column,

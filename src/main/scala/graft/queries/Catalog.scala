@@ -4869,6 +4869,44 @@ object Catalog {
     }
   }
 
+  /** CUSUM change-point scan ([[graft.llm.Drift.cusum]]): where did each
+    * event type's value level SHIFT — the sequential drift member next
+    * to q139's PSI and q130's KS (those compare labeled samples; this
+    * localizes an unlabeled shift). The ×n·10⁴ statistic keeps every
+    * compare exact long; one IEEE division reports the magnitude.
+    */
+  val q143 = q(
+    "q143_cusum_changepoint",
+    """WITH t AS (SELECT event_type, ts, event_id,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, ts, v4,
+      |        CAST(count(*) OVER w AS BIGINT) AS i,
+      |        CAST(sum(v4) OVER w AS BIGINT) AS cum
+      |      FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING)),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v4) AS BIGINT) AS tt FROM t GROUP BY 1),
+      |d AS (SELECT c.event_type, c.ts, c.i, g.n, c.cum * g.n - c.i * g.tt AS dd
+      |      FROM c JOIN g ON c.event_type IS NOT DISTINCT FROM g.event_type),
+      |r AS (SELECT event_type, n, i, ts, dd,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY abs(dd) DESC, i ASC) AS rn
+      |      FROM d)
+      |SELECT event_type, n, i AS cp_idx, epoch_us(ts) AS cp_order_us,
+      |       dd AS d_peak,
+      |       CAST(abs(dd) AS DOUBLE) / (n * 10000) AS cusum
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .cusum(Tables.events(s, d), Seq("event_type"),
+        orderCol = col("ts"), valueCol = col("value"),
+        tieCols = Seq(col("event_id")))
+      .select(col("event_type"), col("n"), col("cp_idx"),
+        unix_micros(col("cp_order").cast("timestamp")).as("cp_order_us"),
+        col("d_peak"), col("cusum"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4894,5 +4932,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142)
+    q139, q140, q141, q142, q143)
 }

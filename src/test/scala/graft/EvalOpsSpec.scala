@@ -532,6 +532,30 @@ class EvalOpsSpec extends SparkSpec {
       .collect().head.getAs[Long]("psi8") == 0L)
   }
 
+  // ------------------------------------------------------------- cusum
+
+  test("cusum: level shift localized exactly; constant series peaks at 0") {
+    import graft.llm.Drift
+    // v = [1, 1, 5, 5]: mean 3, S = [−2, −4, −2, 0] → peak |S| = 4 at i=2
+    // (×n·10⁴ units: d_peak = −160000)
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 5.0),
+      ("g", 4L, 5.0)).toDF("g", "t", "v")
+    val out = Drift.cusum(df, Seq("g"), col("t"), col("v"),
+      tieCols = Seq(col("t"))).collect().head
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Long]("cp_idx") == 2L)
+    assert(out.getAs[Long]("cp_order") == 2L)
+    assert(out.getAs[Long]("d_peak") == -160000L)
+    assert(out.getAs[Double]("cusum") == 4.0)
+    // constant series: every D = 0, earliest index wins the tie
+    val flat = Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 2.0))
+      .toDF("g", "t", "v")
+    val f = Drift.cusum(flat, Seq("g"), col("t"), col("v"),
+      tieCols = Seq(col("t"))).collect().head
+    assert(f.getAs[Long]("d_peak") == 0L && f.getAs[Long]("cp_idx") == 1L)
+    assert(f.getAs[Double]("cusum") == 0.0)
+  }
+
   // ------------------------------------------------------- cohen kappa
 
   test("cohenKappa: hand confusion table, perfect agreement, degenerate NULL") {
