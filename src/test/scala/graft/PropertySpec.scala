@@ -254,4 +254,40 @@ class PropertySpec extends SparkSpec {
       assert(got == brute.toMap, s"graph $gi: $got != $brute (edges $und)")
     }
   }
+
+  test("round-11 eval/drift statistics are partitioning-invariant (exact long paths)") {
+    // ndcg/psi/kappa/brier/cusum all route their accumulations through
+    // exact LONG arithmetic (scale-8/scale-4 fixed point, cleared
+    // rationals), so unlike the r4-tolerance moments family above these
+    // must be BIT-identical across merge trees — pin it on seeded data.
+    val rnd = new scala.util.Random(1111L)
+    val evalRows = Seq.fill(2000)((
+      "g" + rnd.nextInt(4),
+      rnd.nextInt(100000).toLong,                           // doc/tie id
+      math.floor(rnd.nextDouble() * 10000 + 0.5) / 100.0,   // score / value
+      rnd.nextInt(4).toDouble,                              // graded rel
+      rnd.nextDouble() < 0.4,                               // boolean side
+      math.floor(rnd.nextDouble() * 100 + 0.5) / 100.0      // probability
+    )).distinctBy(t => (t._1, t._2))
+    val base = evalRows.toDF("g", "id", "v", "rel", "flag", "p")
+    def run(parts: Int): Seq[Seq[Any]] = {
+      val d = base.repartition(parts)
+      val ndcg = graft.operators.Eval.ndcgAtK(d, Seq("g"), col("v"),
+        col("rel"), k = 10, tieCol = col("id"))
+      val kappa = graft.operators.Eval.cohenKappa(d, Seq("g"),
+        pmod(col("id"), lit(3L)), pmod(col("id"), lit(5L)))
+      val brier = graft.operators.Eval.brierCalibration(d, Seq("g"),
+        col("p"), col("flag"))
+      val psi = graft.llm.Drift.psi(d, Seq("g"), col("v"), col("flag"))
+      val cus = graft.llm.Drift.cusum(d, Seq("g"), col("id"), col("v"),
+        tieCols = Seq(col("id")))
+      (ndcg.orderBy("g").collect() ++ kappa.orderBy("g").collect() ++
+        brier.orderBy("g", "bin").collect() ++ psi.orderBy("g").collect() ++
+        cus.orderBy("g").collect()).toSeq.map(_.toSeq)
+    }
+    val ref = run(1)
+    Seq(3, 8, 17).foreach { n =>
+      assert(run(n) == ref, s"round-11 statistics drifted at $n partitions")
+    }
+  }
 }
