@@ -48,7 +48,11 @@ object NaiveBayes {
       explode(split(col(textCol), tokenSep)).as("token"))
     val cnt = tok.groupBy(col("label"), col("token")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("label")).agg(sum(col("c")).as("t"))
-    val vocab = tok.select(col("token")).distinct()
+    // vocabulary size from the TYPE-sized (label, token) frame, not a
+    // distinct over raw token occurrences: a token is in-vocab iff it has
+    // some (label, token) cell, so the counts agree — and the token-volume
+    // distinct exchange disappears (types ≪ tokens by Heaps' law)
+    val vocab = cnt.select(col("token")).distinct()
       .agg(count(lit(1)).as("v"))
     val pri = trainDocs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("dl"))
@@ -68,16 +72,27 @@ object NaiveBayes {
     (tokenModel, stats.select("label", "prior4", "lp0"))
   }
 
-  /** Per-(doc, class) integer scores: (idCol, label, score4). */
+  /** Per-(doc, class) integer scores: (idCol, label, score4).
+    *
+    * @param broadcastModel when true, the (label, token, lp4) model joins
+    *        as a BROADCAST — the doc-term frame (the big side) then never
+    *        shuffles for the model join. Correct whenever vocab × classes
+    *        fits an executor (the dimension-join discipline; most language
+    *        ID / quality-gate models do); keep false for 10⁹-row models,
+    *        where the token-keyed shuffle join is the only shape that
+    *        holds.
+    */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       tokenModel: DataFrame, classStats: DataFrame,
-      tokenSep: String = " "): DataFrame = {
+      tokenSep: String = " ",
+      broadcastModel: Boolean = false): DataFrame = {
     val docTok = docs
       .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
     val docM = docTok.groupBy(col(idCol)).agg(sum(col("m")).as("mm"))
-    val matched = docTok.join(tokenModel, "token")
+    val matched = docTok.join(
+        if (broadcastModel) broadcast(tokenModel) else tokenModel, "token")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("m") * col("lp4")).as("s"), sum(col("m")).as("cov"))
     docM.crossJoin(broadcast(classStats))
@@ -92,10 +107,12 @@ object NaiveBayes {
   def predict(
       docs: DataFrame, idCol: String, textCol: String,
       tokenModel: DataFrame, classStats: DataFrame,
-      tokenSep: String = " "): DataFrame = {
+      tokenSep: String = " ",
+      broadcastModel: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score4").desc, col("label").asc)
-    score(docs, idCol, textCol, tokenModel, classStats, tokenSep)
+    score(docs, idCol, textCol, tokenModel, classStats, tokenSep,
+      broadcastModel)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
