@@ -257,6 +257,74 @@ object Drift {
           .as("cusum")): _*)
   }
 
+  /** One-sided CUSUM ALARMS per group — the ONLINE-monitoring member
+    * next to [[cusum]] (that one scans a finished series for its single
+    * most likely shift; this is Page's sequential decision rule, the
+    * form a production monitor runs row-by-row): with reference mean μ,
+    * slack k and decision threshold h,
+    *
+    *   g⁺_i = max(0, g⁺_{i−1} + (v_i − μ − k)),  alarm when g⁺ ≥ h
+    *   g⁻_i = max(0, g⁻_{i−1} + (μ − v_i − k)),  alarm when g⁻ ≥ h
+    *
+    * Computed WITHOUT the sequential recurrence via the running-minimum
+    * identity `g_i = S_i − min(0, min_{j≤i} S_j)` (S the prefix sum of
+    * the drift terms), so the whole scan is two cumulative windows over
+    * one group partitioning. NO-RESTART semantics by contract: the
+    * statistic keeps accumulating past h and the FIRST crossing per
+    * (group, direction) is reported — exactly the semantics the
+    * streaming twin ([[graft.streaming.Streaming.cusumMonitor]]) holds
+    * in O(1) state, which is what makes the batch ≡ stream law exact.
+    *
+    * Exactness: μ, k, h and the values fix-point at scale 4, so S, the
+    * running min, g and the ≥ h compare are all exact LONG arithmetic —
+    * bit-identical on any engine; no division anywhere.
+    *
+    * @return one row per ALARMED (group, direction): (groupCols…,
+    *         direction 'up'|'down', alarm_idx 1-based, alarm_order the
+    *         orderCol value at the crossing, stat4 the exact scale-4
+    *         statistic there). Groups/directions that never cross are
+    *         absent.
+    */
+  def cusumAlarms(
+      df: DataFrame, groupCols: Seq[String],
+      orderCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      tieCols: Seq[org.apache.spark.sql.Column],
+      refMean: Double, slack: Double, threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(threshold > 0, "threshold must be positive")
+    require(slack >= 0, "slack must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val mu4 = math.floor(refMean * 10000 + 0.5).toLong
+    val k4 = math.floor(slack * 10000 + 0.5).toLong
+    val h4 = math.floor(threshold * 10000 + 0.5).toLong
+    val g = groupCols.map(col)
+    val ties = tieCols.zipWithIndex.map { case (c, i) => c.as(s"__tie_$i") }
+    val ord = col("__o").asc +: tieCols.indices.map(i => col(s"__tie_$i").asc)
+    val wCum = Window.partitionBy(g: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4")) ++
+        ties: _*)
+      .withColumn("__i", count(lit(1)).over(wCum))
+      .withColumn("__su", sum(col("__v4") - mu4 - k4).over(wCum))
+      .withColumn("__sd", sum(lit(mu4) - col("__v4") - k4).over(wCum))
+      .withColumn("__gu", col("__su") - least(lit(0L), min(col("__su")).over(wCum)))
+      .withColumn("__gd", col("__sd") - least(lit(0L), min(col("__sd")).over(wCum)))
+      .drop(tieCols.indices.map(i => s"__tie_$i"): _*)
+    def firstAlarm(statCol: String, dir: String): DataFrame = {
+      val wPick = Window.partitionBy(g: _*).orderBy(col("__i").asc)
+      scanned.filter(col(statCol) >= h4)
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(g ++ Seq(lit(dir).as("direction"),
+          col("__i").as("alarm_idx"), col("__o").as("alarm_order"),
+          col(statCol).as("stat4")): _*)
+    }
+    firstAlarm("__gu", "up").unionAll(firstAlarm("__gd", "down"))
+  }
+
   def ksStatistic(
       df: DataFrame, groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column,

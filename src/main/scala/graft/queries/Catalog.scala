@@ -4913,6 +4913,51 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** One-sided CUSUM alarms ([[graft.llm.Drift.cusumAlarms]]): Page's
+    * sequential decision rule over each event type's value stream
+    * (μ = 45, k = 2.5, h = 100) — WHERE does the monitor first fire,
+    * per direction. No-restart semantics via the running-minimum
+    * identity, all exact scale-4 longs, no division anywhere; the
+    * streaming twin ([[graft.streaming.Streaming.cusumMonitor]]) holds
+    * the identical statistic in O(1) per-key state (law-tested).
+    */
+  val q144 = q(
+    "q144_cusum_alarms",
+    """WITH t AS (SELECT event_type, ts, event_id,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, ts, v4,
+      |        CAST(count(*) OVER w AS BIGINT) AS i,
+      |        CAST(sum(v4 - 475000) OVER w AS BIGINT) AS su,
+      |        CAST(sum(425000 - v4) OVER w AS BIGINT) AS sd
+      |      FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING)),
+      |g AS (SELECT event_type, ts, i,
+      |        su - least(0, min(su) OVER w2) AS gu,
+      |        sd - least(0, min(sd) OVER w2) AS gd
+      |      FROM s WINDOW w2 AS (PARTITION BY event_type ORDER BY i
+      |                           ROWS UNBOUNDED PRECEDING)),
+      |au AS (SELECT event_type, 'up' AS direction, i, ts, gu AS stat4,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY i) AS rn
+      |       FROM g WHERE gu >= 1000000),
+      |ad AS (SELECT event_type, 'down' AS direction, i, ts, gd AS stat4,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY i) AS rn
+      |       FROM g WHERE gd >= 1000000)
+      |SELECT event_type, direction, i AS alarm_idx, epoch_us(ts) AS alarm_us,
+      |       stat4
+      |FROM (SELECT * FROM au WHERE rn = 1 UNION ALL SELECT * FROM ad WHERE rn = 1)
+      |ORDER BY event_type, direction""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .cusumAlarms(Tables.events(s, d), Seq("event_type"),
+        orderCol = col("ts"), valueCol = col("value"),
+        tieCols = Seq(col("event_id")),
+        refMean = 45.0, slack = 2.5, threshold = 100.0)
+      .select(col("event_type"), col("direction"), col("alarm_idx"),
+        unix_micros(col("alarm_order").cast("timestamp")).as("alarm_us"),
+        col("stat4"))
+      .transform(ordered("event_type", "direction"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4938,5 +4983,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143)
+    q139, q140, q141, q142, q143, q144)
 }

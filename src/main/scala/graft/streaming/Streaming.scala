@@ -306,6 +306,100 @@ object Streaming {
       }
   }
 
+  /** Streaming one-sided CUSUM monitor — the continuous form of
+    * [[graft.llm.Drift.cusumAlarms]] (Page's sequential decision rule,
+    * run per entity as events arrive): emits ONE alarm row per
+    * (entity, direction) the FIRST time g⁺/g⁻ crosses the threshold.
+    *
+    * State per key is O(1) — (row count, both drift prefix sums, both
+    * running minima, fired flags, frontier) — which is exactly why the
+    * batch operator pins NO-RESTART semantics: the running-minimum
+    * identity `g = S − min(0, min S)` folds arrivals incrementally, and
+    * on a batch frame this equals `Drift.cusumAlarms` row for row (the
+    * StreamingSpec law). All arithmetic is the same scale-4 exact-long
+    * fixed point — no float ever enters state. Arrivals behind the
+    * applied per-key frontier are dropped (the [[scd2Closed]]
+    * discipline); order ties within a micro-batch break by arrival —
+    * give events distinct timestamps per entity (the batch operator's
+    * tie-column contract) for engine-exact parity.
+    */
+  def cusumMonitor(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      refMean: Double, slack: Double, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    require(slack >= 0, "slack must be >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val mu4 = math.floor(refMean * 10000 + 0.5).toLong
+    val k4 = math.floor(slack * 10000 + 0.5).toLong
+    val h4 = math.floor(threshold * 10000 + 0.5).toLong
+    def prepared(keyCast: String) = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(entityCol).cast(keyCast).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        floor(col(valueCol).cast("double") * 10000 + 0.5).cast("long").as("v4"))
+    val dt = events.schema(entityCol).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        cusumLoop[Long](prepared("long").as[(Long, Long, Long)], mu4, k4, h4)
+          .toDF(entityCol, "direction", "alarm_idx", "alarm_us", "stat4")
+          .withColumn(entityCol, col(entityCol).cast(dt))
+      case StringType =>
+        cusumLoop[String](prepared("string").as[(String, Long, Long)], mu4, k4, h4)
+          .toDF(entityCol, "direction", "alarm_idx", "alarm_us", "stat4")
+      case other => throw new IllegalArgumentException(
+        s"cusumMonitor: entity column '$entityCol' has unsupported key " +
+          s"type ${other.simpleString}; use an integral or string entity id")
+    }
+  }
+
+  private def cusumLoop[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long, Long)],
+      mu4: Long, k4: Long, h4: Long)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      se: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long, Long, Long)],
+      oe: org.apache.spark.sql.Encoder[(K, String, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Long, Long, Long, Long, Long, Long, Long),
+          (K, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (i, su, minSu, sd, minSd, fired, frontier) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(K, String, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, v4) =>
+            if (i != 0 && ts < frontier) {
+              // late arrival behind the applied frontier: dropped (see doc)
+            } else {
+              i += 1; frontier = ts
+              su += v4 - mu4 - k4
+              sd += mu4 - v4 - k4
+              if (su < minSu) minSu = su
+              if (sd < minSd) minSd = sd
+              val gu = su - math.min(0L, minSu)
+              val gd = sd - math.min(0L, minSd)
+              if ((fired & 1L) == 0L && gu >= h4) {
+                fired |= 1L; out += ((key, "up", i, ts, gu))
+              }
+              if ((fired & 2L) == 0L && gd >= h4) {
+                fired |= 2L; out += ((key, "down", i, ts, gd))
+              }
+            }
+          }
+          state.update((i, su, minSu, sd, minSd, fired, frontier))
+          out.iterator
+      }
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

@@ -423,6 +423,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == closed && streamed.nonEmpty)
   }
 
+  test("streaming cusum monitor: alarms across micro-batches; batch law vs Drift.cusumAlarms") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // μ=10, k=0, h=5: alarms need a cumulative drift of ≥ 5 in a direction
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streaming.cusumMonitor(mem.toDF().toDF("user_id", "ts", "v"),
+        "user_id", "ts", "v", refMean = 10.0, slack = 0.0, threshold = 5.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_mon")
+      .start()
+    // batch 1: +3 then −1 drift — no alarm yet, state carries g⁺ = 2
+    mem.addData((1L, t("2024-06-01 10:00:00"), 13.0),
+      (1L, t("2024-06-01 10:01:00"), 9.0))
+    q.processAllAvailable()
+    assert(spark.table("cusum_mon").count() == 0)
+    // batch 2: +4 crosses h=5 at g⁺ = 6 — the alarm survives the
+    // micro-batch boundary in state
+    mem.addData((1L, t("2024-06-01 10:02:00"), 14.0))
+    q.processAllAvailable()
+    val a1 = spark.table("cusum_mon").collect()
+    assert(a1.length == 1)
+    assert(a1(0).getAs[String]("direction") == "up" &&
+      a1(0).getAs[Long]("alarm_idx") == 3L &&
+      a1(0).getAs[Long]("stat4") == 60000L)
+    // batch 3: further up-crossings do NOT re-fire (first-alarm contract);
+    // a deep down-swing fires the other direction once
+    mem.addData((1L, t("2024-06-01 10:03:00"), 20.0),
+      (1L, t("2024-06-01 10:04:00"), 0.0), (1L, t("2024-06-01 10:05:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val a2 = spark.table("cusum_mon").orderBy("direction").collect()
+    assert(a2.length == 2)
+    assert(a2(0).getAs[String]("direction") == "down")
+
+    // BATCH LAW: on a batch frame, cusumMonitor ≡ Drift.cusumAlarms
+    // (unique per-entity timestamps = the batch tie contract)
+    val rnd = new scala.util.Random(99L)
+    val df = (1 to 400).map { i =>
+      (i % 5L,
+        new java.sql.Timestamp(t("2024-06-01 10:00:00").getTime + i * 60000L),
+        math.floor(rnd.nextDouble() * 2000 + 0.5) / 100.0)
+    }.toDF("user_id", "ts", "v")
+    val streamed = Streaming.cusumMonitor(df, "user_id", "ts", "v",
+        refMean = 9.0, slack = 0.5, threshold = 20.0)
+      .select(col("user_id"), col("direction"), col("alarm_idx"),
+        col("alarm_us"), col("stat4"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.llm.Drift.cusumAlarms(df, Seq("user_id"),
+        orderCol = col("ts"), valueCol = col("v"), tieCols = Seq(col("ts")),
+        refMean = 9.0, slack = 0.5, threshold = 20.0)
+      .select(col("user_id"), col("direction"), col("alarm_idx"),
+        unix_micros(col("alarm_order").cast("timestamp")).as("alarm_us"),
+        col("stat4"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"law broke: streamed=$streamed batch=$batch")
+  }
+
   test("streaming sessionize: string entity keys keep per-entity state; bad key type fails loudly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
