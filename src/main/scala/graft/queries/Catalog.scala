@@ -4958,6 +4958,50 @@ object Catalog {
       .transform(ordered("event_type", "direction"))
   }
 
+  /** Edit-distance profile over blocking candidates: Levenshtein
+    * statistics per nation across the q131 sorted-neighborhood pairs —
+    * the third string-similarity kernel (q92 Jaro-Winkler for typo
+    * affinity, q60 q-gram Jaccard for set overlap; Levenshtein is the
+    * alignment-cost member, the classic DP both engines implement
+    * identically on exact integers). Sums are exact longs; the one mean
+    * division is IEEE at r4.
+    */
+  val q145 = q(
+    "q145_edit_distance_profile",
+    """WITH r AS (SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+      |             row_number() OVER (PARTITION BY c_nationkey
+      |                                ORDER BY c_acctbal, c_custkey) AS rnk
+      |           FROM customer),
+      |p AS (SELECT a.c_nationkey,
+      |             levenshtein(a.c_name, b.c_name) AS d
+      |      FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+      |                       AND b.rnk - a.rnk BETWEEN 1 AND 3)
+      |SELECT c_nationkey, count(*) AS n_pairs,
+      |       CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d,
+      |       floor((CAST(sum(d) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_d4,
+      |       CAST(sum(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+      |FROM p GROUP BY 1 ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val cand = graft.operators.SortedNeighborhood.pairs(
+      Tables.customer(s, d).select(col("c_nationkey"), col("c_custkey"),
+        col("c_name"), col("c_acctbal")),
+      Seq("c_nationkey"), "c_acctbal",
+      tieCols = Seq("c_custkey"), idCol = "c_custkey", w = 3)
+    val names = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+    cand
+      .join(broadcast(names.select(col("c_custkey").as("id_a"),
+        col("c_name").as("__na"))), Seq("id_a"))
+      .join(broadcast(names.select(col("c_custkey").as("id_b"),
+        col("c_name").as("__nb"))), Seq("id_b"))
+      .withColumn("__d", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("__d")).as("min_d"), max(col("__d")).as("max_d"),
+        r4(sum(col("__d")).cast("double") / count(lit(1))).as("avg_d4"),
+        sum(when(col("__d") <= 3, 1L).otherwise(0L)).as("n_close"))
+      .transform(ordered("c_nationkey"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -4983,5 +5027,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144)
+    q139, q140, q141, q142, q143, q144, q145)
 }
