@@ -87,11 +87,20 @@ object GraphRank {
     *         scale-12 long the next round would consume — the
     *         deterministic sort/compare key)
     */
+  /** @param weightCol optional POSITIVE LONG edge-weight column (e.g.
+    *        click/order counts): contributions become `pr·w/outstrength`
+    *        with outstrength = Σw per source — the weighted PageRank of
+    *        link graphs with multiplicity. Non-positive weights fail
+    *        loudly in-plan (a zero weight silently deletes an edge; a
+    *        negative one corrupts mass). None (default) = every edge
+    *        weighs 1, bit-identical to the unweighted form.
+    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, damping: Double = 0.85,
       validate: Boolean = true, reuseFrames: Boolean = false,
-      broadcastRanks: Boolean = false, symmetric: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false, symmetric: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     def ck(df: DataFrame): DataFrame =
       if (reuseFrames) df.localCheckpoint() else df
@@ -99,10 +108,17 @@ object GraphRank {
     // below (outdegree, the attached edge frame, the in-degree-0 probe)
     // derives from this one materialized |E|-sized base, not from
     // re-executions of however expensive the caller's edge build was
-    val base = ck(edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol)))
+    val base = ck(edges.select(
+      Seq(col(srcCol).as(srcCol), col(dstCol).as(dstCol)) ++
+        weightCol.map(w =>
+          when(col(w).cast("long") > 0, col(w).cast("long"))
+            .otherwise(raise_error(concat(
+              lit("pageRank: edge weight must be a positive long, got "),
+              col(w).cast("string")))).as("__w")): _*))
     val src = col(srcCol)
     val dst = col(dstCol)
-    val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
+    val od = base.groupBy(src.as("node"))
+      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("__w"))).as("deg"))
     if (validate && !symmetric) {
       // loud dangling-sink check: a dst that is never a src absorbs mass
       // that then drains from the total each round
@@ -123,10 +139,17 @@ object GraphRank {
     // shuffles either; otherwise it is pre-partitioned on the per-round
     // join key (and checkpointed under reuseFrames), so each round's join
     // shuffles only the rank frame.
+    val seCols = Seq(src.as("__s"), dst.as("__d")) ++
+      weightCol.map(_ => col("__w"))
     val se =
-      if (broadcastRanks) base.select(src.as("__s"), dst.as("__d"))
-      else ck(base.select(src.as("__s"), dst.as("__d"))
-        .repartition(col("__s")))
+      if (broadcastRanks) base.select(seCols: _*)
+      else ck(base.select(seCols: _*).repartition(col("__s")))
+    // per-edge mass share: pr/outdeg unweighted (kept verbatim for bit
+    // compatibility), pr·w/outstrength weighted — multiply THEN divide,
+    // the order the SQL twins mirror
+    def share: org.apache.spark.sql.Column =
+      weightCol.fold(col("pr") / col("deg"))(_ =>
+        col("pr") * col("__w") / col("deg"))
     val oneMinusD = 1.0 - damping // IEEE once, embedded as a literal
     // in-degree-0 nodes are STATIC: nobody ever links to them, so their
     // rank is pinned at the (1−d)/n baseline every round — computed once
@@ -159,7 +182,7 @@ object GraphRank {
         .join(rankSide(r.withColumnRenamed("node", "__r")),
           col("__s") === col("__r"))
         .groupBy(col("__d").as("node"))
-        .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+        .agg(sum(floor(share * lit(1e12) + 0.5)
           .cast("long")).as("__psum"))
         .crossJoin(broadcast(n))
         .select(col("node"),

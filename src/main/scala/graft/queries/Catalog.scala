@@ -5002,6 +5002,52 @@ object Catalog {
       .transform(ordered("c_nationkey"))
   }
 
+  /** WEIGHTED PageRank ([[graft.llm.GraphRank.pageRank]] with
+    * `weightCol`): the supplier–customer graph with edge multiplicity —
+    * each edge weighs the number of lineitems linking the pair, so heavy
+    * trading relationships carry proportionally more rank mass
+    * (`pr·w/outstrength` shares, exact scale-12 longs, q97's round shape
+    * and determinism otherwise unchanged).
+    */
+  val q146 = q(
+    "q146_weighted_pagerank",
+    """WITH e AS (SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst,
+      |                  count(*) AS w
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |           GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+      |od AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ws FROM sym GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM od),
+      |r0 AS (SELECT node, ws, 1e0 / n.n AS pr FROM od, n),
+      |r1 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r0.pr * sym.w / r0.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r0 ON sym.src = r0.node, n
+      |       GROUP BY sym.dst, n.n),
+      |r1d AS (SELECT r1.node, od.ws, r1.pr FROM r1 JOIN od ON r1.node = od.node),
+      |r2 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r1d.pr * sym.w / r1d.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r1d ON sym.src = r1d.node, n
+      |       GROUP BY sym.dst, n.n),
+      |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
+      |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
+      |SELECT rnk, node, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+        (col("o_custkey") * 2).cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val sym = e.unionAll(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.llm.GraphRank.topK(
+        graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2,
+          validate = false, reuseFrames = true, broadcastRanks = true,
+          symmetric = true, weightCol = Some("w")), 20)
+      .transform(ordered("rnk"))
+  }.copy(eagerBuild = true)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5027,5 +5073,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145)
+    q139, q140, q141, q142, q143, q144, q145, q146)
 }

@@ -1412,6 +1412,40 @@ class LlmSpec extends SparkSpec {
     assert(rep == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("weighted pagerank: unit weights ≡ unweighted; mass follows weight; bad weights fail") {
+    import spark.implicits._
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+    // all-ones weights must reproduce the unweighted ranks BIT-exactly
+    val unw = m(GraphRank.pageRank(sym, "src", "dst", rounds = 2))
+    val ones = m(GraphRank.pageRank(sym.withColumn("w", lit(1L)),
+      "src", "dst", rounds = 2, weightCol = Some("w")))
+    assert(ones == unw)
+    // b splits mass 3:1 toward a: after round 1,
+    //   a = 0.15/3 + 0.85·(⌊(1/3)·(3/4)·1e12+0.5⌋/1e12)  (b→a share)
+    //   c gets the 1/4 share — strictly less than a
+    val w = Seq(("a", "b", 1L), ("b", "a", 3L), ("b", "c", 1L),
+      ("c", "b", 1L)).toDF("src", "dst", "w")
+    val wr = m(GraphRank.pageRank(w, "src", "dst", rounds = 1,
+      weightCol = Some("w")))
+    val expA = 0.15 / 3 + 0.85 *
+      (math.floor((1.0 / 3) * 3 / 4 * 1e12 + 0.5) / 1e12)
+    val expC = 0.15 / 3 + 0.85 *
+      (math.floor((1.0 / 3) * 1 / 4 * 1e12 + 0.5) / 1e12)
+    assert(wr("a") == math.floor(expA * 1e12 + 0.5).toLong)
+    assert(wr("c") == math.floor(expC * 1e12 + 0.5).toLong)
+    assert(wr("a") > wr("c"))
+    // non-positive weight: loud in-plan failure
+    val bad = Seq(("a", "b", 0L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val boom = intercept[Exception] {
+      GraphRank.pageRank(bad, "src", "dst", rounds = 1,
+        weightCol = Some("w"), validate = false).collect()
+    }
+    assert(boom.getMessage.contains("positive long"))
+  }
+
   test("pagerank fails loudly on dangling nodes") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("src", "dst") // b never a source
