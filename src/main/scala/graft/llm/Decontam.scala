@@ -159,6 +159,43 @@ object Decontam {
       .select(col("a"), col("b"), col("n_shared"), col("b_grams"), col("containment"))
   }
 
+  /** N-gram NOVELTY rate per snapshot slice — the corpus-growth audit a
+    * crawl pipeline runs before paying to process a new snapshot: what
+    * fraction of each slice's distinct word n-grams has the base corpus
+    * never seen? (Near-zero novelty = the snapshot re-crawls what is
+    * already owned; the same gram machinery as the decontamination
+    * sweeps, pointed at acquisition instead of leakage.)
+    *
+    * Plan: both sides collapse to DISTINCT-gram sets before the join
+    * (types ≪ occurrences), the base set keyed once; membership is a
+    * left join + null flag and the per-slice rate one exact-count
+    * division. NULL slices are their own group (the convention).
+    *
+    * @return per slice: (byCol, n_grams, n_new, novelty) — slices with
+    *         no extractable n-gram (all docs shorter than n) are absent
+    */
+  def ngramNovelty(
+      base: DataFrame, snapshot: DataFrame,
+      textCol: String, byCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val sg = snapshot.select(col(byCol).as("__slice"),
+        explode(array_distinct(
+          graft.functions.TextExprs.wordShingles(col(textCol), n))).as("g"))
+      .select(col("__slice"), md5(col("g")).as("gid"))
+      .distinct()
+    val bg = base.select(explode(array_distinct(
+        graft.functions.TextExprs.wordShingles(col(textCol), n))).as("g"))
+      .select(md5(col("g")).as("gid"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    sg.join(bg, Seq("gid"), "left")
+      .groupBy(col("__slice"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("__slice").as(byCol), col("n_grams"), col("n_new"),
+        (col("n_new").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space member of the family
     * ([[exactNgramOverlap]]/[[bloomDecontaminate]] catch verbatim
     * n-grams; a paraphrased benchmark answer shares no n-gram but sits

@@ -80,6 +80,36 @@ object Robust {
       .withColumn("v_w", least(greatest(v, col("lo")), col("hi")))
   }
 
+  /** Robust feature scaling — the median/IQR standardization
+    * (`rz = (v − median) / (p75 − p25)`) a tabular pipeline applies
+    * where mean/stddev scaling breaks on heavy tails (both the center
+    * and the spread are 25–50%-breakdown estimators, so one wild tail
+    * cannot re-center or re-scale the feature). Returns the input
+    * columns + `med`, `iqr`, `rz`; `rz` is NULL when the group IQR is 0
+    * (a constant-bodied feature carries no scale — callers drop or
+    * impute, the [[madOutliers]] NULL convention).
+    *
+    * One three-point percentile aggregate (same exact kernel and NULL
+    * exclusion as [[winsorize]]) + one null-safe answer-sized attach;
+    * the division is the only float op, IEEE-identical at the catalog's
+    * r4 reporting convention.
+    */
+  def robustScale(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    graft.functions.NativeAgg // ensure registration on this session
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val stats = df.filter(v.isNotNull)
+      .groupBy(g: _*)
+      .agg(graft.functions.NativeAgg
+        .percentileArray(v, Seq(0.25, 0.5, 0.75)).as("__q"))
+      .select((g :+ element_at(col("__q"), 2).as("med")
+        :+ (element_at(col("__q"), 3) - element_at(col("__q"), 1)).as("iqr")): _*)
+    nsAttach(df.filter(v.isNotNull), stats, groupCols)
+      .withColumn("rz", when(col("iqr") =!= 0.0, (v - col("med")) / col("iqr")))
+  }
+
   /** Input columns + `med`, `mad`, `dev` (= |v − med|), `is_outlier`.
     *
     * @param k fence width in consistency-scaled MADs (3.0 ≈ "3 sigma")

@@ -5048,6 +5048,72 @@ object Catalog {
       .transform(ordered("rnk"))
   }.copy(eagerBuild = true)
 
+  /** Robust feature scaling ([[graft.operators.Robust.robustScale]]):
+    * events standardized per type by median/IQR — the heavy-tail-proof
+    * scaler (one wild value cannot re-center or re-scale the feature);
+    * the q02-proven percentile kernel on both sides, one IEEE division
+    * reported at r4.
+    */
+  val q147 = q(
+    "q147_robust_scale",
+    """WITH t AS (SELECT event_id, event_type, value AS v FROM events
+      |           WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, quantile_cont(v, 0.25) AS q1,
+      |             quantile_cont(v, 0.5) AS med, quantile_cont(v, 0.75) AS q3
+      |      FROM t GROUP BY 1)
+      |SELECT t.event_id, t.event_type,
+      |       floor(t.v * 10000 + 0.5) / 10000 AS v4,
+      |       floor(s.med * 10000 + 0.5) / 10000 AS med4,
+      |       floor((s.q3 - s.q1) * 10000 + 0.5) / 10000 AS iqr4,
+      |       CASE WHEN s.q3 - s.q1 <> 0 THEN
+      |         floor(((t.v - s.med) / (s.q3 - s.q1)) * 10000 + 0.5) / 10000
+      |       END AS rz4
+      |FROM t JOIN s ON t.event_type IS NOT DISTINCT FROM s.event_type
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    graft.operators.Robust
+      .robustScale(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        groupCols = Seq("event_type"), valueCol = "value")
+      .select(col("event_id"), col("event_type"),
+        r4(col("value")).as("v4"), r4(col("med")).as("med4"),
+        r4(col("iqr")).as("iqr4"), r4(col("rz")).as("rz4"))
+      .transform(ordered("event_id"))
+  }
+
+  /** N-gram novelty audit ([[graft.llm.Decontam.ngramNovelty]]): what
+    * fraction of each source's distinct 8-grams (odd doc ids = "the new
+    * snapshot") the even-id "owned corpus" has never seen — the
+    * pay-before-processing acquisition check, the decontamination gram
+    * machinery pointed at growth instead of leakage.
+    */
+  val q148 = q(
+    "q148_ngram_novelty",
+    """WITH bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 2 = 0),
+      |sw AS (SELECT source, string_split(text, ' ') AS w FROM documents WHERE doc_id % 2 = 1),
+      |bg AS (SELECT DISTINCT md5(g) AS gid FROM (
+      |        SELECT unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM bw)),
+      |sg AS (SELECT DISTINCT source, md5(g) AS gid FROM (
+      |        SELECT source, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+      |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+      |        FROM sw)),
+      |j AS (SELECT sg.source, sg.gid, bg.gid IS NOT NULL AS hit
+      |      FROM sg LEFT JOIN bg ON sg.gid = bg.gid)
+      |SELECT source, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+      |       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS novelty
+      |FROM j GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.llm.Decontam
+      .ngramNovelty(
+        base = docs.filter(col("doc_id") % 2 === 0),
+        snapshot = docs.filter(col("doc_id") % 2 === 1),
+        textCol = "text", byCol = "source", n = 8)
+      .transform(ordered("source"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5073,5 +5139,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

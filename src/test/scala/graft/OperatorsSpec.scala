@@ -379,4 +379,44 @@ class OperatorsSpec extends SparkSpec {
       Seq("a1", "a2")).queryExecution.executedPlan.toString
     assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 1)
   }
+
+  test("robustScale: median/IQR standardization; zero-IQR → NULL; NULL group kept") {
+    import graft.operators.Robust
+    import spark.implicits._
+    // g: values 1..5 → med 3, q1 2, q3 4, iqr 2; rz(5) = 1.0, rz(1) = −1.0
+    // z: constant → iqr 0 → rz NULL; NULL group key: its own slice
+    val df = Seq[(String, java.lang.Double)](
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("z", 7.0), ("z", 7.0),
+      (null, 10.0), (null, 20.0), (null, 30.0)
+    ).toDF("k", "v")
+    val out = Robust.robustScale(df, Seq("k"), "v").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("v")) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("iqr"), Option(r.get(r.fieldIndex("rz")))))
+      .toMap
+    assert(out(("g", 5.0)) == ((3.0, 2.0, Some(1.0))))
+    assert(out(("g", 1.0))._3.get.asInstanceOf[Double] == -1.0)
+    assert(out(("g", 3.0))._3.get.asInstanceOf[Double] == 0.0)
+    assert(out(("z", 7.0))._3.isEmpty)
+    assert(out((null, 30.0))._1 == 20.0) // NULL slice got its own median
+    assert(out.size == 9) // no row dropped (two ("z",7.0) collapse in the map)
+  }
+
+  test("ngramNovelty: disjoint → 1.0, contained → 0.0, partial hand case") {
+    import graft.llm.Decontam
+    import spark.implicits._
+    val base = Seq(("a b c d", 0)).toDF("text", "x")
+    // s1: both 4-grams unseen → 2/2; s2: the base's own gram → 0/1;
+    // s3: one seen, one new → 1/2
+    val snap = Seq(
+      ("s1", "p q r s t"), ("s2", "a b c d"), ("s3", "a b c d e")
+    ).toDF("src", "text")
+    val out = Decontam.ngramNovelty(base, snap, "text", "src", n = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out("s1") == ((2L, 2L, 1.0)))
+    assert(out("s2") == ((1L, 0L, 0.0)))
+    assert(out("s3") == ((2L, 1L, 0.5)))
+  }
 }
