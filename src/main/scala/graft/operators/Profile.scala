@@ -27,6 +27,35 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) as (column_name, n_null, null_frac)")
   }
 
+  /** Dataset card: per-column completeness + exact cardinality in ONE
+    * pass — the table-level profile a training-data release ships
+    * (datasheet/data-card row: how complete and how diverse is each
+    * field), extending [[missingProfile]] with exact distinct counts.
+    * Output one row per column: (column_name, n_rows, n_null,
+    * null_frac, n_distinct); `n_distinct` excludes NULL (the SQL
+    * COUNT(DISTINCT) convention).
+    *
+    * Scale: one aggregate with k exact count-distincts — Catalyst plans
+    * multi-distinct via Expand (rows × k before the map-side combine),
+    * the standard profile-pass cost, still a single job with no window
+    * and no collect; swap in [[Hll]] sketches when an estimate is
+    * acceptable and k·rows is too hot.
+    */
+  def datasetCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    one.selectExpr("__n",
+        s"stack(${cols.size}, $stackArgs) as (column_name, n_null, n_distinct)")
+      .select(col("column_name"), col("__n").as("n_rows"), col("n_null"),
+        (col("n_null").cast("double") / col("__n")).as("null_frac"),
+        col("n_distinct"))
+  }
+
   /** Per-group Shannon entropy (bits) of a categorical column — the
     * dataset-composition diversity metric ("how mixed is each source's
     * language distribution"): 0 = all one value, log₂(#values) = uniform.

@@ -5114,6 +5114,39 @@ object Catalog {
       .transform(ordered("source"))
   }
 
+  /** Dataset card ([[graft.operators.Profile.datasetCard]]): per-column
+    * completeness + exact cardinality of the events table in one pass —
+    * the data-release datasheet row, q12's missing profile extended
+    * with COUNT(DISTINCT).
+    */
+  val q149 = q(
+    "q149_dataset_card",
+    """WITH n AS (SELECT count(*) AS n_rows FROM events)
+      |SELECT column_name, n_rows, n_null,
+      |       CAST(n_null AS DOUBLE) / n_rows AS null_frac, n_distinct
+      |FROM (
+      |  SELECT 'event_id' AS column_name, n.n_rows,
+      |         n.n_rows - count(event_id) AS n_null,
+      |         count(DISTINCT event_id) AS n_distinct FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'ts', n.n_rows, n.n_rows - count(ts),
+      |         count(DISTINCT ts) FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'user_id', n.n_rows, n.n_rows - count(user_id),
+      |         count(DISTINCT user_id) FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'event_type', n.n_rows, n.n_rows - count(event_type),
+      |         count(DISTINCT event_type) FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'value', n.n_rows, n.n_rows - count(value),
+      |         count(DISTINCT value) FROM events, n GROUP BY n.n_rows)
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    graft.operators.Profile
+      .datasetCard(Tables.events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value"))
+      .transform(ordered("column_name"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5139,5 +5172,5 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }
