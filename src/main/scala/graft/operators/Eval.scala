@@ -317,6 +317,88 @@ object Eval {
           .as("brier")): _*)
   }
 
+  /** Welch's two-sample t statistic per group — "did the metric's MEAN
+    * shift between slice A and slice B?": the mean-shift complement of
+    * [[graft.llm.Drift.ksStatistic]] (which detects any distributional
+    * change) used to grade A/B splits, before/after windows, and
+    * control/treatment cohorts without assuming equal variances.
+    *
+    * Exactness: values fix-point at scale 4 (`v4 = ⌊v·10⁴ + 0.5⌋`, the
+    * catalog convention) and both sides' first/second moments accumulate
+    * as DECIMAL sums (`Σv4` at (29,0), `Σv4²` at (38,0)) — exact on any
+    * merge tree, no FP-associativity drift between engines. The variance
+    * numerator `n·Σv4² − (Σv4)²` stays exact DECIMAL; only the final
+    * t/df arithmetic is double, in one fixed left-to-right expression
+    * mirrored verbatim by the SQL twin. Headroom: v4 ≤ 10⁷ and n ≤ 10¹²
+    * keeps `n·Σv4²` ≤ 10³⁸ — past that, pre-aggregate per shard.
+    *
+    *   t  = (m̄_A − m̄_B) / √(s²_A/n_A + s²_B/n_B)
+    *   df = (s²_A/n_A + s²_B/n_B)² /
+    *        ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))   (Welch–Satterthwaite)
+    *
+    * Scale: ONE hash aggregate over (group) with conditional sums — no
+    * window, no join; answer-sized output. Null values / null side flags
+    * are excluded (they belong to neither sample).
+    *
+    * @param inSampleA boolean Column: true → sample A, false → sample B
+    * @return per group: (groupCols…, n_a, n_b, mean_a, mean_b, t, df) —
+    *         means in original units; t/df NULL unless both n > 1 and the
+    *         pooled standard error is positive
+    */
+  def welchT(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, inSampleA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val zero19 = lit(0).cast(DecimalType(19, 0))
+    val base = df.filter(valueCol.isNotNull && inSampleA.isNotNull)
+      .select(g ++ Seq(
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .cast(DecimalType(19, 0)).as("__v4"),
+        inSampleA.cast("boolean").as("__a")): _*)
+    val m = base.groupBy(g: _*).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__a"), col("__v4")).otherwise(zero19)).as("__s1a"),
+      sum(when(!col("__a"), col("__v4")).otherwise(zero19)).as("__s1b"),
+      sum(when(col("__a"), col("__v4") * col("__v4")).otherwise(zero19))
+        .as("__s2a"),
+      sum(when(!col("__a"), col("__v4") * col("__v4")).otherwise(zero19))
+        .as("__s2b"))
+    // exact DECIMAL variance numerators, then one fixed double expression;
+    // n ≤ 1 yields NULL (never divides) so ANSI mode can't trip
+    def varD(n: Column, s1: Column, s2: Column): Column =
+      when(n > 1,
+        (n.cast(DecimalType(38, 0)) * s2 - s1 * s1).cast("double") /
+          (n.cast("double") * (n.cast("double") - 1.0)))
+    m.select(g ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0,
+          col("__s1a").cast("double") / col("n_a").cast("double") / 10000.0)
+          .as("mean_a"),
+        when(col("n_b") > 0,
+          col("__s1b").cast("double") / col("n_b").cast("double") / 10000.0)
+          .as("mean_b"),
+        (varD(col("n_a"), col("__s1a"), col("__s2a")) /
+          col("n_a").cast("double")).as("__va_n"),
+        (varD(col("n_b"), col("__s1b"), col("__s2b")) /
+          col("n_b").cast("double")).as("__vb_n"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s1a").cast("double") / col("n_a").cast("double") -
+            col("__s1b").cast("double") / col("n_b").cast("double"))
+          .as("__d4")): _*)
+      .select(g ++ Seq(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        when(col("n_a") > 1 && col("n_b") > 1 &&
+            col("__va_n") + col("__vb_n") > 0,
+          col("__d4") / sqrt(col("__va_n") + col("__vb_n"))).as("t"),
+        when(col("n_a") > 1 && col("n_b") > 1 &&
+            col("__va_n") + col("__vb_n") > 0,
+          ((col("__va_n") + col("__vb_n")) * (col("__va_n") + col("__vb_n"))) /
+            (col("__va_n") * col("__va_n") / (col("n_a").cast("double") - 1.0) +
+              col("__vb_n") * col("__vb_n") / (col("n_b").cast("double") - 1.0)))
+          .as("df")): _*)
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

@@ -5147,6 +5147,60 @@ object Catalog {
       .transform(ordered("column_name"))
   }
 
+  /** Welch's two-sample t per event type ([[graft.operators.Eval.welchT]]):
+    * did the value MEAN shift between the even-user and odd-user cohorts?
+    * The mean-shift complement of q130's KS statistic (any-shape drift) —
+    * the A/B readout. Both sides' moments are exact fixed-point sums
+    * (Spark DECIMAL(38,0), DuckDB HUGEINT — both exact integers over any
+    * merge order); t and Welch–Satterthwaite df are one mirrored double
+    * expression, reported at r4.
+    */
+  val q150 = q(
+    "q150_welch_ttest",
+    """WITH s AS (SELECT event_type,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+      |             (user_id % 2 = 0) AS a
+      |           FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        sum(CASE WHEN a THEN CAST(v4 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s1a,
+      |        sum(CASE WHEN NOT a THEN CAST(v4 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s1b,
+      |        sum(CASE WHEN a THEN CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s2a,
+      |        sum(CASE WHEN NOT a THEN CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s2b
+      |      FROM s GROUP BY 1),
+      |d AS (SELECT event_type, n_a, n_b,
+      |        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 10000.0 AS mean_a,
+      |        CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) / 10000.0 AS mean_b,
+      |        CAST(CAST(n_a AS HUGEINT) * s2a - s1a * s1a AS DOUBLE)
+      |          / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+      |          / CAST(n_a AS DOUBLE) AS va_n,
+      |        CAST(CAST(n_b AS HUGEINT) * s2b - s1b * s1b AS DOUBLE)
+      |          / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+      |          / CAST(n_b AS DOUBLE) AS vb_n,
+      |        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS d4
+      |      FROM m)
+      |SELECT event_type, n_a, n_b,
+      |       floor(mean_a * 10000 + 0.5) / 10000 AS mean_a4,
+      |       floor(mean_b * 10000 + 0.5) / 10000 AS mean_b4,
+      |       CASE WHEN n_a > 1 AND n_b > 1 AND va_n + vb_n > 0 THEN
+      |         floor((d4 / sqrt(va_n + vb_n)) * 10000 + 0.5) / 10000 END AS t4,
+      |       CASE WHEN n_a > 1 AND n_b > 1 AND va_n + vb_n > 0 THEN
+      |         floor(((va_n + vb_n) * (va_n + vb_n)
+      |           / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1.0)
+      |              + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1.0))) * 10000 + 0.5) / 10000
+      |       END AS df4
+      |FROM d ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .welchT(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), inSampleA = pmod(col("user_id"), lit(2L)) === 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r4(col("mean_a")).as("mean_a4"), r4(col("mean_b")).as("mean_b4"),
+        r4(col("t")).as("t4"), r4(col("df")).as("df4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5172,5 +5226,6 @@ object Catalog {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
+    q150)
 }

@@ -609,4 +609,46 @@ class EvalOpsSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("probability out of"))
   }
+
+  // ------------------------------------------------------------ welchT
+
+  test("welchT: hand-computed t and Welch–Satterthwaite df") {
+    // A = {1,2,3}: mean 2, s² 1.  B = {2,4,6}: mean 4, s² 4.
+    // t  = (2−4)/√(1/3 + 4/3) = −2/√(5/3) = −1.5491933…
+    // df = (5/3)² / ((1/3)²/2 + (4/3)²/2) = (25/9)/(17/18) = 50/17
+    val df = Seq(
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false), ("g", 6.0, false)
+    ).toDF("g", "v", "a")
+    val Array(r) = Eval.welchT(df, Seq("g"), col("v"), col("a")).collect()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 4.0)
+    assert(math.abs(r.getAs[Double]("t") - (-1.5491933384829668)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df") - 50.0 / 17) < 1e-9)
+  }
+
+  test("welchT: identical samples give t = 0; null rows are excluded") {
+    val df = Seq(
+      ("g", Some(1.0), Some(true)), ("g", Some(3.0), Some(true)),
+      ("g", Some(1.0), Some(false)), ("g", Some(3.0), Some(false)),
+      ("g", None, Some(true)), ("g", Some(99.0), None)
+    ).toDF("g", "v", "a")
+    val Array(r) = Eval.welchT(df, Seq("g"), col("v"), col("a")).collect()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("t") == 0.0)
+  }
+
+  test("welchT: single-row side and zero-variance pair yield NULL t/df") {
+    val df = Seq(
+      ("one", 1.0, true), ("one", 2.0, false), ("one", 3.0, false),
+      ("flat", 5.0, true), ("flat", 5.0, true),
+      ("flat", 5.0, false), ("flat", 5.0, false)
+    ).toDF("g", "v", "a")
+    val out = Eval.welchT(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("one").isNullAt(out("one").fieldIndex("t")))
+    assert(out("flat").isNullAt(out("flat").fieldIndex("t")))
+    assert(out("flat").getAs[Double]("mean_a") == 5.0)
+  }
 }
