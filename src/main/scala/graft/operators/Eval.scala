@@ -399,6 +399,72 @@ object Eval {
           .as("df")): _*)
   }
 
+  /** Pearson chi-square test of independence per group — "are these two
+    * categoricals associated?" (label×slice leakage probes, feature
+    * screening before target encoding, annotator×category bias checks):
+    *
+    *   χ² = Σ_cells (o − e)²/e,   e = r·c/N,   dof = (R−1)(C−1)
+    *
+    * computed in the cross-multiplied form (o·N − r·c)²/(N·r·c) so the
+    * deviation numerator is EXACT integer (DECIMAL(38,0) here, HUGEINT in
+    * the SQL twin — headroom to N ≈ 10¹⁵ before pre-aggregating shards);
+    * each cell term is then one fixed double expression floored at scale
+    * 8 (the [[graft.llm.Drift.psi]] convention), so the per-group sum is
+    * exact LONG addition on any merge tree.
+    *
+    * NULL categories are first-class cells (they group, margin, and count
+    * toward R/C via an explicit null-marker term), matching the repo's
+    * null-safe-slice convention.
+    *
+    * Scale: ONE hash aggregate over (group, r, c), then every marginal
+    * rides a window over that answer-sized cells frame (≤ R·C rows per
+    * group) — raw rows are never windowed, nothing is collected.
+    *
+    * @return per group: (groupCols…, n, n_rows, n_cols, dof, chi28, chi2)
+    *         — chi2 NULL when dof = 0 (a degenerate single-row or
+    *         single-column table has no independence to test)
+    */
+  def chiSquare(
+      df: DataFrame, groupCols: Seq[String],
+      rowCat: Column, colCat: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val cells = df
+      .select(g ++ Seq(rowCat.cast("string").as("__r"),
+        colCat.cast("string").as("__c")): _*)
+      .groupBy(g ++ Seq(col("__r"), col("__c")): _*)
+      .agg(count(lit(1)).as("__o"))
+    val wG = Window.partitionBy(g: _*)
+    val wR = Window.partitionBy(g :+ col("__r"): _*)
+    val wC = Window.partitionBy(g :+ col("__c"): _*)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val withM = cells
+      .withColumn("__n", sum(col("__o")).over(wG))
+      .withColumn("__rm", sum(col("__o")).over(wR))
+      .withColumn("__cm", sum(col("__o")).over(wC))
+      .withColumn("__d",
+        (dec(col("__o")) * dec(col("__n")) -
+          dec(col("__rm")) * dec(col("__cm"))).cast("double"))
+      .withColumn("__t8",
+        floor(col("__d") * col("__d") /
+          (col("__n").cast("double") * col("__rm").cast("double") *
+            col("__cm").cast("double")) * lit(1e8) + 0.5).cast("long"))
+    withM.groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        (countDistinct(col("__r")) +
+          max(when(col("__r").isNull, 1L).otherwise(0L))).as("n_rows"),
+        (countDistinct(col("__c")) +
+          max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_cols"),
+        sum(col("__t8")).as("chi28"))
+      .withColumn("dof", (col("n_rows") - 1) * (col("n_cols") - 1))
+      .select(g ++ Seq(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi28"),
+        when(col("dof") > 0, col("chi28").cast("double") / lit(1e8))
+          .as("chi2")): _*)
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

@@ -5201,6 +5201,55 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Chi-square independence per day-of-week ([[graft.operators.Eval.chiSquare]]):
+    * is event_type associated with the user-id cohort, sliced by ISO dow?
+    * The categorical-association member of the eval family (q150 grades a
+    * mean shift, q140 rater agreement; this one feature×slice dependence).
+    * Deviation numerators are exact integers (Spark DECIMAL(38,0), DuckDB
+    * HUGEINT); each cell term floors at scale 8 so the group sum is exact
+    * long addition; marginals ride windows over the answer-sized cells
+    * frame only.
+    */
+  val q151 = q(
+    "q151_chi_square",
+    """WITH s AS (SELECT isodow(ts) AS dow, CAST(event_type AS VARCHAR) AS r,
+      |             CAST(user_id % 4 AS VARCHAR) AS c
+      |           FROM events),
+      |cells AS (SELECT dow, r, c, count(*) AS o FROM s GROUP BY 1, 2, 3),
+      |m AS (SELECT dow, r, c, o,
+      |        sum(o) OVER (PARTITION BY dow) AS n,
+      |        sum(o) OVER (PARTITION BY dow, r) AS rm,
+      |        sum(o) OVER (PARTITION BY dow, c) AS cm
+      |      FROM cells),
+      |d AS (SELECT dow, r, c, n,
+      |        CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+      |             - CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT) AS DOUBLE) AS dd,
+      |        CAST(n AS DOUBLE) * CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) AS den
+      |      FROM m),
+      |t AS (SELECT dow, n, r, c,
+      |        CAST(floor(dd * dd / den * 1e8 + 0.5) AS BIGINT) AS t8
+      |      FROM d),
+      |a AS (SELECT dow, CAST(max(n) AS BIGINT) AS n,
+      |        count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_rows,
+      |        count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_cols,
+      |        CAST(sum(t8) AS BIGINT) AS chi28
+      |      FROM t GROUP BY dow)
+      |SELECT dow, n, n_rows, n_cols,
+      |       (n_rows - 1) * (n_cols - 1) AS dof, chi28,
+      |       CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+      |         floor(CAST(chi28 AS DOUBLE) / 1e8 * 10000 + 0.5) / 10000
+      |       END AS chi24
+      |FROM a ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .chiSquare(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        rowCat = col("event_type"), colCat = pmod(col("user_id"), lit(4L)))
+      .select(col("dow"), col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi28"), r4(col("chi2")).as("chi24"))
+      .transform(ordered("dow"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5227,5 +5276,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150)
+    q150, q151)
 }

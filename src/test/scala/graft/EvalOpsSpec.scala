@@ -651,4 +651,41 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("flat").isNullAt(out("flat").fieldIndex("t")))
     assert(out("flat").getAs[Double]("mean_a") == 5.0)
   }
+
+  // ---------------------------------------------------------- chiSquare
+
+  test("chiSquare: hand-computed 2x2 table") {
+    // o = [[10,20],[30,40]] → N=100, r=(30,70), c=(40,60), e=(12,18,28,42)
+    // χ² = 4/12 + 4/18 + 4/28 + 4/42 = 50/63 = 0.793650…
+    val rows = Seq(("a", "x", 10), ("a", "y", 20), ("b", "x", 30), ("b", "y", 40))
+      .flatMap { case (r, c, n) => Seq.fill(n)(("g", r, c)) }
+    val df = rows.toDF("g", "r", "c")
+    val Array(out) = Eval.chiSquare(df, Seq("g"), col("r"), col("c")).collect()
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("n_rows") == 2L && out.getAs[Long]("n_cols") == 2L)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(out.getAs[Long]("chi28") == 79365079L) // Σ floor(term·1e8 + .5)
+    assert(math.abs(out.getAs[Double]("chi2") - 50.0 / 63) < 1e-7)
+  }
+
+  test("chiSquare: perfect independence is 0; null category is a row") {
+    val indep = Seq.fill(5)(("g", "a", "x")) ++ Seq.fill(5)(("g", "a", "y")) ++
+      Seq.fill(5)(("g", "b", "x")) ++ Seq.fill(5)(("g", "b", "y"))
+    val Array(i) = Eval.chiSquare(indep.toDF("g", "r", "c"),
+      Seq("g"), col("r"), col("c")).collect()
+    assert(i.getAs[Long]("chi28") == 0L && i.getAs[Double]("chi2") == 0.0)
+
+    val withNull = Seq(("g", Some("a"), "x"), ("g", None, "x"),
+      ("g", Some("a"), "y"), ("g", None, "y"))
+    val Array(nr) = Eval.chiSquare(withNull.toDF("g", "r", "c"),
+      Seq("g"), col("r"), col("c")).collect()
+    assert(nr.getAs[Long]("n_rows") == 2L) // null is a first-class category
+  }
+
+  test("chiSquare: single-column table has dof 0 and NULL chi2") {
+    val df = Seq(("g", "a", "x"), ("g", "b", "x")).toDF("g", "r", "c")
+    val Array(out) = Eval.chiSquare(df, Seq("g"), col("r"), col("c")).collect()
+    assert(out.getAs[Long]("dof") == 0L)
+    assert(out.isNullAt(out.fieldIndex("chi2")))
+  }
 }
