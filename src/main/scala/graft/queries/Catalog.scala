@@ -5250,6 +5250,56 @@ object Catalog {
       .transform(ordered("dow"))
   }
 
+  /** Poisson-bootstrap mean CI per event type
+    * ([[graft.operators.Bootstrap.meanCI]]): a 95% percentile interval for
+    * the value mean from 100 deterministic hash-seeded Poisson(1)
+    * replicates — the one-pass, zero-RNG bootstrap large-scale pipelines
+    * use instead of row resampling. Weights come from an integer CASE
+    * ladder over the 32-bit md5 keyspace (cutoffs ⌊P(X≤k)·2³²⌋ shared
+    * verbatim by both engines); replicate means are exact-integer
+    * quotients; the CI is order statistics of the replicate means.
+    */
+  val q152 = q(
+    "q152_bootstrap_ci",
+    s"""WITH t AS (SELECT event_type, event_id,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT t.event_type, t.v4, b.b AS b,
+      |        ${graft.operators.Bootstrap.poissonWeightSql("t.event_id", "b.b")} AS w
+      |      FROM t, (SELECT unnest(generate_series(0, 99)) AS b) b),
+      |p AS (SELECT event_type, b,
+      |        CAST(sum(CAST(w AS BIGINT) * v4) AS BIGINT) AS swv,
+      |        CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS sw
+      |      FROM r GROUP BY 1, 2),
+      |q AS (SELECT event_type, b,
+      |        CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 10000.0 AS mb
+      |      FROM p WHERE sw > 0),
+      |k AS (SELECT event_type, b, mb,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY mb ASC, b ASC) AS rk,
+      |        count(*) OVER (PARTITION BY event_type) AS m
+      |      FROM q),
+      |ci AS (SELECT event_type, CAST(max(m) AS BIGINT) AS m_reps,
+      |         max(CASE WHEN rk = CAST(floor(0.025 * m) AS BIGINT) + 1 THEN mb END) AS lo,
+      |         max(CASE WHEN rk = m - CAST(floor(0.025 * m) AS BIGINT) THEN mb END) AS hi
+      |       FROM k GROUP BY 1),
+      |f AS (SELECT event_type, count(*) AS n, CAST(sum(v4) AS BIGINT) AS t4
+      |      FROM t GROUP BY 1)
+      |SELECT f.event_type, f.n,
+      |       floor(CAST(t4 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 * 10000 + 0.5) / 10000 AS mean4,
+      |       ci.m_reps,
+      |       floor(lo * 10000 + 0.5) / 10000 AS lo4,
+      |       floor(hi * 10000 + 0.5) / 10000 AS hi4
+      |FROM f LEFT JOIN ci ON f.event_type IS NOT DISTINCT FROM ci.event_type
+      |ORDER BY f.event_type""".stripMargin) { (s, d) =>
+    graft.operators.Bootstrap
+      .meanCI(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), idCol = col("event_id"),
+        reps = 100, alpha = 0.05)
+      .select(col("event_type"), col("n"), r4(col("mean")).as("mean4"),
+        col("m_reps"), r4(col("lo")).as("lo4"), r4(col("hi")).as("hi4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5276,5 +5326,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151)
+    q150, q151, q152)
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Eval, Sessionize}
+import graft.operators.{Bootstrap, Eval, Sessionize}
 import graft.llm.SetSimJoin
 
 /** Evaluation statistics (AUC / Spearman / Gini), gap sessionization, and
@@ -687,5 +687,43 @@ class EvalOpsSpec extends SparkSpec {
     val Array(out) = Eval.chiSquare(df, Seq("g"), col("r"), col("c")).collect()
     assert(out.getAs[Long]("dof") == 0L)
     assert(out.isNullAt(out.fieldIndex("chi2")))
+  }
+
+  // ---------------------------------------------------------- Bootstrap
+
+  test("Bootstrap.cutoffs: Poisson(1) CDF on the 2^32 keyspace") {
+    val c = Bootstrap.cutoffs(8)
+    assert(c.head == math.floor(math.exp(-1.0) * 4294967296.0).toLong)
+    assert(c == c.sorted && c.distinct == c) // strictly increasing
+    assert(c.last < 4294967296L)
+    assert(c.last > (0.99998 * 4294967296.0).toLong) // P(X<=7) ≈ 1 − 1e-5
+  }
+
+  test("Bootstrap.poissonWeight: deterministic, bounded, mean ≈ 1") {
+    val keys = (1 to 4000).map(i => (s"k$i", 0)).toDF("k", "b")
+    val w = keys.select(Bootstrap.poissonWeight(col("k"), col("b")).as("w"))
+    val rows = w.collect().map(_.getInt(0))
+    assert(rows.forall(x => x >= 0 && x <= 8))
+    val mean = rows.map(_.toDouble).sum / rows.length
+    assert(math.abs(mean - 1.0) < 0.08, s"empirical Poisson mean $mean")
+    val again = w.collect().map(_.getInt(0))
+    assert(rows.sameElements(again))
+  }
+
+  test("Bootstrap.meanCI: constant group collapses; CI brackets are ordered") {
+    val const = (1 to 60).map(i => ("const", 7.5, i.toLong))
+    val varied = (1 to 60).map(i => ("varied", i.toDouble, 100L + i))
+    val df = (const ++ varied).toDF("g", "v", "id")
+    val out = Bootstrap.meanCI(df, Seq("g"), col("v"), col("id"),
+        reps = 50, alpha = 0.1)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val c = out("const")
+    assert(c.getAs[Long]("n") == 60L && c.getAs[Long]("m_reps") == 50L)
+    assert(c.getAs[Double]("mean") == 7.5)
+    assert(c.getAs[Double]("lo") == 7.5 && c.getAs[Double]("hi") == 7.5)
+    val v = out("varied")
+    assert(v.getAs[Double]("lo") <= v.getAs[Double]("mean") + 1e-9)
+    assert(v.getAs[Double]("hi") >= v.getAs[Double]("mean") - 1e-9)
+    assert(v.getAs[Double]("lo") < v.getAs[Double]("hi"))
   }
 }
