@@ -5300,6 +5300,38 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** EWMA smoothing per event type ([[graft.operators.Smooth.ewma]]):
+    * the control-chart smoother in exact normalized fix-point form —
+    * integer weights ⌊0.7^j·10⁸+0.5⌋ truncated exactly at integer
+    * underflow (54 taps at α=0.3), generated once in Scala and shared
+    * verbatim with the VALUES list in the twin, so no engine's `pow`
+    * ulps matter. Plan is explode-into-targets + one hash aggregate —
+    * no sequential scan, no per-group self-join.
+    */
+  val q153 = q(
+    "q153_ewma",
+    s"""WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+      |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS idx
+      |           FROM events WHERE value IS NOT NULL),
+      |w(j, wt) AS (${graft.operators.Smooth.ewmaWeightsSql(0.3)}),
+      |a AS (SELECT t.event_type, t.idx + w.j AS tgt,
+      |        CAST(sum(CAST(w.wt AS BIGINT) * t.v4) AS BIGINT) AS num,
+      |        CAST(sum(CAST(w.wt AS BIGINT)) AS BIGINT) AS den
+      |      FROM t, w GROUP BY 1, 2)
+      |SELECT t.event_type, t.idx, t.us, t.v4,
+      |       floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0 * 10000 + 0.5) / 10000 AS ewma4
+      |FROM t JOIN a ON t.event_type = a.event_type AND t.idx = a.tgt
+      |ORDER BY t.event_type, t.idx""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .ewma(Tables.events(s, d), Seq("event_type"),
+        orderCol = unix_micros(col("ts")), orderOut = "us",
+        valueCol = col("value"), tieCols = Seq("event_id"), alpha = 0.3)
+      .select(col("event_type"), col("idx"), col("us"), col("v4"),
+        r4(col("ewma")).as("ewma4"))
+      .transform(orderedWide("event_type", "idx"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5326,5 +5358,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152)
+    q150, q151, q152, q153)
 }

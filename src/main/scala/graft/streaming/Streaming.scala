@@ -400,6 +400,86 @@ object Streaming {
       }
   }
 
+  /** Streaming EWMA monitor — the O(K)-state twin of
+    * [[graft.operators.Smooth.ewma]]: per entity, a ring of the last K
+    * scale-4 values (K = the weight-underflow tap count, 54 at α = 0.3)
+    * reproduces EXACTLY the batch operator's normalized fix-point
+    * smoother — same integer weights, same long num/den, same final
+    * double expression — so batch ≡ stream is a law, not an
+    * approximation. Late rows behind the applied frontier are dropped
+    * (the [[cusumMonitor]] contract); the law's tie contract is unique
+    * per-entity timestamps.
+    *
+    * @return frame (entityCol, idx, ts_us, ewma) — one row per applied
+    *         event, `ewma` in original units
+    */
+  def ewmaMonitor(
+      events: DataFrame, entityCol: String, tsCol: String, valueCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val wts = graft.operators.Smooth.ewmaWeights(alpha)
+    def prepared(keyCast: String) = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(entityCol).cast(keyCast).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        floor(col(valueCol).cast("double") * 10000 + 0.5).cast("long").as("v4"))
+    // the batch operator's exact final expression, replicated post-loop
+    def finish(df: DataFrame): DataFrame = df
+      .withColumn("ewma",
+        col("__num").cast("double") / col("__den").cast("double") / 10000.0)
+      .drop("__num", "__den")
+    val dt = events.schema(entityCol).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        finish(ewmaLoop[Long](prepared("long").as[(Long, Long, Long)], wts)
+          .toDF(entityCol, "idx", "ts_us", "__num", "__den"))
+          .withColumn(entityCol, col(entityCol).cast(dt))
+      case StringType =>
+        finish(ewmaLoop[String](prepared("string").as[(String, Long, Long)], wts)
+          .toDF(entityCol, "idx", "ts_us", "__num", "__den"))
+      case other => throw new IllegalArgumentException(
+        s"ewmaMonitor: entity column '$entityCol' has unsupported key " +
+          s"type ${other.simpleString}; use an integral or string entity id")
+    }
+  }
+
+  private def ewmaLoop[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long, Long)], wts: Seq[Long])(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      se: org.apache.spark.sql.Encoder[(Long, Long, Seq[Long])],
+      oe: org.apache.spark.sql.Encoder[(K, Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val k = wts.length
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Seq[Long]), (K, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long, Long)],
+            state: GroupState[(Long, Long, Seq[Long])]) =>
+          var (i, frontier, recent) =
+            state.getOption.getOrElse((0L, Long.MinValue, Seq.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(K, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, v4) =>
+            if (i != 0 && ts < frontier) {
+              // late arrival behind the applied frontier: dropped
+            } else {
+              i += 1; frontier = ts
+              recent = (v4 +: recent).take(k) // newest-first ring
+              var num = 0L; var den = 0L; var j = 0
+              while (j < recent.length) {
+                num += wts(j) * recent(j); den += wts(j); j += 1
+              }
+              out += ((key, i, ts, num, den))
+            }
+          }
+          state.update((i, frontier, recent))
+          out.iterator
+      }
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

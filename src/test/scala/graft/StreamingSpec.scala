@@ -482,6 +482,50 @@ class StreamingSpec extends SparkSpec {
       s"law broke: streamed=$streamed batch=$batch")
   }
 
+  test("streaming ewma monitor: ring state across micro-batches; batch law vs Smooth.ewma") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streaming.ewmaMonitor(mem.toDF().toDF("user_id", "ts", "v"),
+        "user_id", "ts", "v", alpha = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_mon")
+      .start()
+    // α = 0.5, x = [2, 4]: z₁ = 2, z₂ = 10/3
+    mem.addData((1L, t("2024-06-01 10:00:00"), 2.0),
+      (1L, t("2024-06-01 10:01:00"), 4.0))
+    q.processAllAvailable()
+    // batch 2: the ring carries across the micro-batch boundary → z₃ = 34/7
+    mem.addData((1L, t("2024-06-01 10:02:00"), 6.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ewma_mon").orderBy("idx").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Double]("ewma") == 2.0)
+    assert(math.abs(got(1).getAs[Double]("ewma") - 10.0 / 3) < 1e-9)
+    assert(math.abs(got(2).getAs[Double]("ewma") - 34.0 / 7) < 1e-9)
+
+    // BATCH LAW: on a batch frame (unique per-entity timestamps),
+    // ewmaMonitor ≡ Smooth.ewma — same taps, same num/den, same division
+    val rnd = new scala.util.Random(7L)
+    val df = (1 to 300).map { i =>
+      (i % 4L,
+        new java.sql.Timestamp(t("2024-06-01 10:00:00").getTime + i * 60000L),
+        math.floor(rnd.nextDouble() * 2000 + 0.5) / 100.0)
+    }.toDF("user_id", "ts", "v")
+    val streamed = Streaming.ewmaMonitor(df, "user_id", "ts", "v", alpha = 0.3)
+      .select(col("user_id"), col("idx"), col("ts_us"), col("ewma"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Smooth.ewma(df, Seq("user_id"),
+        orderCol = unix_micros(col("ts")), orderOut = "ts_us",
+        valueCol = col("v"), tieCols = Seq.empty, alpha = 0.3)
+      .select(col("user_id"), col("idx"), col("ts_us"), col("ewma"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"law broke: ${streamed.size} streamed vs ${batch.size} batch rows")
+  }
+
   test("streaming sessionize: string entity keys keep per-entity state; bad key type fails loudly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
-import graft.operators.Trend
+import graft.operators.{Smooth, Trend}
 
 /** Group-wise OLS trend and Z-order layout keys. */
 class TrendZorderSpec extends SparkSpec {
@@ -67,5 +67,38 @@ class TrendZorderSpec extends SparkSpec {
   test("morton2/mortonSql: guards reject out-of-range bits") {
     intercept[IllegalArgumentException] { ZOrder.morton2(col("x"), col("y"), 0) }
     intercept[IllegalArgumentException] { ZOrder.mortonSql("x", "y", 32) }
+  }
+
+  // ------------------------------------------------------------ Smooth
+
+  test("Smooth.ewmaWeights: fix-point taps, underflow truncation") {
+    val w = Smooth.ewmaWeights(0.5)
+    assert(w.head == 100000000L && w(1) == 50000000L && w(2) == 25000000L)
+    assert(w.last > 0 && w == w.sortBy(-_)) // decreasing, no zero tap
+    assert(Smooth.ewmaWeightsSql(0.5).startsWith("VALUES (0, 100000000), (1, 50000000)"))
+  }
+
+  test("Smooth.ewma: hand-computed normalized smoother; warm-up is exact") {
+    // α = 0.5, x = [2, 4, 6]: z₁ = 2 (self-normalized warm-up),
+    // z₂ = (1e8·4e4 + 5e7·2e4)/1.5e8/1e4 = 10/3, z₃ = 8.5e12/1.75e8/1e4 = 34/7
+    val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0))
+      .toDF("g", "t", "v")
+    val out = Smooth.ewma(df, Seq("g"), col("t"), "t_out", col("v"),
+        tieCols = Seq.empty, alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("idx") -> r).toMap
+    assert(out(1L).getAs[Double]("ewma") == 2.0)
+    assert(math.abs(out(2L).getAs[Double]("ewma") - 10.0 / 3) < 1e-9)
+    assert(math.abs(out(3L).getAs[Double]("ewma") - 34.0 / 7) < 1e-9)
+    assert(out(3L).getAs[Long]("t_out") == 3L && out(3L).getAs[Long]("v4") == 60000L)
+  }
+
+  test("Smooth.ewma: long series converge toward the level; nulls excluded") {
+    val rows = (1 to 200).map(i => ("g", i.toLong, Some(10.0))) :+
+      (("g", 201L, None: Option[Double]))
+    val out = Smooth.ewma(rows.toDF("g", "t", "v"), Seq("g"), col("t"), "t_out",
+        col("v"), tieCols = Seq.empty, alpha = 0.3)
+      .collect()
+    assert(out.length == 200) // the null row is excluded
+    out.foreach(r => assert(r.getAs[Double]("ewma") == 10.0))
   }
 }
