@@ -64,4 +64,72 @@ object Quantiles {
       .agg(aggs.head, aggs.tail: _*)
       .select((col(groupCol) +: outs): _*)
   }
+
+  /** Hash-sample quantile estimator WITH its own exactness audit — the
+    * mergeable one-pass quantile path for when [[quantileCont]]'s
+    * distinct-value pass is still too much (10¹²-row groups, streaming
+    * accumulation): estimate quantiles from the k smallest-`md5(salt|id)`
+    * rows (a uniform, deterministic, MERGEABLE sample — union two
+    * bottom-k sets and re-take k, the [[graft.llm.Splits.bottomK]]
+    * convention), then grade each estimate against the FULL data by its
+    * exact rank.
+    *
+    * Estimate = the (⌊p·(m−1)⌋+1)-th smallest sampled value (lower order
+    * statistic, m = |sample|); audit = `rank_le/n` vs p (expected error
+    * O(1/√k) — reported, not asserted). Everything is integer arithmetic
+    * plus the p·(m−1) product, identical cross-engine.
+    *
+    * Scale: the selection window here is a per-group row_number over raw
+    * rows (fine to ~10⁸-row groups); past that, swap in the two-stage
+    * bottom-k (per-partition top-k, then merge — the same statistic, by
+    * mergeability) without touching the estimator or audit. The audit
+    * pass is one broadcast join + hash aggregate over (group, p).
+    *
+    * @param ps quantile fractions (exact double literals shared with the
+    *           SQL twin)
+    * @return per (group, p): (groupCols…, p, m, n, rank_le, est,
+    *         rank_err) — `est` in original units, `rank_err` =
+    *         |rank_le/n − p|
+    */
+  def sampleQuantileAudit(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      k: Int = 256, ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      salt: String = "sq"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 2, s"sample size k must be >= 2, got $k")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val base = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4"),
+        md5(concat(lit(s"$salt|"), idCol.cast("string"))).as("__h")): _*)
+    val wH = Window.partitionBy(g: _*).orderBy(col("__h").asc)
+    val sample = base.withColumn("__rn", row_number().over(wH))
+      .filter(col("__rn") <= k)
+    val wV = Window.partitionBy(g: _*).orderBy(col("__v4").asc, col("__h").asc)
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = sample
+      .withColumn("__rv", row_number().over(wV).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val est = ranked.crossJoin(broadcast(ps.toDF("p")))
+      .filter(col("__rv") ===
+        floor(col("p") * (col("__m") - 1).cast("double")).cast("long") + 1)
+      .select(g ++ Seq(col("p"), col("__m").as("m"), col("__v4").as("__e4")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__e_$c")).reduce(_ && _)
+    base.join(
+        broadcast(est.select(groupCols.map(c => col(c).as(s"__e_$c")) ++
+          Seq(col("p"), col("m"), col("__e4")): _*)),
+        cond)
+      .groupBy(g ++ Seq(col("p"), col("m"), col("__e4")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v4") <= col("__e4"), 1L).otherwise(0L)).as("rank_le"))
+      .select(g ++ Seq(col("p"), col("m"), col("n"), col("rank_le"),
+        (col("__e4").cast("double") / 10000.0).as("est"),
+        abs(col("rank_le").cast("double") / col("n").cast("double") - col("p"))
+          .as("rank_err")): _*)
+  }
 }

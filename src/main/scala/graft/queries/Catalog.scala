@@ -5332,6 +5332,47 @@ object Catalog {
       .transform(orderedWide("event_type", "idx"))
   }
 
+  /** Bottom-k sample quantile audit
+    * ([[graft.operators.Quantiles.sampleQuantileAudit]]): estimate four
+    * quantiles of value per event type from the 256 smallest-md5 rows (the
+    * mergeable one-pass sample), then grade each estimate by its EXACT
+    * rank in the full data — the recall-audit pattern (q129/q134) applied
+    * to the quantile sketch. Complements q02/q110's exact percentile
+    * machinery with the sketch path + its own honesty check.
+    */
+  val q154 = q(
+    "q154_sample_quantiles",
+    """WITH t AS (SELECT event_type AS g,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+      |             md5('sq|' || CAST(event_id AS VARCHAR)) AS h
+      |           FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT g, v4, h FROM (
+      |        SELECT g, v4, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      |        FROM t) WHERE rn <= 256),
+      |o AS (SELECT g, v4,
+      |        CAST(row_number() OVER (PARTITION BY g ORDER BY v4, h) AS BIGINT) AS rv,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS m
+      |      FROM s),
+      |ps(p) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+      |e AS (SELECT o.g, ps.p, o.m, o.v4 AS e4
+      |      FROM o, ps
+      |      WHERE o.rv = CAST(floor(ps.p * CAST(o.m - 1 AS DOUBLE)) AS BIGINT) + 1),
+      |a AS (SELECT t.g, e.p, e.m, e.e4, count(*) AS n,
+      |        CAST(sum(CASE WHEN t.v4 <= e.e4 THEN 1 ELSE 0 END) AS BIGINT) AS rank_le
+      |      FROM t JOIN e ON t.g = e.g GROUP BY 1, 2, 3, 4)
+      |SELECT g AS event_type, p, m, n, rank_le,
+      |       CAST(e4 AS DOUBLE) / 10000.0 AS est,
+      |       floor(abs(CAST(rank_le AS DOUBLE) / CAST(n AS DOUBLE) - p) * 10000 + 0.5) / 10000 AS rank_err4
+      |FROM a ORDER BY event_type, p""".stripMargin) { (s, d) =>
+    graft.operators.Quantiles
+      .sampleQuantileAudit(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), idCol = col("event_id"),
+        k = 256, ps = Seq(0.25, 0.5, 0.75, 0.9), salt = "sq")
+      .select(col("event_type"), col("p"), col("m"), col("n"), col("rank_le"),
+        col("est"), r4(col("rank_err")).as("rank_err4"))
+      .transform(orderedWide("event_type", "p"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5358,5 +5399,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153)
+    q150, q151, q152, q153, q154)
 }

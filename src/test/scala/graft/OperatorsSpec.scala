@@ -419,4 +419,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out("s2") == ((1L, 0L, 0.0)))
     assert(out("s3") == ((2L, 1L, 0.5)))
   }
+
+  // -------------------------------------------- Quantiles.sampleQuantileAudit
+
+  test("sampleQuantileAudit: k >= n degenerates to exact order statistics") {
+    // v = 0..100 in one group; k=256 samples everything → m = 101 and the
+    // p=0.5 estimate is the 51st smallest = 50 with rank_le = 51
+    val df = (0 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val out = Quantiles.sampleQuantileAudit(df, Seq("g"), col("v"), col("id"),
+        k = 256, ps = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("p") -> r).toMap
+    val med = out(0.5)
+    assert(med.getAs[Long]("m") == 101L && med.getAs[Long]("n") == 101L)
+    assert(med.getAs[Double]("est") == 50.0)
+    assert(med.getAs[Long]("rank_le") == 51L)
+    assert(math.abs(med.getAs[Double]("rank_err") - (51.0 / 101 - 0.5)) < 1e-12)
+    assert(out(0.9).getAs[Double]("est") == 90.0)
+  }
+
+  test("sampleQuantileAudit: k < n estimates land near true quantiles, deterministically") {
+    val df = (1 to 2000).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val run = () => Quantiles.sampleQuantileAudit(df, Seq("g"), col("v"),
+        col("id"), k = 64).collect()
+      .map(r => (r.getAs[Double]("p"), r.getAs[Double]("est"),
+        r.getAs[Double]("rank_err"))).sortBy(_._1)
+    val a = run()
+    assert(a.length == 4 && a.sameElements(run())) // deterministic
+    // uniform ids → expected rank error ~ 1/√64 ≈ 0.125; assert a loose 3σ
+    a.foreach { case (p, est, err) =>
+      assert(err < 0.3, s"p=$p est=$est rank_err=$err")
+      assert(est >= 1.0 && est <= 2000.0 && est == math.floor(est))
+    }
+  }
 }
