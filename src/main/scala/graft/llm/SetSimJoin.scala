@@ -103,4 +103,70 @@ object SetSimJoin {
         unionN.as("union_n"),
         (col("inter") / unionN).as("sim"))
   }
+
+  /** All ORDERED pairs (a ≠ b) with containment
+    * `|A∩B| / |A| ≥ num/den` — the ASYMMETRIC near-dup relation Jaccard
+    * misses: a short document wholly embedded in a long one has tiny
+    * Jaccard but containment ≈ 1 (quote extraction, boilerplate wrappers,
+    * subset-scrape dedup — the Broder containment coefficient).
+    *
+    * Prefix filtering adapts one-sided: `|A∩B| ≥ t·|A|` bounds only A's
+    * share, so only the CONTAINED side can be prefix-pruned
+    * (len `n_a − ⌈t·n_a⌉ + 1` under the same global df-ascending order);
+    * the containing side must index ALL its tokens. Still lossless, and
+    * still skew-safe — candidates pair A's RAREST tokens against the full
+    * posting lists, so Σ df over rare tokens bounds the candidate count;
+    * stopwords never enter a prefix.
+    *
+    * Exactness: gate `inter·den ≥ num·n_a` is pure integer; `containment`
+    * is one IEEE division of two exact integers.
+    *
+    * @return (id_a, id_b, inter, n_a, containment) — directional: id_a is
+    *         the contained side
+    */
+  def containmentJoin(
+      docs: DataFrame, idCol: String, tokens: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold num/den must be in (0, 1], got $num/$den")
+
+    val tok = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("token"))
+      .filter(col("token") =!= "")
+    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+
+    val wPos = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("token").asc)
+    val wN = Window.partitionBy(col("__id"))
+    val td = tok.join(dfc, "token")
+      .select(col("__id"), col("token"),
+        row_number().over(wPos).cast("long").as("__pos"),
+        count(lit(1)).over(wN).as("__n"))
+
+    val prefLen =
+      col("__n") - floorDiv(lit(num.toLong) * col("__n") + lit(den - 1L), den) + 1
+    val pre = td.filter(col("__pos") <= prefLen)
+      .select(col("__id"), col("token"), col("__n"))
+
+    val cand = pre.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.__id") =!= col("b.__id"))
+      .select(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("__na"))
+      .distinct()
+
+    val inter = cand
+      .join(tok.as("ta"), col("ta.__id") === col("id_a"))
+      .join(tok.as("tb"),
+        col("tb.__id") === col("id_b") && col("tb.token") === col("ta.token"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .filter(col("inter") * den >= lit(num.toLong) * col("__na"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("__na").as("n_a"),
+        (col("inter") / col("__na")).as("containment"))
+  }
 }

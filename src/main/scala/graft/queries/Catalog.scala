@@ -5373,6 +5373,40 @@ object Catalog {
       .transform(orderedWide("event_type", "p"))
   }
 
+  /** Containment join ([[graft.llm.SetSimJoin.containmentJoin]]):
+    * ordered doc pairs whose 3-shingle sets satisfy |A∩B|/|A| ≥ 4/5 —
+    * the asymmetric near-dup relation (short doc embedded in a long one)
+    * that q125's symmetric Jaccard misses. One-sided prefix filter:
+    * only the contained side prunes to its rare-token prefix; the
+    * containing side indexes all shingles. Integer gate, one exact
+    * division.
+    */
+  val q155 = q(
+    "q155_containment_join",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS token FROM w),
+      |dfc AS (SELECT token, count(*) AS df FROM sh GROUP BY 1),
+      |td AS (SELECT t.doc_id, t.token,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos,
+      |         count(*) OVER (PARTITION BY t.doc_id) AS n
+      |       FROM sh t JOIN dfc d USING (token)),
+      |pre AS (SELECT doc_id, token, n FROM td WHERE pos <= n - (4*n + 4) // 5 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na
+      |         FROM pre a JOIN sh b ON a.token = b.token AND a.doc_id <> b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, c.na, count(*) AS inter
+      |          FROM cand c JOIN sh ta ON ta.doc_id = c.id_a
+      |                      JOIN sh tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      |          GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, inter, na AS n_a, inter * 1.0 / na AS containment
+      |FROM inter WHERE inter * 5 >= 4 * na
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.llm.SetSimJoin
+      .containmentJoin(Tables.documents(s, d), "doc_id",
+        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 4, den = 5)
+      .transform(ordered("id_a", "id_b"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5399,5 +5433,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154)
+    q150, q151, q152, q153, q154, q155)
 }

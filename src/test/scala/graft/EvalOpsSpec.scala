@@ -490,6 +490,47 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)
   }
 
+  /** Reference brute force: exact containment over all ORDERED pairs. */
+  private def bruteContainment(
+      sets: Map[Long, Set[String]], num: Int, den: Int): Set[(Long, Long, Int, Int)] =
+    (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      na = sets(a).size
+      if na > 0 && inter * den >= num * na
+    } yield (a, b, inter, na)).toSet
+
+  test("containmentJoin equals brute force; asymmetric pairs Jaccard misses") {
+    // doc 1 ⊂ doc 2: containment(1→2) = 1 but Jaccard = 1/2 — the
+    // subset-duplication case the symmetric join can't flag at t = 4/5
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta unrelated"),
+      (4L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    for ((num, den) <- Seq((4, 5), (1, 2), (1, 1))) {
+      val got = SetSimJoin
+        .containmentJoin(docs, "doc_id", split(col("text"), " "), num, den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt))
+        .toSet
+      assert(got == bruteContainment(sets, num, den), s"threshold $num/$den")
+    }
+    // directionality at 4/5: (1→2) passes, (2→1) does not
+    val strict = SetSimJoin
+      .containmentJoin(docs, "doc_id", split(col("text"), " "), 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)) && !strict.contains((2L, 1L)))
+    // and Jaccard at the same threshold misses the pair entirely
+    val jac = SetSimJoin
+      .jaccardJoin(docs, "doc_id", split(col("text"), " "), 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("jaccardJoin threshold validation") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
