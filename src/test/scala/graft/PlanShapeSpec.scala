@@ -207,7 +207,8 @@ class PlanShapeSpec extends SparkSpec {
     // prefix-filter candidates, verification joins, wedge joins, degree
     // joins, anti-join: all keyed — a BNLJ anywhere is the |D|² scale-killer
     // these operators exist to avoid
-    for (name <- Seq("q125_setsim_join", "q126_link_predict")) {
+    for (name <- Seq("q125_setsim_join", "q126_link_predict",
+        "q155_containment_join")) {
       val p = planOf(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), name)
       assert(!p.contains("CartesianProduct"), name)
