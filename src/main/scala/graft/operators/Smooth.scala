@@ -23,15 +23,20 @@ import org.apache.spark.sql.functions._
   * the weights present). For i ≫ K this equals the recursion to within
   * the 10⁻⁸ weight quantization.
   *
-  * Plan: no per-group self-join and no sequential scan — each row
-  * BROADCASTS into the K future positions it influences (row i → targets
-  * i+j with weight w_j, a K-row broadcast cross join), then one hash
-  * aggregate per (group, target) and an equi-join back to the row. ×K row
-  * amplification before the combine, but the shuffle is map-side-combined
-  * and K is a constant (54 at α = 0.3); everything stays linear,
-  * answer-sized state, no window over raw values except the row_number
-  * index (per-series sequential by nature — pre-bucket longer series,
-  * the [[graft.llm.Drift.cusum]] contract).
+  * Plan: no sequential scan and no self-join — each row BROADCASTS into
+  * the K future positions it influences (row i → target i+j with weight
+  * w_j, a K-row broadcast cross join), then ONE hash aggregate both sums
+  * the weighted contributions per (group, target) and re-emits the
+  * target row's own identity through its j = 0 leg, so there is no
+  * join-back stage. ×K amplification before the combine, but the
+  * aggregate is map-side-combined and K is a constant (54 at α = 0.3).
+  * Two slower formulations were MEASURED and rejected at sf0.1: a K-deep
+  * sliding `collect_list` + higher-order reduce (2.2s — per-row array
+  * building), and Σ of K explicit `lag()` terms (5.4s — WindowExec runs
+  * one frame processor per offset); this shape runs 1.0s, and the
+  * fold-identity-into-agg trick is worth ~0.1s over an explicit
+  * join-back. Per-group row_number is the only raw-row window — pre-bucket
+  * extreme series, the [[graft.llm.Drift.cusum]] contract.
   */
 object Smooth {
 
@@ -66,9 +71,8 @@ object Smooth {
       orderOut: String, valueCol: Column, tieCols: Seq[String],
       alpha: Double = 0.3): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val spark = df.sparkSession
-    import spark.implicits._
     val g = groupCols.map(col)
+    val wts = ewmaWeights(alpha)
     val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
     val wIdx = Window.partitionBy(g: _*).orderBy(ord: _*)
     val base = df.filter(valueCol.isNotNull)
@@ -77,19 +81,25 @@ object Smooth {
           .as("v4")) ++ tieCols.map(col): _*)
       .withColumn("idx", row_number().over(wIdx).cast("long"))
       .drop(tieCols: _*)
-    val wts = broadcast(ewmaWeights(alpha).zipWithIndex
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wtsDf = broadcast(wts.zipWithIndex
       .map { case (w, j) => (j.toLong, w) }.toDF("__j", "__wt"))
-    val contrib = base.crossJoin(wts)
-      .groupBy(g :+ (col("idx") + col("__j")).as("__tgt"): _*)
-      .agg(sum(col("__wt") * col("v4")).as("__num"),
-        sum(col("__wt")).as("__den"))
-    val cond = groupCols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _) &&
-      col("idx") === col("__tgt")
-    base.join(
-        contrib.select(groupCols.map(c => col(c).as(s"__a_$c")) ++
-          Seq(col("__tgt"), col("__num"), col("__den")): _*),
-        cond)
-      .select(g ++ Seq(col("idx"), col("__o").as(orderOut), col("v4"),
+    // each row broadcasts into the K future positions it influences
+    // (row i → target i+j, weight w_j); ONE hash aggregate both sums the
+    // weighted contributions and re-emits the target row's own identity
+    // (the j = 0 leg), so no join-back stage exists; targets past the
+    // series end have no j = 0 leg and are dropped by the filter
+    base.crossJoin(wtsDf)
+      .groupBy(g :+ (col("idx") + col("__j")).as("idx2"): _*)
+      .agg(
+        sum(col("__wt") * col("v4")).as("__num"),
+        sum(col("__wt")).as("__den"),
+        max(when(col("__j") === 0, col("__o"))).as("__oo"),
+        max(when(col("__j") === 0, col("v4"))).as("__v0"))
+      .filter(col("__oo").isNotNull)
+      .select(g ++ Seq(col("idx2").as("idx"), col("__oo").as(orderOut),
+        col("__v0").as("v4"),
         (col("__num").cast("double") / col("__den").cast("double") / 10000.0)
           .as("ewma")): _*)
   }
