@@ -5407,6 +5407,75 @@ object Catalog {
       .transform(ordered("id_a", "id_b"))
   }
 
+  /** Fellegi–Sunter linkage scores
+    * ([[graft.operators.RecordLinkage.fellegiSunter]]) over the q138
+    * sorted-neighborhood candidates: per-field log₂ likelihood-ratio
+    * weights (name Jaro–Winkler gate, balance proximity, segment
+    * equality) summed into a match / possible / non-match verdict — the
+    * probabilistic decision layer between blocking and clustering.
+    * Weights are Scala-side constants interpolated into both engines;
+    * the score is a fixed-order sum of literals.
+    */
+  val q156 = q(
+    "q156_fellegi_sunter", {
+      val (wa1, wd1) = graft.operators.RecordLinkage.fsWeights(0.95, 0.02)
+      val (wa2, wd2) = graft.operators.RecordLinkage.fsWeights(0.9, 0.1)
+      val (wa3, wd3) = graft.operators.RecordLinkage.fsWeights(0.98, 0.2)
+      s"""WITH r AS (SELECT c_nationkey, c_custkey, c_name, c_mktsegment,
+      |             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal2,
+      |             row_number() OVER (PARTITION BY c_nationkey
+      |                                ORDER BY c_acctbal, c_custkey) AS rnk
+      |           FROM customer),
+      |cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |                a.c_name AS n_a, b.c_name AS n_b,
+      |                a.bal2 AS bal_a, b.bal2 AS bal_b,
+      |                a.c_mktsegment AS mkt_a, b.c_mktsegment AS mkt_b
+      |         FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+      |                          AND b.rnk - a.rnk BETWEEN 1 AND 3),
+      |f AS (SELECT id_a, id_b,
+      |        floor(jaro_winkler_similarity(n_a, n_b) * 10000 + 0.5) >= 9000 AS agree_name,
+      |        abs(bal_a - bal_b) <= 2000 AS agree_bal,
+      |        mkt_a = mkt_b AS agree_mkt
+      |      FROM cand),
+      |sc AS (SELECT id_a, id_b, agree_name, agree_bal, agree_mkt,
+      |         (CASE WHEN agree_name IS NULL THEN CAST(0.0 AS DOUBLE) WHEN agree_name THEN CAST($wa1 AS DOUBLE) ELSE CAST($wd1 AS DOUBLE) END)
+      |         + (CASE WHEN agree_bal IS NULL THEN CAST(0.0 AS DOUBLE) WHEN agree_bal THEN CAST($wa2 AS DOUBLE) ELSE CAST($wd2 AS DOUBLE) END)
+      |         + (CASE WHEN agree_mkt IS NULL THEN CAST(0.0 AS DOUBLE) WHEN agree_mkt THEN CAST($wa3 AS DOUBLE) ELSE CAST($wd3 AS DOUBLE) END) AS score
+      |       FROM f)
+      |SELECT id_a, id_b, agree_name, agree_bal, agree_mkt,
+      |       floor(score * 10000 + 0.5) / 10000 AS score4,
+      |       CASE WHEN score >= 6.0 THEN 'match'
+      |            WHEN score <= 0.0 THEN 'non_match'
+      |            ELSE 'possible' END AS verdict
+      |FROM sc ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+    val cust = Tables.customer(s, d).select(col("c_nationkey"),
+      col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val cand = graft.operators.SortedNeighborhood.pairs(
+      cust, Seq("c_nationkey"), "c_acctbal",
+      tieCols = Seq("c_custkey"), idCol = "c_custkey", w = 3)
+    val attrs = cust.select(col("c_custkey"), col("c_name"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal2"),
+      col("c_mktsegment"))
+    val pairs = cand
+      .join(broadcast(attrs.select(col("c_custkey").as("id_a"),
+        col("c_name").as("n_a"), col("bal2").as("bal_a"),
+        col("c_mktsegment").as("mkt_a"))), Seq("id_a"))
+      .join(broadcast(attrs.select(col("c_custkey").as("id_b"),
+        col("c_name").as("n_b"), col("bal2").as("bal_b"),
+        col("c_mktsegment").as("mkt_b"))), Seq("id_b"))
+    graft.operators.RecordLinkage
+      .fellegiSunter(pairs, Seq(
+        ("name", floor(graft.functions.JaroWinklerSim.jaroWinkler(
+          col("n_a"), col("n_b")) * 10000 + 0.5) >= 9000, 0.95, 0.02),
+        ("bal", abs(col("bal_a") - col("bal_b")) <= 2000, 0.9, 0.1),
+        ("mkt", col("mkt_a") === col("mkt_b"), 0.98, 0.2)),
+        upper = 6.0, lower = 0.0)
+      .select(col("id_a"), col("id_b"), col("agree_name"), col("agree_bal"),
+        col("agree_mkt"), r4(col("score")).as("score4"), col("verdict"))
+      .transform(ordered("id_a", "id_b"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5433,5 +5502,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155)
+    q150, q151, q152, q153, q154, q155, q156)
 }

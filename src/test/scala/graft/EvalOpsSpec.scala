@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bootstrap, Eval, Sessionize}
+import graft.operators.{Bootstrap, Eval, RecordLinkage, Sessionize}
 import graft.llm.SetSimJoin
 
 /** Evaluation statistics (AUC / Spearman / Gini), gap sessionization, and
@@ -728,6 +728,40 @@ class EvalOpsSpec extends SparkSpec {
     val Array(out) = Eval.chiSquare(df, Seq("g"), col("r"), col("c")).collect()
     assert(out.getAs[Long]("dof") == 0L)
     assert(out.isNullAt(out.fieldIndex("chi2")))
+  }
+
+  // ------------------------------------------------------ RecordLinkage
+
+  test("fsWeights: hand-computed log2 likelihood ratios; guards") {
+    val (wa, wd) = RecordLinkage.fsWeights(0.9, 0.1)
+    assert(math.abs(wa - math.log(9.0) / math.log(2.0)) < 1e-12)
+    assert(math.abs(wd + math.log(9.0) / math.log(2.0)) < 1e-12)
+    intercept[IllegalArgumentException] { RecordLinkage.fsWeights(0.1, 0.9) }
+    intercept[IllegalArgumentException] { RecordLinkage.fsWeights(1.0, 0.5) }
+  }
+
+  test("fellegiSunter: fixed-order score sum, NULL field contributes 0, verdicts") {
+    val (waN, wdN) = RecordLinkage.fsWeights(0.95, 0.05) // ±log2(19)
+    val (waB, wdB) = RecordLinkage.fsWeights(0.9, 0.1)   // ±log2(9)
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),   // waN + waB → match
+      (3L, 4L, Some(false), Some(false)), // wdN + wdB → non_match
+      (5L, 6L, Some(true), Some(false)),  // waN + wdB → possible
+      (7L, 8L, None, Some(true))          // 0 + waB → possible
+    ).toDF("id_a", "id_b", "name_ok", "bal_ok")
+    val out = RecordLinkage.fellegiSunter(pairs,
+        Seq(("name", col("name_ok"), 0.95, 0.05),
+          ("bal", col("bal_ok"), 0.9, 0.1)),
+        upper = 6.0, lower = -6.0)
+      .collect().map(r => r.getAs[Long]("id_a") -> r).toMap
+    assert(out(1L).getAs[Double]("score") == waN + waB)
+    assert(out(1L).getAs[String]("verdict") == "match")
+    assert(out(3L).getAs[Double]("score") == wdN + wdB)
+    assert(out(3L).getAs[String]("verdict") == "non_match")
+    assert(out(5L).getAs[Double]("score") == waN + wdB)
+    assert(out(5L).getAs[String]("verdict") == "possible")
+    assert(out(7L).getAs[Double]("score") == 0.0 + waB)
+    assert(out(7L).isNullAt(out(7L).fieldIndex("agree_name")))
   }
 
   // ---------------------------------------------------------- Bootstrap
