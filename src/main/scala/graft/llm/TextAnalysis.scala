@@ -417,4 +417,69 @@ object TextAnalysis {
   /** Exact Jaccard similarity of two array columns (treated as sets). */
   def jaccardSets(a: Column, b: Column): Column =
     size(array_intersect(a, b)) * lit(1.0) / size(array_union(a, b))
+
+  /** Zipf-law fit per group — OLS of ln(freq) on ln(rank) over the token
+    * frequency table: the corpus-health fingerprint (natural text sits
+    * near slope −1; templated/boilerplate-heavy or synthetic corpora bow
+    * away from it), and the vocabulary-growth input to tokenizer sizing.
+    *
+    * Determinism: both coordinates floor at scale 8
+    * (`⌊ln(·)·10⁸ + 0.5⌋`, the q89/q93 convention — ln carries the
+    * catalog's ±1-ulp caveat) and every OLS moment accumulates as exact
+    * DECIMAL, so slope's numerator/denominator are exact integers cast
+    * once to double; intercept and r² are fixed-order double expressions
+    * mirrored verbatim by SQL twins.
+    *
+    * Plan: one (group, token) hash aggregate (map-side combined over the
+    * token explode), a rank window over the VOCABULARY-sized frequency
+    * frame only, then one answer-sized moment aggregate. Raw text never
+    * shuffles.
+    *
+    * @return per group: (groupCols…, n_types, n_tokens, slope, intercept,
+    *         r2) — slope/intercept in ln-ln space, NULL for degenerate
+    *         single-type groups
+    */
+  def zipfFit(
+      docs: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val freq = docs
+      .select(g :+ explode(words(col(textCol))).as("__t"): _*)
+      .filter(col("__t") =!= "")
+      .groupBy(g :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col("__c").desc, col("__t").asc)
+    val coords = freq
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__x8",
+        floor(log(col("__r").cast("double")) * lit(1e8) + 0.5).cast("long")
+          .cast(DecimalType(19, 0)))
+      .withColumn("__y8",
+        floor(log(col("__c").cast("double")) * lit(1e8) + 0.5).cast("long")
+          .cast(DecimalType(19, 0)))
+    val m = coords.groupBy(g: _*).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__c")).as("n_tokens"),
+      sum(col("__x8")).as("__sx"),
+      sum(col("__y8")).as("__sy"),
+      sum(col("__x8") * col("__y8")).as("__sxy"),
+      sum(col("__x8") * col("__x8")).as("__sxx"),
+      sum(col("__y8") * col("__y8")).as("__syy"))
+    val nD = col("n_types").cast(DecimalType(38, 0))
+    val dnum = (nD * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dden = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dvy = (nD * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    m.select(g ++ Seq(col("n_types"), col("n_tokens"),
+        when(col("n_types") > 1 && dden > 0, dnum / dden).as("slope"),
+        when(col("n_types") > 1 && dden > 0,
+          (col("__sy").cast("double") / lit(1e8) -
+            (dnum / dden) * (col("__sx").cast("double") / lit(1e8))) /
+            col("n_types").cast("double")).as("intercept"),
+        when(col("n_types") > 1 && dden > 0 && dvy > 0,
+          dnum * dnum / (dden * dvy)).as("r2")): _*)
+  }
 }

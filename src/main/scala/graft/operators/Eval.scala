@@ -465,6 +465,61 @@ object Eval {
           .as("chi2")): _*)
   }
 
+  /** Mutual information between two categoricals per group — the
+    * effect-SIZE companion to [[chiSquare]] (χ² says "is there any
+    * association"; MI says "how many nats of one variable the other
+    * carries" — feature-relevance ranking, redundancy pruning before
+    * target encoding, leakage magnitude):
+    *
+    *   MI = Σ_cells (o/N)·ln(o·N / (r·c))
+    *
+    * summed over OBSERVED cells only (o = 0 terms are 0). Exactness: the
+    * log argument is a ratio of two exact DECIMAL products cast once to
+    * double; each cell term floors at scale 8 (ln carries the catalog's
+    * ±1-ulp caveat) so the group sum is exact LONG addition. NULL
+    * categories are first-class cells. Same answer-sized plan as
+    * [[chiSquare]]: one cells aggregate + marginal windows over it.
+    *
+    * @return per group: (groupCols…, n, n_rows, n_cols, mi8, mi) — mi in
+    *         nats, NULL for degenerate single-category tables
+    */
+  def mutualInfo(
+      df: DataFrame, groupCols: Seq[String],
+      rowCat: Column, colCat: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val cells = df
+      .select(g ++ Seq(rowCat.cast("string").as("__r"),
+        colCat.cast("string").as("__c")): _*)
+      .groupBy(g ++ Seq(col("__r"), col("__c")): _*)
+      .agg(count(lit(1)).as("__o"))
+    val wG = Window.partitionBy(g: _*)
+    val wR = Window.partitionBy(g :+ col("__r"): _*)
+    val wC = Window.partitionBy(g :+ col("__c"): _*)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val withM = cells
+      .withColumn("__n", sum(col("__o")).over(wG))
+      .withColumn("__rm", sum(col("__o")).over(wR))
+      .withColumn("__cm", sum(col("__o")).over(wC))
+      .withColumn("__t8",
+        floor((col("__o").cast("double") / col("__n").cast("double")) *
+          log((dec(col("__o")) * dec(col("__n"))).cast("double") /
+            (dec(col("__rm")) * dec(col("__cm"))).cast("double")) *
+          lit(1e8) + 0.5).cast("long"))
+    withM.groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        (countDistinct(col("__r")) +
+          max(when(col("__r").isNull, 1L).otherwise(0L))).as("n_rows"),
+        (countDistinct(col("__c")) +
+          max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_cols"),
+        sum(col("__t8")).as("mi8"))
+      .select(g ++ Seq(col("n"), col("n_rows"), col("n_cols"), col("mi8"),
+        when(col("n_rows") > 1 && col("n_cols") > 1,
+          col("mi8").cast("double") / lit(1e8)).as("mi")): _*)
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

@@ -96,4 +96,48 @@ object Profile {
           (log2(col("n")) - col("__clc") / col("n")) / log2(col("n_values")))
           .as("norm_entropy"))): _*)
   }
+
+  /** Benford first-significant-digit audit per group — the
+    * fabricated-or-truncated-numbers smoke test (naturally occurring
+    * multi-scale positive values follow P(d) = log₁₀(1 + 1/d); capped,
+    * synthesized, or unit-collapsed columns don't): per digit 1–9,
+    * observed share vs the Benford expectation and their signed gap.
+    *
+    * Determinism: the digit comes from INTEGER string rendering of the
+    * scale-4 fix-point (`substring(cast(v4 as string), 1, 1)` — long →
+    * string is engine-identical, no double-format divergence), so only
+    * strictly positive v4 rows participate; `expected` is
+    * log₁₀(1 + 1/d) computed in-engine on 9 literal digits (±1-ulp
+    * caveat, r4-rounded downstream like every ln-family statistic).
+    *
+    * Scale: one (group, digit) hash aggregate; the group total rides a
+    * window over the ≤9-rows-per-group digit frame. Answer-sized.
+    *
+    * @return per (group, digit): (groupCols…, digit, n, n_d, frac,
+    *         expected, dev) — dev = frac − expected
+    */
+  def benford(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val wG = Window.partitionBy(g: _*)
+    df.filter(valueCol.isNotNull)
+      .select(g :+ floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+        .as("__v4"): _*)
+      .filter(col("__v4") >= 1)
+      .withColumn("digit",
+        substring(col("__v4").cast("string"), 1, 1).cast("int"))
+      .groupBy(g :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("n", sum(col("n_d")).over(wG))
+      .withColumn("frac",
+        col("n_d").cast("double") / col("n").cast("double"))
+      .withColumn("expected",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("dev", col("frac") - col("expected"))
+      .select(g ++ Seq(col("digit"), col("n"), col("n_d"), col("frac"),
+        col("expected"), col("dev")): _*)
+  }
 }

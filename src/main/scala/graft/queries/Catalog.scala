@@ -5476,6 +5476,126 @@ object Catalog {
       .transform(ordered("id_a", "id_b"))
   }
 
+  /** Zipf-law fit per source ([[graft.llm.TextAnalysis.zipfFit]]): OLS of
+    * ln(freq) on ln(rank) over each source's token frequency table — the
+    * corpus-health fingerprint (natural text ≈ slope −1). Coordinates
+    * floor at scale 8 (q89/q93 ln convention); moments are exact
+    * DECIMAL/HUGEINT; slope is one division of exact integers.
+    */
+  val q157 = q(
+    "q157_zipf_fit",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (SELECT source, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+      |coords AS (SELECT source, c,
+      |             CAST(row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS BIGINT) AS r
+      |           FROM freq),
+      |xy AS (SELECT source, c,
+      |         CAST(floor(ln(CAST(r AS DOUBLE)) * 1e8 + 0.5) AS HUGEINT) AS x8,
+      |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e8 + 0.5) AS HUGEINT) AS y8
+      |       FROM coords),
+      |m AS (SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        sum(x8) AS sx, sum(y8) AS sy, sum(x8 * y8) AS sxy,
+      |        sum(x8 * x8) AS sxx, sum(y8 * y8) AS syy
+      |      FROM xy GROUP BY 1),
+      |d AS (SELECT source, n_types, n_tokens,
+      |        CAST(CAST(n_types AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS dnum,
+      |        CAST(CAST(n_types AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dden,
+      |        CAST(CAST(n_types AS HUGEINT) * syy - sy * sy AS DOUBLE) AS dvy,
+      |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |      FROM m)
+      |SELECT source, n_types, n_tokens,
+      |       CASE WHEN n_types > 1 AND dden > 0 THEN
+      |         floor((dnum / dden) * 10000 + 0.5) / 10000 END AS slope4,
+      |       CASE WHEN n_types > 1 AND dden > 0 THEN
+      |         floor(((syd / 1e8 - (dnum / dden) * (sxd / 1e8)) / CAST(n_types AS DOUBLE)) * 10000 + 0.5) / 10000
+      |       END AS intercept4,
+      |       CASE WHEN n_types > 1 AND dden > 0 AND dvy > 0 THEN
+      |         floor((dnum * dnum / (dden * dvy)) * 10000 + 0.5) / 10000 END AS r24
+      |FROM d ORDER BY source""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis
+      .zipfFit(Tables.documents(s, d), Seq("source"), "text")
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        r4(col("slope")).as("slope4"), r4(col("intercept")).as("intercept4"),
+        r4(col("r2")).as("r24"))
+      .transform(ordered("source"))
+  }
+
+  /** Mutual information per day-of-week
+    * ([[graft.operators.Eval.mutualInfo]]): how many nats of event_type
+    * the user cohort carries, sliced by ISO dow — the effect-size
+    * companion to q151's χ² on the same contingency. Scale-8 floored
+    * cell terms over exact DECIMAL/HUGEINT products; exact long sums.
+    */
+  val q158 = q(
+    "q158_mutual_info",
+    """WITH s AS (SELECT isodow(ts) AS dow, CAST(event_type AS VARCHAR) AS r,
+      |             CAST(user_id % 4 AS VARCHAR) AS c
+      |           FROM events),
+      |cells AS (SELECT dow, r, c, count(*) AS o FROM s GROUP BY 1, 2, 3),
+      |m AS (SELECT dow, r, c, o,
+      |        sum(o) OVER (PARTITION BY dow) AS n,
+      |        sum(o) OVER (PARTITION BY dow, r) AS rm,
+      |        sum(o) OVER (PARTITION BY dow, c) AS cm
+      |      FROM cells),
+      |t AS (SELECT dow, n, r, c,
+      |        CAST(floor((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * ln(CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+      |               / CAST(CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT) AS DOUBLE))
+      |          * 1e8 + 0.5) AS BIGINT) AS t8
+      |      FROM m),
+      |a AS (SELECT dow, CAST(max(n) AS BIGINT) AS n,
+      |        count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_rows,
+      |        count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_cols,
+      |        CAST(sum(t8) AS BIGINT) AS mi8
+      |      FROM t GROUP BY dow)
+      |SELECT dow, n, n_rows, n_cols, mi8,
+      |       CASE WHEN n_rows > 1 AND n_cols > 1 THEN
+      |         floor(CAST(mi8 AS DOUBLE) / 1e8 * 10000 + 0.5) / 10000
+      |       END AS mi4
+      |FROM a ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .mutualInfo(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        rowCat = col("event_type"), colCat = pmod(col("user_id"), lit(4L)))
+      .select(col("dow"), col("n"), col("n_rows"), col("n_cols"),
+        col("mi8"), r4(col("mi")).as("mi4"))
+      .transform(ordered("dow"))
+  }
+
+  /** Benford first-digit audit per event type
+    * ([[graft.operators.Profile.benford]]): observed leading-digit shares
+    * of positive values vs log₁₀(1+1/d) — the fabricated-numbers smoke
+    * test as a data-quality profile row. Digits come from integer string
+    * rendering of the scale-4 fix-point (no double-format divergence);
+    * frac/expected/dev are fixed-order double expressions, r4-reported.
+    */
+  val q159 = q(
+    "q159_benford",
+    """WITH t AS (SELECT event_type,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT event_type,
+      |        CAST(substr(CAST(v4 AS VARCHAR), 1, 1) AS INT) AS digit
+      |      FROM t WHERE v4 >= 1),
+      |c AS (SELECT event_type, digit, count(*) AS n_d FROM p GROUP BY 1, 2),
+      |m AS (SELECT event_type, digit, n_d,
+      |        CAST(sum(n_d) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM c)
+      |SELECT event_type, digit, n, n_d,
+      |       floor(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS frac4,
+      |       floor(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) * 10000 + 0.5) / 10000 AS expected4,
+      |       floor((CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+      |              - log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))) * 10000 + 0.5) / 10000 AS dev4
+      |FROM m ORDER BY event_type, digit""".stripMargin) { (s, d) =>
+    graft.operators.Profile
+      .benford(Tables.events(s, d), Seq("event_type"), col("value"))
+      .select(col("event_type"), col("digit"), col("n"), col("n_d"),
+        r4(col("frac")).as("frac4"), r4(col("expected")).as("expected4"),
+        r4(col("dev")).as("dev4"))
+      .transform(orderedWide("event_type", "digit"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5502,5 +5622,5 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

@@ -730,6 +730,32 @@ class EvalOpsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("chi2")))
   }
 
+  // --------------------------------------------------------- mutualInfo
+
+  test("mutualInfo: perfect dependence = ln 2 in scale-8; independence = 0") {
+    // diagonal 2×2 (5/5): MI = 2 · ½·ln(5·10/25) = ln 2 →
+    // mi8 = 2·⌊½·ln2·1e8 + .5⌋ = 69314718
+    val dep = (Seq.fill(5)(("g", "a", "x")) ++ Seq.fill(5)(("g", "b", "y")))
+      .toDF("g", "r", "c")
+    val Array(d) = Eval.mutualInfo(dep, Seq("g"), col("r"), col("c")).collect()
+    assert(d.getAs[Long]("mi8") == 69314718L)
+    assert(math.abs(d.getAs[Double]("mi") - math.log(2.0)) < 1e-7)
+
+    val indep = (Seq.fill(3)(("g", "a", "x")) ++ Seq.fill(3)(("g", "a", "y")) ++
+      Seq.fill(3)(("g", "b", "x")) ++ Seq.fill(3)(("g", "b", "y"))).toDF("g", "r", "c")
+    val Array(i) = Eval.mutualInfo(indep, Seq("g"), col("r"), col("c")).collect()
+    assert(i.getAs[Long]("mi8") == 0L && i.getAs[Double]("mi") == 0.0)
+  }
+
+  test("mutualInfo: single-category table is NULL; null category is a cell") {
+    val flat = Seq(("g", "a", "x"), ("g", "b", "x")).toDF("g", "r", "c")
+    val Array(f) = Eval.mutualInfo(flat, Seq("g"), col("r"), col("c")).collect()
+    assert(f.isNullAt(f.fieldIndex("mi")))
+    val withNull = Seq(("g", Some("a"), "x"), ("g", None, "y")).toDF("g", "r", "c")
+    val Array(n) = Eval.mutualInfo(withNull, Seq("g"), col("r"), col("c")).collect()
+    assert(n.getAs[Long]("n_rows") == 2L) // null is a first-class category
+  }
+
   // ------------------------------------------------------ RecordLinkage
 
   test("fsWeights: hand-computed log2 likelihood ratios; guards") {

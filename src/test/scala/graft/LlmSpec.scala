@@ -1474,4 +1474,22 @@ class LlmSpec extends SparkSpec {
     assert(m2 == Map("a" -> 375833333333L, "b" -> 574166666666L,
       "c" -> 50000000000L))
   }
+
+  test("zipfFit: two-point fit is exact; degenerate single type is NULL") {
+    // one group: "a" ×4, "b" ×2 → (x, y) = (0, ln4), (ln2, ln2) —
+    // slope −1 EXACTLY (the scale-8 floors cancel), r² = 1,
+    // intercept = ln4; a single-type group fits nothing
+    val docs = Seq(("g1", "a a b a b a"), ("g2", "only only only"))
+      .toDF("src", "text")
+    val out = TextAnalysis.zipfFit(docs, Seq("src"), "text")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n_types") == 2L && g1.getAs[Long]("n_tokens") == 6L)
+    assert(g1.getAs[Double]("slope") == -1.0)
+    assert(g1.getAs[Double]("r2") == 1.0)
+    assert(math.abs(g1.getAs[Double]("intercept") - math.log(4.0)) < 1e-7)
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("n_types") == 1L)
+    assert(g2.isNullAt(g2.fieldIndex("slope")))
+  }
 }

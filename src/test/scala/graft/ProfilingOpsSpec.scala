@@ -108,4 +108,21 @@ class ProfilingOpsSpec extends SparkSpec {
       Splits.prioritySample(df, "id", "w", "s", k = 0)
     }
   }
+
+  test("benford: digit from the v4 fix-point; zero/negative/null excluded") {
+    // values spanning scales: digit(19.0) = 1, digit(0.05) = 5; the 0,
+    // negative, sub-resolution (0.00004 → v4 = 0) and null rows drop out
+    val df = Seq(Some(1.0), Some(2.5), Some(19.0), Some(0.05), Some(0.0),
+        Some(-7.0), Some(0.00004), None)
+      .map(v => ("g", v)).toDF("g", "v")
+    val out = Profile.benford(df, Seq("g"), col("v"))
+      .collect().map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(out.keySet == Set(1, 2, 5))
+    assert(out.values.forall(_.getAs[Long]("n") == 4L))
+    assert(out(1).getAs[Long]("n_d") == 2L) // 1.0 and 19.0
+    assert(out(1).getAs[Double]("frac") == 0.5)
+    assert(math.abs(out(1).getAs[Double]("expected") - math.log10(2.0)) < 1e-12)
+    assert(math.abs(out(5).getAs[Double]("dev") -
+      (0.25 - math.log10(1.2))) < 1e-12)
+  }
 }
