@@ -520,6 +520,67 @@ object Eval {
           col("mi8").cast("double") / lit(1e8)).as("mi")): _*)
   }
 
+  /** `S[m] = Σ_{d=m..k} p^{d−1}/d` floored at scale 8, for m = 1…k — the
+    * per-item suffix weights of truncated RBO, computed ONCE here and
+    * interpolated as integer literals into both engines.
+    */
+  private[graft] def rboSuffix8(p: Double, k: Int): Seq[Long] = {
+    require(p > 0 && p < 1, s"persistence p out of (0,1): $p")
+    require(k >= 1, s"depth k must be >= 1: $k")
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    terms.scanRight(0.0)(_ + _).init
+      .map(s => math.floor(s * 1e8 + 0.5).toLong)
+  }
+
+  /** SQL `VALUES` twin of [[rboSuffix8]]: rows `(m, s8)`. */
+  def rboSuffixSql(p: Double, k: Int): String =
+    rboSuffix8(p, k).zipWithIndex
+      .map { case (s, i) => s"(${i + 1}, $s)" }.mkString("VALUES ", ", ", "")
+
+  /** Truncated rank-biased overlap (Webber et al., TOIS 2010) between two
+    * top-k rankings — "how much did the ranking CHANGE?", the list-drift
+    * companion to the value-drift family (KS/PSI grade distributions;
+    * RBO grades leaderboards, retrieval runs, feature importances):
+    *
+    *   RBO@k = (1−p) Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d
+    *
+    * rewritten per ITEM: an item first enters the intersection at depth
+    * m = max(rank_A, rank_B), so it contributes the suffix weight
+    * S[m] = Σ_{d=m..k} p^{d−1}/d — one join on item, one literal lookup,
+    * one sum. No extrapolation tail (the truncated form; weights beyond
+    * k are simply not awarded).
+    *
+    * Exactness: S comes from [[rboSuffix8]] as scale-8 integer literals,
+    * so the sum is exact LONG addition; the final (1−p)·Σ/10⁸ is one
+    * fixed double expression with the (1−p) literal computed once in
+    * Scala and shared with the twin.
+    *
+    * Scale: both inputs are top-k frames (answer-sized by construction);
+    * everything here is k-row work. The ranking windows that PRODUCE the
+    * inputs run over aggregated frames upstream.
+    *
+    * @param a,b frames with (itemCol, rankCol), rank 1-based; rows with
+    *            rank > k are ignored
+    * @return one row: (n_common, rbo8, rbo) — rbo NULL when the
+    *         intersection is empty
+    */
+  def rankBiasedOverlap(
+      a: DataFrame, b: DataFrame, itemCol: String, rankCol: String,
+      p: Double = 0.9, k: Int = 50): DataFrame = {
+    val s8 = rboSuffix8(p, k)
+    val sLit = array(s8.map(lit): _*)
+    val aa = a.select(col(itemCol).as("__i"), col(rankCol).cast("long").as("__ra"))
+      .filter(col("__ra") >= 1 && col("__ra") <= k)
+    val bb = b.select(col(itemCol).as("__i"), col(rankCol).cast("long").as("__rb"))
+      .filter(col("__rb") >= 1 && col("__rb") <= k)
+    aa.join(bb, "__i")
+      .select(element_at(sLit,
+        greatest(col("__ra"), col("__rb")).cast("int")).as("__s8"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__s8")).as("rbo8"))
+      .select(col("n_common"), col("rbo8"),
+        (lit(1.0 - p) * (col("rbo8").cast("double") / lit(1e8))).as("rbo"))
+  }
+
   def gini(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

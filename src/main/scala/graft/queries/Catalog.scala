@@ -5596,6 +5596,48 @@ object Catalog {
       .transform(orderedWide("event_type", "digit"))
   }
 
+  /** Rank-biased overlap ([[graft.operators.Eval.rankBiasedOverlap]]):
+    * how much the top-50 parts-by-revenue leaderboard changed between the
+    * pre-1995 and post-1995 halves of lineitem — the LIST-drift metric
+    * (KS/PSI grade value distributions; RBO grades rankings). Per-item
+    * suffix weights are scale-8 integer literals shared with the twin;
+    * revenue ranks sort exact cents longs.
+    */
+  val q160 = q(
+    "q160_rank_biased_overlap",
+    s"""WITH h1 AS (SELECT l_partkey AS item,
+      |        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |      FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00' GROUP BY 1),
+      |h2 AS (SELECT l_partkey AS item,
+      |        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' GROUP BY 1),
+      |a AS (SELECT item, rk FROM (
+      |        SELECT item, row_number() OVER (ORDER BY rev DESC, item) AS rk FROM h1)
+      |      WHERE rk <= 50),
+      |b AS (SELECT item, rk FROM (
+      |        SELECT item, row_number() OVER (ORDER BY rev DESC, item) AS rk FROM h2)
+      |      WHERE rk <= 50),
+      |s(m, s8) AS (${graft.operators.Eval.rboSuffixSql(0.9, 50)}),
+      |j AS (SELECT greatest(a.rk, b.rk) AS m FROM a JOIN b USING (item)),
+      |t AS (SELECT count(*) AS n_common, CAST(sum(s.s8) AS BIGINT) AS rbo8
+      |      FROM j JOIN s ON s.m = j.m)
+      |SELECT n_common, rbo8,
+      |       floor(CAST(${1.0 - 0.9} AS DOUBLE) * (CAST(rbo8 AS DOUBLE) / 1e8) * 10000 + 0.5) / 10000 AS rbo4
+      |FROM t""".stripMargin) { (s, d) =>
+    def half(cond: Column) = Tables.lineitem(s, d).filter(cond)
+      .groupBy(col("l_partkey").as("item"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rev").desc, col("item").asc)).cast("long"))
+      .filter(col("rk") <= 50)
+    val pivot = lit("1995-01-01 00:00:00").cast("timestamp")
+    graft.operators.Eval
+      .rankBiasedOverlap(
+        half(col("l_shipdate") < pivot), half(col("l_shipdate") >= pivot),
+        itemCol = "item", rankCol = "rk", p = 0.9, k = 50)
+      .select(col("n_common"), col("rbo8"), r4(col("rbo")).as("rbo4"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5622,5 +5664,6 @@ object Catalog {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
+    q160)
 }

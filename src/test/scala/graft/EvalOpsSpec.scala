@@ -756,6 +756,35 @@ class EvalOpsSpec extends SparkSpec {
     assert(n.getAs[Long]("n_rows") == 2L) // null is a first-class category
   }
 
+  // --------------------------------------------------- rankBiasedOverlap
+
+  test("rankBiasedOverlap: identical lists give 1 − p^k; hand-computed swap") {
+    val a = (1 to 5).map(i => (s"i$i", i)).toDF("item", "rk")
+    val Array(same) = Eval.rankBiasedOverlap(a, a, "item", "rk",
+      p = 0.5, k = 5).collect()
+    assert(same.getAs[Long]("n_common") == 5L)
+    assert(math.abs(same.getAs[Double]("rbo") - (1 - math.pow(0.5, 5))) < 1e-6)
+
+    // a = [x, y], b = [y, x], p = .5, k = 2: each item enters at depth 2,
+    // S[2] = p/2 = .25 exactly → rbo = (1−p)·0.5 = 0.25 exactly
+    val ax = Seq(("x", 1), ("y", 2)).toDF("item", "rk")
+    val bx = Seq(("y", 1), ("x", 2)).toDF("item", "rk")
+    val Array(sw) = Eval.rankBiasedOverlap(ax, bx, "item", "rk",
+      p = 0.5, k = 2).collect()
+    assert(sw.getAs[Long]("rbo8") == 50000000L)
+    assert(sw.getAs[Double]("rbo") == 0.25)
+  }
+
+  test("rankBiasedOverlap: disjoint lists are NULL; ranks beyond k ignored") {
+    val a = Seq(("x", 1), ("deep", 9)).toDF("item", "rk")
+    val b = Seq(("y", 1), ("deep", 9)).toDF("item", "rk")
+    val Array(r) = Eval.rankBiasedOverlap(a, b, "item", "rk",
+      p = 0.9, k = 5).collect()
+    assert(r.getAs[Long]("n_common") == 0L)
+    assert(r.isNullAt(r.fieldIndex("rbo")))
+    intercept[IllegalArgumentException] { Eval.rboSuffix8(1.0, 5) }
+  }
+
   // ------------------------------------------------------ RecordLinkage
 
   test("fsWeights: hand-computed log2 likelihood ratios; guards") {
