@@ -183,6 +183,81 @@ object Drift {
           col("psi8").cast("double") / lit(1e8)).as("psi")): _*)
   }
 
+  /** Hellinger distance per group — the BOUNDED, SYMMETRIC member of the
+    * binned drift family ([[psi]] is unbounded and sign-blind on heavy
+    * re-weighting; KL is asymmetric; Hellinger lives in [0, 1] with a
+    * metric's triangle inequality, the right knob for alert thresholds
+    * that must mean the same thing across slices):
+    *
+    *   H(P, Q) = √(1 − BC),   BC = Σ_bins √(p_i·q_i)
+    *
+    * over the same deterministic equi-width bins as [[psi]]. No
+    * smoothing is needed: a bin empty on either side contributes 0 to
+    * BC (√0), exactly.
+    *
+    * Determinism: each bin's coefficient √(ca·cb/(na·nb)) is one fixed
+    * double expression over exact DECIMAL/HUGEINT products (√ is
+    * IEEE-correctly-rounded — unlike ln, NO ulp caveat), floored at
+    * scale 8 → exact long sums; the final √(1−BC) is one more exact
+    * operation. Same answer-sized plan as [[psi]].
+    *
+    * @return per group: (groupCols…, n_a, n_b, bc8, hellinger) —
+    *         hellinger NULL when either sample is empty
+    */
+  def hellinger(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      inBaseline: org.apache.spark.sql.Column,
+      bins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bins >= 2, "bins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = df
+      .filter(valueCol.isNotNull && inBaseline.isNotNull)
+      .select(g ++ Seq(valueCol.cast("double").as("__v"),
+        inBaseline.cast("boolean").as("__a")): _*)
+    val mm = base.groupBy(g: _*)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val mmR = broadcast(mm.select(
+      groupCols.map(c => col(c).as(s"__m_$c")) ++
+        Seq(col("__mn"), col("__mx")): _*))
+    val mmCond = groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _)
+    val s = base.join(mmR, mmCond)
+      .drop(groupCols.map(c => s"__m_$c"): _*)
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col("__v") - col("__mn")) * bins / (col("__mx") - col("__mn")))
+              .cast("long"))))
+    val wAll = Window.partitionBy(g: _*)
+    val c = s.groupBy(g :+ col("__bin"): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    c.withColumn("__t8",
+        when(col("__na") > 0 && col("__nb") > 0,
+          floor(sqrt((dec(col("__ca")) * dec(col("__cb"))).cast("double") /
+            (dec(col("__na")) * dec(col("__nb"))).cast("double")) *
+            lit(1e8) + 0.5).cast("long"))
+          .otherwise(0L))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(col("__t8")).as("bc8"))
+      .select(g ++ Seq(
+        col("n_a"), col("n_b"), col("bc8"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(greatest(lit(0.0),
+            lit(1.0) - col("bc8").cast("double") / lit(1e8))))
+          .as("hellinger")): _*)
+  }
+
   /** CUSUM change-point scan per group — the SEQUENTIAL drift member
     * ([[psi]]/[[ksStatistic]] compare two labeled samples; this finds
     * WHERE an unlabeled ordered series shifted): the classic cumulative

@@ -5638,6 +5638,50 @@ object Catalog {
       .select(col("n_common"), col("rbo8"), r4(col("rbo")).as("rbo4"))
   }
 
+  /** Hellinger distance per event type ([[graft.llm.Drift.hellinger]]):
+    * weekday vs weekend value distributions on the q139 bins — the
+    * bounded symmetric drift metric ([0,1], a true metric) completing
+    * the family: KL asymmetric, PSI unbounded, KS bin-free max-gap,
+    * Hellinger thresholdable. √ is IEEE-exact (no ln ulp caveat); bin
+    * coefficients floor at scale 8 over exact HUGEINT/DECIMAL products.
+    */
+  val q161 = q(
+    "q161_hellinger",
+    """WITH s AS (SELECT event_type, value AS v, isodow(ts) < 6 AS a
+      |           FROM events WHERE value IS NOT NULL),
+      |mm AS (SELECT event_type, min(v) AS mn, max(v) AS mx FROM s GROUP BY 1),
+      |b AS (SELECT s.event_type, s.a,
+      |        CASE WHEN mm.mx = mm.mn THEN 0
+      |             ELSE least(9, CAST(floor((s.v - mm.mn) * 10 / (mm.mx - mm.mn)) AS BIGINT)) END AS bin
+      |      FROM s JOIN mm ON s.event_type IS NOT DISTINCT FROM mm.event_type),
+      |c AS (SELECT event_type, bin,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, ca, cb,
+      |        CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      |      FROM c),
+      |u AS (SELECT event_type, na, nb,
+      |        CAST(floor(sqrt(CAST(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT) AS DOUBLE)
+      |             / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS t8
+      |      FROM t)
+      |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+      |       CAST(sum(t8) AS BIGINT) AS bc8,
+      |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+      |         floor(sqrt(greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - CAST(sum(t8) AS DOUBLE) / 1e8)) * 10000 + 0.5) / 10000
+      |       END AS hellinger4
+      |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .hellinger(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"),
+        inBaseline = Macros.isoDow(col("ts")) < 6,
+        bins = 10)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("bc8"),
+        r4(col("hellinger")).as("hellinger4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5665,5 +5709,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160)
+    q160, q161)
 }

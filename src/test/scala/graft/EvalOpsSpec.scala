@@ -573,6 +573,37 @@ class EvalOpsSpec extends SparkSpec {
       .collect().head.getAs[Long]("psi8") == 0L)
   }
 
+  // --------------------------------------------------------- hellinger
+
+  test("hellinger: identical = 0, disjoint = 1, hand-built middle case") {
+    import graft.llm.Drift
+    // identical samples → BC = Σ p_i = 1 → H = 0 exactly
+    val same = Seq(("g", 1.0, true), ("g", 1.0, false),
+      ("g", 5.0, true), ("g", 5.0, false)).toDF("g", "v", "a")
+    val s = Drift.hellinger(same, Seq("g"), col("v"), col("a"), bins = 2)
+      .collect().head
+    assert(s.getAs[Long]("bc8") == 100000000L)
+    assert(s.getAs[Double]("hellinger") == 0.0)
+    // disjoint supports → BC = 0 → H = 1 exactly
+    val disj = Seq(("g", 0.0, true), ("g", 10.0, false)).toDF("g", "v", "a")
+    val d = Drift.hellinger(disj, Seq("g"), col("v"), col("a"), bins = 2)
+      .collect().head
+    assert(d.getAs[Long]("bc8") == 0L && d.getAs[Double]("hellinger") == 1.0)
+    // A = {0,0,10}, B = {10,10}: bin0 (2,0) → 0; bin1 (1,2) → √(2/6)
+    val df = Seq(("g", 0.0, true), ("g", 0.0, true), ("g", 10.0, true),
+      ("g", 10.0, false), ("g", 10.0, false)).toDF("g", "v", "a")
+    val m = Drift.hellinger(df, Seq("g"), col("v"), col("a"), bins = 2)
+      .collect().head
+    val bc8 = math.floor(math.sqrt(2.0 / 6.0) * 1e8 + 0.5).toLong
+    assert(m.getAs[Long]("bc8") == bc8)
+    assert(math.abs(m.getAs[Double]("hellinger") -
+      math.sqrt(1 - bc8 / 1e8)) < 1e-12)
+    // empty side → NULL
+    val one = Drift.hellinger(df.filter(col("a")), Seq("g"), col("v"),
+      col("a"), bins = 2).collect().head
+    assert(one.isNullAt(one.fieldIndex("hellinger")))
+  }
+
   // ------------------------------------------------------------- cusum
 
   test("cusum: level shift localized exactly; constant series peaks at 0") {
