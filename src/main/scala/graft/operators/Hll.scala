@@ -98,6 +98,23 @@ object Hll {
         .otherwise(raw).as("est")): _*)
   }
 
+  /** Merge two register tables over the same groups/precision: cell-wise
+    * MAX per (group, bucket) — the mergeability that makes HLL the
+    * 100 TB distinct path (per-shard sketches union without colocating
+    * values), here exposed for SET ALGEBRA: `estimate(mergeSketches(a,
+    * b))` estimates |A ∪ B|, and inclusion–exclusion
+    * `est_A + est_B − est_∪` estimates |A ∩ B| (the standard HLL
+    * intersection, error grows as the intersection shrinks relative to
+    * the union — report it alongside the union, never alone).
+    */
+  def mergeSketches(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max(col("m_rank")).as("m_rank"))
+  }
+
   /** SQL twin of sketch + estimate for cross-engine oracles (DuckDB):
     * returns a query text producing (groupColsSql…, est) from `fromSql`
     * (a relation exposing the group columns and `itemExprSql`). */

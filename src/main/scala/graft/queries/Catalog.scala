@@ -5682,6 +5682,68 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** HLL set algebra ([[graft.operators.Hll.mergeSketches]]): union and
+    * inclusion–exclusion intersection estimates for the even-doc vs
+    * odd-doc token vocabularies per lang, each graded against its exact
+    * counterpart — the mergeable-sketch path to "how much vocabulary do
+    * two corpus shards share?" without colocating values. The union
+    * estimate comes from cell-wise MAX of the two register tables (in
+    * SQL: the sketch of the concatenated streams — identical by
+    * construction).
+    */
+  val q162 = q(
+    "q162_hll_set_algebra",
+    s"""WITH ta AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents WHERE doc_id % 2 = 1),
+      |ea AS (SELECT lang, count(DISTINCT tok) AS exact_a FROM ta GROUP BY 1),
+      |eb AS (SELECT lang, count(DISTINCT tok) AS exact_b FROM tb GROUP BY 1),
+      |eu AS (SELECT lang, count(DISTINCT tok) AS exact_union
+      |       FROM (SELECT * FROM ta UNION ALL SELECT * FROM tb) GROUP BY 1),
+      |ha AS (${graft.operators.Hll.estimateSql(
+           "(SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 0) __ta",
+           Seq("lang"), "tok").linesIterator.mkString("\n      |")}),
+      |hb AS (${graft.operators.Hll.estimateSql(
+           "(SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 1) __tb",
+           Seq("lang"), "tok").linesIterator.mkString("\n      |")}),
+      |hu AS (${graft.operators.Hll.estimateSql(
+           "(SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 0 UNION ALL SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 1) __tu",
+           Seq("lang"), "tok").linesIterator.mkString("\n      |")})
+      |SELECT ea.lang, ea.exact_a, eb.exact_b, eu.exact_union,
+      |       ea.exact_a + eb.exact_b - eu.exact_union AS exact_inter,
+      |       floor(ha.est * 10000 + 0.5) / 10000 AS est_a4,
+      |       floor(hb.est * 10000 + 0.5) / 10000 AS est_b4,
+      |       floor(hu.est * 10000 + 0.5) / 10000 AS est_union4,
+      |       floor((ha.est + hb.est - hu.est) * 10000 + 0.5) / 10000 AS est_inter4
+      |FROM ea JOIN eb USING (lang) JOIN eu USING (lang)
+      |        JOIN ha USING (lang) JOIN hb USING (lang) JOIN hu USING (lang)
+      |ORDER BY ea.lang""".stripMargin) { (s, d) =>
+    import graft.operators.Hll
+    val docs = Tables.documents(s, d)
+    def toks(parity: Int) = docs.filter(col("doc_id") % 2 === parity)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val (ta, tb) = (toks(0), toks(1))
+    val (skA, skB) = (Hll.sketch(ta, Seq("lang"), "tok"),
+      Hll.sketch(tb, Seq("lang"), "tok"))
+    val estA = Hll.estimate(skA, Seq("lang")).withColumnRenamed("est", "ea")
+    val estB = Hll.estimate(skB, Seq("lang")).withColumnRenamed("est", "eb")
+    val estU = Hll.estimate(Hll.mergeSketches(skA, skB, Seq("lang")),
+      Seq("lang")).withColumnRenamed("est", "eu")
+    val exA = ta.groupBy(col("lang")).agg(countDistinct(col("tok")).as("exact_a"))
+    val exB = tb.groupBy(col("lang")).agg(countDistinct(col("tok")).as("exact_b"))
+    val exU = ta.unionByName(tb).groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_union"))
+    exA.join(exB, Seq("lang")).join(exU, Seq("lang"))
+      .join(estA, Seq("lang")).join(estB, Seq("lang")).join(estU, Seq("lang"))
+      .select(col("lang"), col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+        r4(col("ea")).as("est_a4"), r4(col("eb")).as("est_b4"),
+        r4(col("eu")).as("est_union4"),
+        r4(col("ea") + col("eb") - col("eu")).as("est_inter4"))
+      .transform(ordered("lang"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5709,5 +5771,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161)
+    q160, q161, q162)
 }

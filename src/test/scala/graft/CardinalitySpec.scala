@@ -75,6 +75,27 @@ class CardinalitySpec extends SparkSpec {
     assert(estM == estD)
   }
 
+  test("hll: mergeSketches ≡ sketch-of-union; IE intersection brackets truth") {
+    // A = t1…t4000, B = t3001…t7000 → |∩| = 1000, |∪| = 7000
+    val a = (1 to 4000).map(i => ("g", s"t$i")).toDF("g", "v")
+    val b = (3001 to 7000).map(i => ("g", s"t$i")).toDF("g", "v")
+    val (skA, skB) = (Hll.sketch(a, Seq("g"), "v"), Hll.sketch(b, Seq("g"), "v"))
+    val merged = Hll.mergeSketches(skA, skB, Seq("g"))
+    val direct = Hll.sketch(a.union(b), Seq("g"), "v")
+    val mm = merged.collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val dd = direct.collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(mm == dd)
+    val estA = Hll.estimate(skA, Seq("g")).head.getDouble(1)
+    val estB = Hll.estimate(skB, Seq("g")).head.getDouble(1)
+    val estU = Hll.estimate(merged, Seq("g")).head.getDouble(1)
+    val inter = estA + estB - estU
+    // IE error compounds three ~6.5%-stderr estimates of ~4–7k scale —
+    // deterministic here, but only bracket-assert (the operator doc's
+    // "never report it alone" caveat is this line)
+    assert(inter > 0 && math.abs(inter - 1000.0) < 1500.0,
+      s"IE intersection $inter too far from 1000")
+  }
+
   test("hll: deterministic under repartitioning (bit-identical estimate)") {
     val df = (1 to 4000).map(i => (s"g${i % 2}", s"x$i")).toDF("g", "v")
     val e1 = Hll.estimate(Hll.sketch(df, Seq("g"), "v"), Seq("g"))
