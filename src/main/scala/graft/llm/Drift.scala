@@ -258,6 +258,91 @@ object Drift {
           .as("hellinger")): _*)
   }
 
+  /** PSI against a STATIC baseline — the streamable member of the PSI
+    * family: [[psi]] bins over the data's own min/max (two-pass, batch
+    * only); this one bins over GIVEN [mn, mx) bounds against GIVEN
+    * baseline fractions, so a single stateful aggregate computes it —
+    * the form a production monitor deploys (baseline frozen from a
+    * reference sample, current traffic graded per time window).
+    *
+    * The whole statistic is ONE hash aggregate: per group, `bins`
+    * conditional counts (bin index is a literal per term, so this is a
+    * fixed-width projection, not a pivot), then Laplace-smoothed
+    * `p_i = (c_i+1)/(n+bins)` against the baseline literal `b_i`, each
+    * term floored at scale 8 and summed in a fixed Scala-ordered
+    * expression — exact longs, engine-identical, and STREAM-SAFE (the
+    * same aggregate runs under a watermarked time window;
+    * [[graft.streaming.Streaming.psiMonitor]] reuses these exact
+    * expressions, making batch ≡ stream a law).
+    *
+    * Out-of-range values clamp into the edge bins (a monitor must count
+    * tail excursions, not drop them).
+    *
+    * @param baseline per-bin expected fractions, all > 0 (smooth
+    *                 upstream), length = bins
+    * @return per group: (groupCols…, n, psi8, psi)
+    */
+  def psiAgainstBaseline(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      mn: Double, mx: Double, bins: Int,
+      baseline: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    df.filter(valueCol.isNotNull)
+      .select(g :+ binClamped(valueCol, mn, mx, bins).as("__bin"): _*)
+      .groupBy(g: _*)
+      .agg(baselineAggs(bins).head, baselineAggs(bins).tail: _*)
+      .select(g ++ baselinePsiCols(bins, baseline): _*)
+  }
+
+  /** Clamped equi-width bin over static [mn, mx) bounds. */
+  private[graft] def binClamped(
+      v: org.apache.spark.sql.Column, mn: Double, mx: Double,
+      bins: Int): org.apache.spark.sql.Column = {
+    require(mx > mn, s"need mx > mn, got [$mn, $mx)")
+    require(bins >= 2, "bins must be >= 2")
+    least(lit(bins - 1L), greatest(lit(0L),
+      floor((v.cast("double") - mn) * bins / (mx - mn)).cast("long")))
+  }
+
+  private[graft] def baselineAggs(bins: Int) =
+    count(lit(1)).as("__n") +: (0 until bins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+
+  private[graft] def baselinePsiCols(bins: Int, baseline: Seq[Double]) = {
+    require(baseline.length == bins, s"baseline length != $bins")
+    require(baseline.forall(_ > 0), "baseline fractions must all be > 0")
+    val terms = (0 until bins).map { i =>
+      val p = (col(s"__c$i") + 1).cast("double") / (col("__n") + bins)
+      floor(((p - baseline(i)) * log(p / baseline(i))) * lit(1e8) + 0.5)
+        .cast("long")
+    }
+    val psi8 = terms.reduce(_ + _)
+    Seq(col("__n").as("n"), psi8.as("psi8"),
+      (psi8.cast("double") / lit(1e8)).as("psi"))
+  }
+
+  /** SQL twin of [[psiAgainstBaseline]] body for cross-engine oracles:
+    * the `bins` conditional sums + term sum over `binExprSql` (a column
+    * holding the clamped bin), as SELECT-list fragments
+    * `n, psi8, psi`. */
+  def psiAgainstBaselineSql(bins: Int, baseline: Seq[Double]): String = {
+    require(baseline.length == bins && baseline.forall(_ > 0), "bad baseline")
+    def c(i: Int) = s"sum(CASE WHEN __bin = $i THEN 1 ELSE 0 END)"
+    def p(i: Int) = s"(CAST(${c(i)} + 1 AS DOUBLE) / (count(*) + $bins))"
+    val terms = (0 until bins).map { i =>
+      val b = s"CAST(${baseline(i)} AS DOUBLE)"
+      s"CAST(floor(((${p(i)} - $b) * ln(${p(i)} / $b)) * 1e8 + 0.5) AS BIGINT)"
+    }
+    val psi8 = terms.mkString("(", " + ", ")")
+    s"count(*) AS n, $psi8 AS psi8, CAST($psi8 AS DOUBLE) / 1e8 AS psi"
+  }
+
+  /** SQL twin of [[binClamped]]. */
+  def binClampedSql(vSql: String, mn: Double, mx: Double, bins: Int): String =
+    s"least(${bins - 1}, greatest(0, CAST(floor((CAST($vSql AS DOUBLE) - $mn) * $bins / ${mx - mn}) AS BIGINT)))"
+
   /** CUSUM change-point scan per group — the SEQUENTIAL drift member
     * ([[psi]]/[[ksStatistic]] compare two labeled samples; this finds
     * WHERE an unlabeled ordered series shifted): the classic cumulative

@@ -5744,6 +5744,30 @@ object Catalog {
       .transform(ordered("lang"))
   }
 
+  /** PSI vs a frozen baseline per (event_type, day)
+    * ([[graft.llm.Drift.psiAgainstBaseline]]): uniform-baseline PSI over
+    * static [0,100) bins — the one-aggregate, stream-deployable PSI form
+    * (q139 bins over the data's own min/max and needs two passes; this
+    * is the monitor shape [[graft.streaming.Streaming.psiMonitor]] runs
+    * under a watermark, law-tested batch ≡ stream). Out-of-range values
+    * clamp into edge bins.
+    */
+  val q163 = q(
+    "q163_psi_baseline",
+    s"""WITH s AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |             ${graft.llm.Drift.binClampedSql("value", 0.0, 100.0, 10)} AS __bin
+      |           FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, day,
+      |       ${graft.llm.Drift.psiAgainstBaselineSql(10, Seq.fill(10)(0.1))}
+      |FROM s GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    graft.llm.Drift
+      .psiAgainstBaseline(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        Seq("event_type", "day"), valueCol = col("value"),
+        mn = 0.0, mx = 100.0, bins = 10, baseline = Seq.fill(10)(0.1))
+      .transform(orderedWide("event_type", "day"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5771,5 +5795,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162)
+    q160, q161, q162, q163)
 }

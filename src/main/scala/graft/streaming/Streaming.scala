@@ -480,6 +480,36 @@ object Streaming {
       }
   }
 
+  /** Windowed PSI drift monitor — the deployable form of
+    * [[graft.llm.Drift.psiAgainstBaseline]]: static [mn, mx) bins and a
+    * frozen baseline turn PSI into ONE watermarked tumbling-window
+    * aggregate (bins conditional counts per window — bounded state), so
+    * current traffic is graded per window with no second pass. Reuses
+    * the batch operator's exact Column expressions (bin clamp,
+    * conditional counts, scale-8 term sum), making batch ≡ stream a
+    * law, not a property.
+    *
+    * @return frame (window_start, window_end, n, psi8, psi) — in a
+    *         stream, rows emit when the watermark closes each window
+    */
+  def psiMonitor(
+      events: DataFrame, tsCol: String, valueCol: String,
+      mn: Double, mx: Double, bins: Int, baseline: Seq[Double],
+      windowDur: String, watermark: String = "0 seconds"): DataFrame = {
+    import graft.llm.Drift
+    val aggs = Drift.baselineAggs(bins)
+    events.filter(col(valueCol).isNotNull)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermark)
+      .select(window(col("__ts"), windowDur).as("__w"),
+        Drift.binClamped(col(valueCol), mn, mx, bins).as("__bin"))
+      .groupBy(col("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end")) ++
+        Drift.baselinePsiCols(bins, baseline): _*)
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

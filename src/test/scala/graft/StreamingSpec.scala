@@ -526,6 +526,53 @@ class StreamingSpec extends SparkSpec {
       s"law broke: ${streamed.size} streamed vs ${batch.size} batch rows")
   }
 
+  test("streaming psi monitor: windows close under watermark; batch law vs psiAgainstBaseline") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.psiMonitor(mem.toDF().toDF("ts", "v"), "ts", "v",
+        mn = 0.0, mx = 10.0, bins = 2, baseline = Seq(0.5, 0.5),
+        windowDur = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psi_mon").start()
+    // window 1 balanced (psi8 = 0), window 2 skewed low
+    mem.addData((t("2024-06-01 10:01:00"), 1.0), (t("2024-06-01 10:02:00"), 9.0),
+      (t("2024-06-01 10:11:00"), 1.0), (t("2024-06-01 10:12:00"), 1.0),
+      (t("2024-06-01 10:13:00"), 2.0))
+    q.processAllAvailable()
+    // watermark reached 10:13 → window 1 (ending 10:10) already closed
+    assert(spark.table("psi_mon").count() == 1)
+    mem.addData((t("2024-06-01 10:31:00"), 5.0)) // watermark passes window 2
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("psi_mon").orderBy("window_start").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("psi8") == 0L)
+    val t0 = math.floor((0.8 - 0.5) * math.log(0.8 / 0.5) * 1e8 + 0.5).toLong
+    val t1 = math.floor((0.2 - 0.5) * math.log(0.2 / 0.5) * 1e8 + 0.5).toLong
+    assert(got(1).getAs[Long]("psi8") == t0 + t1)
+    assert(got(1).getAs[Long]("n") == 3L)
+
+    // BATCH LAW: psiMonitor on a batch frame ≡ psiAgainstBaseline per day
+    val rnd = new scala.util.Random(13L)
+    val df = (1 to 500).map { i =>
+      (new java.sql.Timestamp(t("2024-06-01 00:00:00").getTime + i * 600000L),
+        rnd.nextDouble() * 120 - 10) // excursions beyond [0, 100) clamp
+    }.toDF("ts", "v")
+    val streamed = Streaming.psiMonitor(df, "ts", "v", 0.0, 100.0, 10,
+        Seq.fill(10)(0.1), "1 day")
+      .select(col("window_start"), col("n"), col("psi8"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.llm.Drift.psiAgainstBaseline(
+        df.withColumn("day", date_trunc("day", col("ts"))), Seq("day"),
+        col("v"), 0.0, 100.0, 10, Seq.fill(10)(0.1))
+      .select(col("day"), col("n"), col("psi8"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"law broke: streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming sessionize: string entity keys keep per-entity state; bad key type fails loudly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
