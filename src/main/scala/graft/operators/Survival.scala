@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation (Kaplan & Meier, JASA 1958) — the
+  * right-censoring-aware "how long until the event?" curve behind
+  * conversion latency, churn, time-to-first-token, and any funnel step
+  * where most subjects HAVEN'T converted yet (a plain average of observed
+  * latencies is biased exactly because the slow ones are still running):
+  *
+  *   Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+  *
+  * with dᵢ events at time tᵢ and nᵢ subjects still at risk (event or
+  * censor time ≥ tᵢ).
+  *
+  * Determinism: the product is computed as exp(Σ ln(1 − dᵢ/nᵢ)) with each
+  * log-factor FLOORED AT SCALE 8 (the catalog's ln convention) so the
+  * cumulative sum is exact long arithmetic over the window; a dᵢ = nᵢ
+  * time (everyone at risk dies) is tracked by an integer flag whose
+  * running sum forces Ŝ = 0 exactly from that time on — no −∞ ever enters
+  * the arithmetic. `exp` carries the same ±1-ulp caveat as ln, absorbed
+  * by the r4 reporting convention.
+  *
+  * Scale: durations aggregate to one row per (group, duration) FIRST (a
+  * map-side-combined hash aggregate), so every window here runs over the
+  * distinct-duration frame, not raw subjects; with continuous timestamps
+  * distinct durations can approach subject count — bucket durations
+  * (seconds/minutes) first at extreme scale, the
+  * [[graft.llm.Drift.cusum]] contract.
+  *
+  * @param durationCol non-negative numeric duration (cast to long)
+  * @param eventCol    boolean: true = event observed, false = censored
+  * @return one row per (group, event time): (groupCols…, t, d, n_risk,
+  *         surv) — censored-only times affect n_risk but emit no row
+  */
+object Survival {
+
+  def kaplanMeier(
+      df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val a = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull)
+      .select(g ++ Seq(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("__ev")): _*)
+      .groupBy(g :+ col("t"): _*)
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy(g: _*)
+    val wPrev = Window.partitionBy(g: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.withColumn("n_risk",
+        sum(col("__c")).over(wAll) -
+          coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__zf", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("__t8",
+        when(col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * lit(1e8) + 0.5).cast("long"))
+          .otherwise(0L))
+      .withColumn("__zcum", sum(col("__zf")).over(wCum))
+      .withColumn("__s8", sum(col("__t8")).over(wCum))
+      .filter(col("d") >= 1)
+      .select(g ++ Seq(col("t"), col("d"), col("n_risk"),
+        when(col("__zcum") > 0, lit(0.0))
+          .otherwise(exp(col("__s8").cast("double") / lit(1e8))).as("surv")): _*)
+  }
+}

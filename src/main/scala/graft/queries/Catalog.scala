@@ -5768,6 +5768,65 @@ object Catalog {
       .transform(orderedWide("event_type", "day"))
   }
 
+  /** Kaplan–Meier conversion curve ([[graft.operators.Survival.kaplanMeier]]):
+    * time from each user's first event to first purchase, users with no
+    * purchase right-censored at their last activity, per user-id-mod-3
+    * segment — the censoring-aware latency curve (a plain mean is biased
+    * by the still-running users). Log-factors floor at scale 8 → exact
+    * cumulative longs; a d = n_risk time forces Ŝ = 0 exactly via an
+    * integer flag, never a −∞.
+    */
+  val q164 = q(
+    "q164_kaplan_meier",
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+      |             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |             max(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |dd AS (SELECT user_id % 3 AS segment,
+      |         CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+      |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |       FROM u),
+      |a AS (SELECT segment, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c
+      |      FROM dd GROUP BY 1, 2),
+      |k AS (SELECT segment, t, d,
+      |        CAST(sum(c) OVER (PARTITION BY segment) AS BIGINT)
+      |          - CAST(coalesce(sum(c) OVER (PARTITION BY segment ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |      FROM a),
+      |m AS (SELECT segment, t, d, n_risk,
+      |        CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zf,
+      |        CASE WHEN d < n_risk THEN
+      |          CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)
+      |        ELSE 0 END AS t8
+      |      FROM k),
+      |w AS (SELECT segment, t, d, n_risk,
+      |        CAST(sum(zf) OVER (PARTITION BY segment ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS zcum,
+      |        CAST(sum(t8) OVER (PARTITION BY segment ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s8
+      |      FROM m)
+      |SELECT segment, t, d, n_risk,
+      |       CASE WHEN zcum > 0 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE floor(exp(CAST(s8 AS DOUBLE) / 1e8) * 10000 + 0.5) / 10000
+      |       END AS surv4
+      |FROM w WHERE d >= 1 ORDER BY segment, t""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tl"))
+    val durations = u.select(
+      pmod(col("user_id"), lit(3L)).as("segment"),
+      when(col("tp").isNotNull, col("tp") - col("t0"))
+        .otherwise(col("tl") - col("t0")).as("dur"),
+      col("tp").isNotNull.as("ev"))
+    graft.operators.Survival
+      .kaplanMeier(durations, Seq("segment"),
+        durationCol = col("dur"), eventCol = col("ev"))
+      .select(col("segment"), col("t"), col("d"), col("n_risk"),
+        r4(col("surv")).as("surv4"))
+      .transform(orderedWide("segment", "t"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5795,5 +5854,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163)
+    q160, q161, q162, q163, q164)
 }

@@ -105,4 +105,31 @@ class AnalyticsOpsSpec extends SparkSpec {
       Retention.cohorts(events, "user_id", "ts", periodDays = 0)
     }
   }
+
+  // -------------------------------------------------- Survival.kaplanMeier
+
+  test("kaplanMeier: textbook curve with censoring; censored-only times emit no row") {
+    import graft.operators.Survival
+    // A(1, ev), B(2, cens), C(3, ev), D(3, ev), E(5, cens):
+    //   t=1: n=5, d=1 → S = 4/5; t=3: n=3, d=2 → S = 4/5 · 1/3 = 4/15
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 5L, false)).toDF("g", "dur", "ev")
+    val out = Survival.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.keySet == Set(1L, 3L)) // t=2 and t=5 are censor-only
+    assert(out(1L).getAs[Long]("n_risk") == 5L && out(1L).getAs[Long]("d") == 1L)
+    assert(math.abs(out(1L).getAs[Double]("surv") - 0.8) < 1e-7)
+    assert(out(3L).getAs[Long]("n_risk") == 3L && out(3L).getAs[Long]("d") == 2L)
+    assert(math.abs(out(3L).getAs[Double]("surv") - 4.0 / 15) < 1e-7)
+  }
+
+  test("kaplanMeier: exhausted risk set pins the curve to exactly 0") {
+    import graft.operators.Survival
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, true))
+      .toDF("g", "dur", "ev")
+    val out = Survival.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("surv")).toMap
+    assert(math.abs(out(1L) - 2.0 / 3) < 1e-7)
+    assert(out(2L) == 0.0) // d = n_risk → exact zero, not exp(−∞)
+  }
 }
