@@ -70,4 +70,78 @@ object Survival {
         when(col("__zcum") > 0, lit(0.0))
           .otherwise(exp(col("__s8").cast("double") / lit(1e8))).as("surv")): _*)
   }
+
+  /** Log-rank test (Mantel 1966) per stratum — "do cohorts A and B have
+    * the SAME survival curve?", the hypothesis-test companion to
+    * [[kaplanMeier]] (an A/B test on time-to-event that a mean-latency
+    * t-test gets wrong under censoring):
+    *
+    *   Z² = (Σ_t (d_A − d·n_A/n))² / Σ_t d·(n_A/n)·(n_B/n)·(n−d)/(n−1)
+    *
+    * over pooled event times (χ²₁ under H₀). Each O−E and variance term
+    * floors at scale 8 (fixed double expression over exact integer
+    * counts) so the sums are exact longs; the final Z² is one mirrored
+    * double expression. Same plan as [[kaplanMeier]]: one (stratum, t)
+    * aggregate, windows over that distinct-time frame only.
+    *
+    * @param inCohortA boolean: true → cohort A, false → B
+    * @return per stratum: (groupCols…, n_a, n_b, o_a, e_a8, v8, z2) —
+    *         z2 NULL when the variance sum is 0 (no informative times)
+    */
+  def logRank(
+      df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      inCohortA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val a = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull &&
+        inCohortA.isNotNull)
+      .select(g ++ Seq(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("__ev"),
+        inCohortA.cast("boolean").as("__a")): _*)
+      .groupBy(g :+ col("t"): _*)
+      .agg(
+        sum(when(col("__a") && col("__ev"), 1L).otherwise(0L)).as("__da"),
+        sum(when(!col("__a") && col("__ev"), 1L).otherwise(0L)).as("__db"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val wAll = Window.partitionBy(g: _*)
+    val wPrev = Window.partitionBy(g: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def atRisk(cnt: String) =
+      sum(col(cnt)).over(wAll) - coalesce(sum(col(cnt)).over(wPrev), lit(0L))
+    val withRisk = a
+      .withColumn("__na", atRisk("__ca"))
+      .withColumn("__nb", atRisk("__cb"))
+      .withColumn("__tot_a", sum(col("__ca")).over(wAll))
+      .withColumn("__tot_b", sum(col("__cb")).over(wAll))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .filter(col("__d") >= 1)
+    val nD = col("__n").cast("double")
+    val oe = col("__da").cast("double") -
+      col("__d").cast("double") * col("__na").cast("double") / nD
+    val vt = col("__d").cast("double") *
+      (col("__na").cast("double") / nD) * (col("__nb").cast("double") / nD) *
+      ((col("__n") - col("__d")).cast("double") / (nD - 1.0))
+    withRisk
+      .withColumn("__oe8", floor(oe * lit(1e8) + 0.5).cast("long"))
+      .withColumn("__v8",
+        when(col("__n") > 1, floor(vt * lit(1e8) + 0.5).cast("long"))
+          .otherwise(0L))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__tot_a")).as("__xna"), // constant per group
+        max(col("__tot_b")).as("__xnb"),
+        sum(col("__da")).as("o_a"),
+        sum(col("__oe8")).as("e_a8"),
+        sum(col("__v8")).as("v8"))
+      .select(g ++ Seq(col("__xna").as("n_a"), col("__xnb").as("n_b"),
+        col("o_a"), col("e_a8"), col("v8"),
+        when(col("v8") > 0,
+          (col("e_a8").cast("double") / lit(1e8)) *
+            (col("e_a8").cast("double") / lit(1e8)) /
+            (col("v8").cast("double") / lit(1e8))).as("z2")): _*)
+  }
 }

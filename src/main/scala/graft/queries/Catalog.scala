@@ -5827,6 +5827,76 @@ object Catalog {
       .transform(orderedWide("segment", "t"))
   }
 
+  /** Log-rank test ([[graft.operators.Survival.logRank]]): do even-id and
+    * odd-id users convert (first purchase) at the same rate, under
+    * censoring? The time-to-event A/B test a mean-latency t-test gets
+    * wrong. O−E and variance terms floor at scale 8 over exact at-risk
+    * integers; Z² is one mirrored double expression (χ²₁ under H₀).
+    */
+  val q165 = q(
+    "q165_log_rank",
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+      |             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |             max(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |dd AS (SELECT 'all' AS strata, user_id % 2 = 0 AS a,
+      |         CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+      |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |       FROM u),
+      |g AS (SELECT strata, t,
+      |        CAST(sum(CASE WHEN a AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+      |        CAST(sum(CASE WHEN NOT a AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM dd GROUP BY 1, 2),
+      |r AS (SELECT strata, t, da, db,
+      |        CAST(sum(ca) OVER (PARTITION BY strata) AS BIGINT)
+      |          - CAST(coalesce(sum(ca) OVER (PARTITION BY strata ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY strata) AS BIGINT)
+      |          - CAST(coalesce(sum(cb) OVER (PARTITION BY strata ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb,
+      |        CAST(sum(ca) OVER (PARTITION BY strata) AS BIGINT) AS tot_a,
+      |        CAST(sum(cb) OVER (PARTITION BY strata) AS BIGINT) AS tot_b
+      |      FROM g),
+      |e AS (SELECT strata, tot_a, tot_b, da, na, nb, da + db AS d, na + nb AS n
+      |      FROM r WHERE da + db >= 1),
+      |m AS (SELECT strata, tot_a, tot_b, da,
+      |        CAST(floor((CAST(da AS DOUBLE)
+      |            - CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS oe8,
+      |        CASE WHEN n > 1 THEN
+      |          CAST(floor((CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+      |            * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |            * (CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))) * 1e8 + 0.5) AS BIGINT)
+      |        ELSE 0 END AS v8
+      |      FROM e)
+      |SELECT strata, CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+      |       CAST(sum(da) AS BIGINT) AS o_a, CAST(sum(oe8) AS BIGINT) AS e_a8,
+      |       CAST(sum(v8) AS BIGINT) AS v8,
+      |       CASE WHEN sum(v8) > 0 THEN
+      |         floor(((CAST(sum(oe8) AS DOUBLE) / 1e8) * (CAST(sum(oe8) AS DOUBLE) / 1e8)
+      |                / (CAST(sum(v8) AS DOUBLE) / 1e8)) * 10000 + 0.5) / 10000
+      |       END AS z24
+      |FROM m GROUP BY 1 ORDER BY strata""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d).groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tl"))
+    val durations = u.select(
+      lit("all").as("strata"),
+      (pmod(col("user_id"), lit(2L)) === 0).as("a"),
+      when(col("tp").isNotNull, col("tp") - col("t0"))
+        .otherwise(col("tl") - col("t0")).as("dur"),
+      col("tp").isNotNull.as("ev"))
+    graft.operators.Survival
+      .logRank(durations, Seq("strata"),
+        durationCol = col("dur"), eventCol = col("ev"), inCohortA = col("a"))
+      .select(col("strata"), col("n_a"), col("n_b"), col("o_a"),
+        col("e_a8"), col("v8"), r4(col("z2")).as("z24"))
+      .transform(ordered("strata"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5854,5 +5924,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164)
+    q160, q161, q162, q163, q164, q165)
 }

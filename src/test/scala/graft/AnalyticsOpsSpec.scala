@@ -132,4 +132,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(out(1L) - 2.0 / 3) < 1e-7)
     assert(out(2L) == 0.0) // d = n_risk → exact zero, not exp(−∞)
   }
+
+  test("logRank: identical cohorts score 0; hand-computed separation") {
+    import graft.operators.Survival
+    // symmetric cohorts → every O−E term is exactly 0
+    val sym = Seq((1L, true), (2L, false), (3L, true))
+      .flatMap { case (t, e) => Seq(("s", t, e, true), ("s", t, e, false)) }
+      .toDF("s", "dur", "ev", "a")
+    val Array(z0) = Survival.logRank(sym, Seq("s"), col("dur"), col("ev"),
+      col("a")).collect()
+    assert(z0.getAs[Long]("e_a8") == 0L && z0.getAs[Double]("z2") == 0.0)
+
+    // A dies at t=1 (×3), B censored at t=10 (×3):
+    //   one event time: O−E = 3 − 3·3/6 = 1.5, V = 3·½·½·(3/5) = 0.45
+    //   → Z² = 1.5²/0.45 = 5
+    val sep = (Seq.fill(3)(("s", 1L, true, true)) ++
+      Seq.fill(3)(("s", 10L, false, false))).toDF("s", "dur", "ev", "a")
+    val Array(z) = Survival.logRank(sep, Seq("s"), col("dur"), col("ev"),
+      col("a")).collect()
+    assert(z.getAs[Long]("n_a") == 3L && z.getAs[Long]("n_b") == 3L)
+    assert(z.getAs[Long]("o_a") == 3L)
+    assert(z.getAs[Long]("e_a8") == 150000000L)
+    assert(z.getAs[Long]("v8") == 45000000L)
+    assert(math.abs(z.getAs[Double]("z2") - 5.0) < 1e-9)
+  }
 }
