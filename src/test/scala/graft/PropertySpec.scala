@@ -290,4 +290,51 @@ class PropertySpec extends SparkSpec {
       assert(run(n) == ref, s"round-11 statistics drifted at $n partitions")
     }
   }
+
+  test("continuation statistics (welch/chi2/MI/bootstrap/hellinger/KM/logrank/RBO) are partitioning-invariant") {
+    // same discipline as above for the q150–q165 family: every
+    // accumulation is exact LONG/DECIMAL fixed-point or an md5 ladder,
+    // so outputs must be BIT-identical across merge trees
+    val rnd = new scala.util.Random(2222L)
+    val rows = Seq.fill(2000)((
+      "g" + rnd.nextInt(4),
+      rnd.nextInt(100000).toLong,
+      math.floor(rnd.nextDouble() * 10000 + 0.5) / 100.0,
+      rnd.nextDouble() < 0.5,
+      1L + rnd.nextInt(500)
+    )).distinctBy(t => (t._1, t._2))
+    val base = rows.toDF("g", "id", "v", "flag", "dur")
+    def run(parts: Int): Seq[Seq[Any]] = {
+      val d = base.repartition(parts)
+      val welch = graft.operators.Eval.welchT(d, Seq("g"), col("v"), col("flag"))
+      val chi2 = graft.operators.Eval.chiSquare(d, Seq("g"),
+        pmod(col("id"), lit(3L)), pmod(col("id"), lit(5L)))
+      val mi = graft.operators.Eval.mutualInfo(d, Seq("g"),
+        pmod(col("id"), lit(3L)), pmod(col("id"), lit(5L)))
+      val boot = graft.operators.Bootstrap.meanCI(d, Seq("g"), col("v"),
+        col("id"), reps = 20)
+      val hel = graft.llm.Drift.hellinger(d, Seq("g"), col("v"), col("flag"))
+      val km = graft.operators.Survival.kaplanMeier(d, Seq("g"), col("dur"),
+        col("flag"))
+      val lr = graft.operators.Survival.logRank(d, Seq("g"), col("dur"),
+        col("flag"), pmod(col("id"), lit(2L)) === 0)
+      val rboA = d.filter(col("flag"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rk") <= 20).select(col("id"), col("rk"))
+      val rboB = d.filter(!col("flag"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rk") <= 20).select(col("id"), col("rk"))
+      val rbo = graft.operators.Eval.rankBiasedOverlap(rboA, rboB, "id", "rk")
+      (welch.orderBy("g").collect() ++ chi2.orderBy("g").collect() ++
+        mi.orderBy("g").collect() ++ boot.orderBy("g").collect() ++
+        hel.orderBy("g").collect() ++ km.orderBy("g", "t").collect() ++
+        lr.orderBy("g").collect() ++ rbo.collect()).toSeq.map(_.toSeq)
+    }
+    val ref = run(1)
+    Seq(3, 8, 17).foreach { n =>
+      assert(run(n) == ref, s"continuation statistics drifted at $n partitions")
+    }
+  }
 }
