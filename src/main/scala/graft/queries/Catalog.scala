@@ -5897,6 +5897,70 @@ object Catalog {
       .transform(ordered("strata"))
   }
 
+  /** Diurnal harmonic regression ([[graft.operators.Trend.trend2]]):
+    * value ~ b0 + b1·sin(2πh/24) + b2·cos(2πh/24) per event type — the
+    * two-regressor OLS step past q118's line fit, fitting each slice's
+    * daily cycle in one aggregate (amplitude = √(b1²+b2²) downstream).
+    * The 2π/24 constant is Scala-computed and shared verbatim; nine
+    * exact DECIMAL/HUGEINT moments; Cramer + R² as mirrored fixed-order
+    * double tails.
+    */
+  val q166 = q(
+    "q166_harmonic_fit", {
+      val c = 2.0 * math.Pi / 24.0
+      s"""WITH s AS (SELECT event_type,
+      |             CAST(floor(sin(hour(ts) * CAST($c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS x1,
+      |             CAST(floor(cos(hour(ts) * CAST($c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS x2,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+      |           FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type, count(*) AS n,
+      |        sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+      |        sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+      |        sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+      |        sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+      |        sum(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS sy1,
+      |        sum(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2,
+      |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |      FROM s GROUP BY 1),
+      |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+      |        CAST(s1 AS DOUBLE) / 1e8 AS x1, CAST(s2 AS DOUBLE) / 1e8 AS x2,
+      |        CAST(sy AS DOUBLE) / 1e4 AS sy,
+      |        CAST(s11 AS DOUBLE) / 1e16 AS s11, CAST(s22 AS DOUBLE) / 1e16 AS s22,
+      |        CAST(s12 AS DOUBLE) / 1e16 AS s12,
+      |        CAST(sy1 AS DOUBLE) / 1e12 AS sy1, CAST(sy2 AS DOUBLE) / 1e12 AS sy2,
+      |        CAST(syy AS DOUBLE) / 1e8 AS syy
+      |      FROM m),
+      |e AS (SELECT event_type, n, nd, sy, sy1, sy2, syy,
+      |        nd * (s11 * s22 - s12 * s12) - x1 * (x1 * s22 - s12 * x2) + x2 * (x1 * s12 - s11 * x2) AS det,
+      |        sy * (s11 * s22 - s12 * s12) - x1 * (sy1 * s22 - s12 * sy2) + x2 * (sy1 * s12 - s11 * sy2) AS det0,
+      |        nd * (sy1 * s22 - s12 * sy2) - sy * (x1 * s22 - s12 * x2) + x2 * (x1 * sy2 - sy1 * x2) AS det1,
+      |        nd * (s11 * sy2 - sy1 * s12) - x1 * (x1 * sy2 - sy1 * x2) + sy * (x1 * s12 - s11 * x2) AS det2
+      |      FROM d)
+      |SELECT event_type, n,
+      |       CASE WHEN n > 2 AND abs(det) > 0 THEN
+      |         floor((det0 / det) * 10000 + 0.5) / 10000 END AS b04,
+      |       CASE WHEN n > 2 AND abs(det) > 0 THEN
+      |         floor((det1 / det) * 10000 + 0.5) / 10000 END AS b14,
+      |       CASE WHEN n > 2 AND abs(det) > 0 THEN
+      |         floor((det2 / det) * 10000 + 0.5) / 10000 END AS b24,
+      |       CASE WHEN n > 2 AND abs(det) > 0 AND syy - sy * sy / nd > 0 THEN
+      |         floor((CAST(1.0 AS DOUBLE)
+      |           - (syy - (det0 / det) * sy - (det1 / det) * sy1 - (det2 / det) * sy2)
+      |             / (syy - sy * sy / nd)) * 10000 + 0.5) / 10000 END AS r24
+      |FROM e ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val c = 2.0 * math.Pi / 24.0
+    graft.operators.Trend
+      .trend2(Tables.events(s, d), Seq("event_type"),
+        x1 = sin(hour(col("ts")) * lit(c)), x2 = cos(hour(col("ts")) * lit(c)),
+        y = col("value"))
+      .select(col("event_type"), col("n"), r4(col("b0")).as("b04"),
+        r4(col("b1")).as("b14"), r4(col("b2")).as("b24"),
+        r4(col("r2")).as("r24"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5924,5 +5988,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165)
+    q160, q161, q162, q163, q164, q165, q166)
 }

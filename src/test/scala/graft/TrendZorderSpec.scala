@@ -69,6 +69,39 @@ class TrendZorderSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ZOrder.mortonSql("x", "y", 32) }
   }
 
+  // ------------------------------------------------------------ trend2
+
+  test("trend2: exact plane recovered; collinear regressors are NULL") {
+    // y = 2 + 3·x1 − x2 exactly on 5 non-collinear points → R² = 1
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0))
+    val df = pts.map { case (a, b) => ("g", a, b, 2.0 + 3 * a - b) }
+      .toDF("g", "x1", "x2", "y")
+    val Array(r) = Trend.trend2(df, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+
+    // x2 = 2·x1 exactly → singular normal equations → NULL coefficients
+    val coll = (0 to 4).map(i => ("g", i.toDouble, 2.0 * i, i * 1.5))
+      .toDF("g", "x1", "x2", "y")
+    val Array(c) = Trend.trend2(coll, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect()
+    assert(c.isNullAt(c.fieldIndex("b1")))
+  }
+
+  test("trend2: constant target fits b0 with NULL r2") {
+    val df = Seq(("g", 0.0, 1.0, 7.0), ("g", 1.0, 0.0, 7.0),
+      ("g", 2.0, 2.0, 7.0), ("g", 3.0, 1.0, 7.0)).toDF("g", "x1", "x2", "y")
+    val Array(r) = Trend.trend2(df, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect()
+    assert(math.abs(r.getAs[Double]("b0") - 7.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1")) < 1e-9)
+    assert(r.isNullAt(r.fieldIndex("r2"))) // zero-variance target
+  }
+
   // ------------------------------------------------------------ Smooth
 
   test("Smooth.ewmaWeights: fix-point taps, underflow truncation") {
