@@ -103,4 +103,63 @@ object Smooth {
         (col("__num").cast("double") / col("__den").cast("double") / 10000.0)
           .as("ewma")): _*)
   }
+
+  /** Per-group lag-k autocorrelation, k = 1…maxLag — "does this metric
+    * remember itself?": the seasonality/momentum detector that decides
+    * whether [[ewma]] smoothing or [[graft.llm.Drift.cusum]] alarms are
+    * even meaningful on a slice, and the independence check before any
+    * i.i.d.-assuming statistic (q150's t-test, q152's bootstrap).
+    *
+    *   ρ_k = Σᵢ (v_i − v̄)(v_{i+k} − v̄) / Σᵢ (v_i − v̄)²
+    *
+    * Exactness: deviations are kept ×n — `dl_i = n·v4_i − T` with T the
+    * exact scale-4 group total — so every deviation is an exact LONG
+    * (bound: n·|v|·10⁴ must fit a long, the cusum contract; pre-bucket
+    * past ~10⁹·10⁴) and the num/den sums are exact DECIMAL on any merge
+    * tree; each ρ_k is ONE double division of two exact integers (the
+    * ×n² factors cancel).
+    *
+    * Plan: answer-sized totals broadcast-attached (null-safe), ONE
+    * ordered window carrying all maxLag lag() offsets (small K — the
+    * [[ewma]] A/B showed per-offset frame processors only hurt at K ≈
+    * 50+), one moment aggregate. Per-group sequential by nature.
+    *
+    * @return per group: (groupCols…, n, rho1…rho<maxLag>) — ρ NULL for
+    *         constant or too-short series
+    */
+  def acf(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, tieCols: Seq[String], maxLag: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(maxLag >= 1 && maxLag <= 20, s"maxLag out of [1,20]: $maxLag")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val base = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")) ++ tieCols.map(col): _*)
+    val totals = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v4")).as("__t"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
+    val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val withLags = base
+      .join(broadcast(totals.select(
+        groupCols.map(c => col(c).as(s"__a_$c")) ++
+          Seq(col("__n"), col("__t")): _*)), cond)
+      .withColumn("__dl", col("__n") * col("__v4") - col("__t"))
+    val lagged = (1 to maxLag).foldLeft(withLags) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__dl"), k).over(w))
+    }
+    val aggs = sum(dec(col("__dl")) * dec(col("__dl"))).as("__den") +:
+      (1 to maxLag).map(k =>
+        sum(dec(col("__dl")) * dec(col(s"__l$k"))).as(s"__num$k"))
+    lagged.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+      .select(g ++ Seq(col("n")) ++ (1 to maxLag).map(k =>
+        when(col("__den") > 0,
+          col(s"__num$k").cast("double") / col("__den").cast("double"))
+          .as(s"rho$k")): _*)
+  }
 }

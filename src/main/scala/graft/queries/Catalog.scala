@@ -5961,6 +5961,53 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Lag-1…5 autocorrelation per event type ([[graft.operators.Smooth.acf]]):
+    * does value remember itself across consecutive events? The
+    * independence check before i.i.d.-assuming statistics (q150/q152)
+    * and the seasonality detector for the smoothing family. Deviations
+    * ride ×n as exact longs (ρ's n² factors cancel), moments are exact
+    * DECIMAL/HUGEINT, each ρ one IEEE division.
+    */
+  val q167 = q(
+    "q167_acf",
+    """WITH t AS (SELECT event_type AS g, event_id, epoch_us(ts) AS o,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |a AS (SELECT g, count(*) AS n, CAST(sum(v4) AS BIGINT) AS tt
+      |      FROM t GROUP BY 1),
+      |d AS (SELECT t.g, a.n, t.o, t.event_id, a.n * t.v4 - a.tt AS dl
+      |      FROM t JOIN a ON t.g = a.g),
+      |l AS (SELECT g, n, dl,
+      |        lag(dl, 1) OVER w AS l1, lag(dl, 2) OVER w AS l2,
+      |        lag(dl, 3) OVER w AS l3, lag(dl, 4) OVER w AS l4,
+      |        lag(dl, 5) OVER w AS l5
+      |      FROM d WINDOW w AS (PARTITION BY g ORDER BY o, event_id)),
+      |m AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+      |        sum(CAST(dl AS HUGEINT) * CAST(dl AS HUGEINT)) AS den,
+      |        sum(CAST(dl AS HUGEINT) * CAST(l1 AS HUGEINT)) AS n1,
+      |        sum(CAST(dl AS HUGEINT) * CAST(l2 AS HUGEINT)) AS n2,
+      |        sum(CAST(dl AS HUGEINT) * CAST(l3 AS HUGEINT)) AS n3,
+      |        sum(CAST(dl AS HUGEINT) * CAST(l4 AS HUGEINT)) AS n4,
+      |        sum(CAST(dl AS HUGEINT) * CAST(l5 AS HUGEINT)) AS n5
+      |      FROM l GROUP BY 1)
+      |SELECT g AS event_type, n,
+      |       CASE WHEN den > 0 THEN floor((CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000 END AS rho1_4,
+      |       CASE WHEN den > 0 THEN floor((CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000 END AS rho2_4,
+      |       CASE WHEN den > 0 THEN floor((CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000 END AS rho3_4,
+      |       CASE WHEN den > 0 THEN floor((CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000 END AS rho4_4,
+      |       CASE WHEN den > 0 THEN floor((CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000 END AS rho5_4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .acf(Tables.events(s, d), Seq("event_type"),
+        orderCol = unix_micros(col("ts")), valueCol = col("value"),
+        tieCols = Seq("event_id"), maxLag = 5)
+      .select(col("event_type"), col("n"),
+        r4(col("rho1")).as("rho1_4"), r4(col("rho2")).as("rho2_4"),
+        r4(col("rho3")).as("rho3_4"), r4(col("rho4")).as("rho4_4"),
+        r4(col("rho5")).as("rho5_4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -5988,5 +6035,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166)
+    q160, q161, q162, q163, q164, q165, q166, q167)
 }

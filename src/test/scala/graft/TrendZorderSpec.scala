@@ -102,6 +102,32 @@ class TrendZorderSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("r2"))) // zero-variance target
   }
 
+  // --------------------------------------------------------------- acf
+
+  test("acf: alternating series has rho_k = ±(n−k)/n; constants are NULL") {
+    // v = +1,−1,… (n = 10, mean 0): ρ₁ = −9/10, ρ₂ = +8/10 EXACTLY
+    val alt = (1 to 10).map(i => ("g", i.toLong, if (i % 2 == 1) 1.0 else -1.0))
+      .toDF("g", "t", "v")
+    val Array(r) = Smooth.acf(alt, Seq("g"), col("t"), col("v"),
+      tieCols = Seq.empty, maxLag = 3).collect()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("rho1") == -0.9)
+    assert(r.getAs[Double]("rho2") == 0.8)
+    assert(r.getAs[Double]("rho3") == -0.7)
+
+    val const = (1 to 8).map(i => ("g", i.toLong, 5.0)).toDF("g", "t", "v")
+    val Array(c) = Smooth.acf(const, Seq("g"), col("t"), col("v"),
+      tieCols = Seq.empty, maxLag = 2).collect()
+    assert(c.isNullAt(c.fieldIndex("rho1"))) // zero variance
+  }
+
+  test("acf: a monotone ramp is strongly positively autocorrelated") {
+    val ramp = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "t", "v")
+    val Array(r) = Smooth.acf(ramp, Seq("g"), col("t"), col("v"),
+      tieCols = Seq.empty, maxLag = 1).collect()
+    assert(r.getAs[Double]("rho1") > 0.9)
+  }
+
   // ------------------------------------------------------------ Smooth
 
   test("Smooth.ewmaWeights: fix-point taps, underflow truncation") {
