@@ -129,11 +129,20 @@ object Drift {
     * @return per group: (groupCols…, n_a, n_b, psi8, psi); psi NULL when
     *         either sample is empty
     */
-  def psi(
+  /** Shared binning scaffold for the two-sample binned drift family
+    * ([[psi]], [[hellinger]]): deterministic equi-width bins over each
+    * group's [min, max] (answer-sized min/max aggregate, NULL-SAFE
+    * broadcast attach — never a window over raw rows; a degenerate
+    * mx = mn group bins to 0), then per-(group, bin) A/B counts with the
+    * group totals as windows over the ≤ bins-rows-per-group frame —
+    * (groupCols…, __bin, __ca, __cb, __na, __nb). The `mx == mn` and
+    * `least(bins−1)` edge handling lives HERE, once.
+    */
+  private def binnedAbCounts(
       df: DataFrame, groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column,
       inBaseline: org.apache.spark.sql.Column,
-      bins: Int = 10): DataFrame = {
+      bins: Int): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(bins >= 2, "bins must be >= 2")
     import org.apache.spark.sql.expressions.Window
@@ -142,10 +151,6 @@ object Drift {
       .filter(valueCol.isNotNull && inBaseline.isNotNull)
       .select(g ++ Seq(valueCol.cast("double").as("__v"),
         inBaseline.cast("boolean").as("__a")): _*)
-    // group [min, max] via an answer-sized aggregate + NULL-SAFE broadcast
-    // attach (never a window over raw rows — a billion-row group must not
-    // funnel through one window partition; the repo's <=> convention keeps
-    // NULL group keys first-class)
     val mm = base.groupBy(g: _*)
       .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
     val mmR = broadcast(mm.select(
@@ -159,15 +164,22 @@ object Drift {
           .otherwise(least(lit(bins - 1L),
             floor((col("__v") - col("__mn")) * bins / (col("__mx") - col("__mn")))
               .cast("long"))))
-    // per-(group, bin) counts; group totals ride a window over the
-    // BIN-AGGREGATED frame (≤ bins rows per group — answer-sized)
     val wAll = Window.partitionBy(g: _*)
-    val c = s.groupBy(g :+ col("__bin"): _*)
+    s.groupBy(g :+ col("__bin"): _*)
       .agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
       .withColumn("__na", sum(col("__ca")).over(wAll))
       .withColumn("__nb", sum(col("__cb")).over(wAll))
+  }
+
+  def psi(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      inBaseline: org.apache.spark.sql.Column,
+      bins: Int = 10): DataFrame = {
+    val g = groupCols.map(col)
+    val c = binnedAbCounts(df, groupCols, valueCol, inBaseline, bins)
     val pa = (col("__ca") + 1).cast("double") / (col("__na") + bins)
     val pb = (col("__cb") + 1).cast("double") / (col("__nb") + bins)
     c.withColumn("__t8",
@@ -209,36 +221,10 @@ object Drift {
       valueCol: org.apache.spark.sql.Column,
       inBaseline: org.apache.spark.sql.Column,
       bins: Int = 10): DataFrame = {
-    require(groupCols.nonEmpty, "groupCols must be non-empty")
-    require(bins >= 2, "bins must be >= 2")
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val g = groupCols.map(col)
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val base = df
-      .filter(valueCol.isNotNull && inBaseline.isNotNull)
-      .select(g ++ Seq(valueCol.cast("double").as("__v"),
-        inBaseline.cast("boolean").as("__a")): _*)
-    val mm = base.groupBy(g: _*)
-      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val mmR = broadcast(mm.select(
-      groupCols.map(c => col(c).as(s"__m_$c")) ++
-        Seq(col("__mn"), col("__mx")): _*))
-    val mmCond = groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _)
-    val s = base.join(mmR, mmCond)
-      .drop(groupCols.map(c => s"__m_$c"): _*)
-      .withColumn("__bin",
-        when(col("__mx") === col("__mn"), lit(0L))
-          .otherwise(least(lit(bins - 1L),
-            floor((col("__v") - col("__mn")) * bins / (col("__mx") - col("__mn")))
-              .cast("long"))))
-    val wAll = Window.partitionBy(g: _*)
-    val c = s.groupBy(g :+ col("__bin"): _*)
-      .agg(
-        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
-        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
-      .withColumn("__na", sum(col("__ca")).over(wAll))
-      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val c = binnedAbCounts(df, groupCols, valueCol, inBaseline, bins)
     c.withColumn("__t8",
         when(col("__na") > 0 && col("__nb") > 0,
           floor(sqrt((dec(col("__ca")) * dec(col("__cb"))).cast("double") /

@@ -56,17 +56,21 @@ object SetSimJoin {
     * @param num/den similarity threshold as a rational in (0, 1]
     * @return (id_a, id_b, inter, union_n, sim) — sim = inter/union_n
     */
-  def jaccardJoin(
+  /** The shared front half of both joins: distinct non-empty tokens per
+    * doc (`tok`) and each doc's df-ascending prefix of length
+    * `n − ⌈num·n/den⌉ + 1` (`pre`, all-integer) — the lossless-prefix
+    * invariant lives HERE, once, for both the symmetric and the
+    * containment gate.
+    */
+  private def prefixIndex(
       docs: DataFrame, idCol: String, tokens: Column,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int): (DataFrame, DataFrame) = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold num/den must be in (0, 1], got $num/$den")
-
     val tok = docs
       .select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("token"))
       .filter(col("token") =!= "")
     val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-
     val wPos = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("token").asc)
     val wN = Window.partitionBy(col("__id"))
@@ -74,12 +78,16 @@ object SetSimJoin {
       .select(col("__id"), col("token"),
         row_number().over(wPos).cast("long").as("__pos"),
         count(lit(1)).over(wN).as("__n"))
-
-    // prefix length = n − ⌈num·n/den⌉ + 1, all-integer
     val prefLen =
       col("__n") - floorDiv(lit(num.toLong) * col("__n") + lit(den - 1L), den) + 1
-    val pre = td.filter(col("__pos") <= prefLen)
-      .select(col("__id"), col("token"), col("__n"))
+    (tok, td.filter(col("__pos") <= prefLen)
+      .select(col("__id"), col("token"), col("__n")))
+  }
+
+  def jaccardJoin(
+      docs: DataFrame, idCol: String, tokens: Column,
+      num: Int, den: Int): DataFrame = {
+    val (tok, pre) = prefixIndex(docs, idCol, tokens, num, den)
 
     val cand = pre.as("a")
       .join(pre.as("b"),
@@ -127,26 +135,7 @@ object SetSimJoin {
   def containmentJoin(
       docs: DataFrame, idCol: String, tokens: Column,
       num: Int, den: Int): DataFrame = {
-    require(num > 0 && den > 0 && num <= den,
-      s"threshold num/den must be in (0, 1], got $num/$den")
-
-    val tok = docs
-      .select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("token"))
-      .filter(col("token") =!= "")
-    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-
-    val wPos = Window.partitionBy(col("__id"))
-      .orderBy(col("__df").asc, col("token").asc)
-    val wN = Window.partitionBy(col("__id"))
-    val td = tok.join(dfc, "token")
-      .select(col("__id"), col("token"),
-        row_number().over(wPos).cast("long").as("__pos"),
-        count(lit(1)).over(wN).as("__n"))
-
-    val prefLen =
-      col("__n") - floorDiv(lit(num.toLong) * col("__n") + lit(den - 1L), den) + 1
-    val pre = td.filter(col("__pos") <= prefLen)
-      .select(col("__id"), col("token"), col("__n"))
+    val (tok, pre) = prefixIndex(docs, idCol, tokens, num, den)
 
     val cand = pre.as("a")
       .join(tok.as("b"),

@@ -412,6 +412,13 @@ object Eval {
     * 8 (the [[graft.llm.Drift.psi]] convention), so the per-group sum is
     * exact LONG addition on any merge tree.
     *
+    * EMPTY cells are NOT dropped: an unobserved (r, c) combination
+    * contributes (0 − e)²/e = e, and Σ over all R·C expectations is N, so
+    * the empty-cell mass equals `N − Σ_observed r·c/N` — one extra
+    * aggregate over the observed cells, never a dense R×C cross join
+    * (structural zeros are precisely where association lives; dropping
+    * them halves χ² on a perfectly associated 2×2).
+    *
     * NULL categories are first-class cells (they group, margin, and count
     * toward R/C via an explicit null-marker term), matching the repo's
     * null-safe-slice convention.
@@ -424,25 +431,44 @@ object Eval {
     *         — chi2 NULL when dof = 0 (a degenerate single-row or
     *         single-column table has no independence to test)
     */
-  def chiSquare(
+  /** Shared contingency scaffold for [[chiSquare]] and [[mutualInfo]]:
+    * one (group, r, c) cells aggregate with the group/row/column
+    * marginals attached as windows over that answer-sized frame —
+    * (groupCols…, __r, __c, __o, __n, __rm, __cm). NULL categories group
+    * as first-class cells.
+    */
+  private def contingencyCells(
       df: DataFrame, groupCols: Seq[String],
       rowCat: Column, colCat: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    import org.apache.spark.sql.types.DecimalType
     val g = groupCols.map(col)
-    val cells = df
-      .select(g ++ Seq(rowCat.cast("string").as("__r"),
+    df.select(g ++ Seq(rowCat.cast("string").as("__r"),
         colCat.cast("string").as("__c")): _*)
       .groupBy(g ++ Seq(col("__r"), col("__c")): _*)
       .agg(count(lit(1)).as("__o"))
-    val wG = Window.partitionBy(g: _*)
-    val wR = Window.partitionBy(g :+ col("__r"): _*)
-    val wC = Window.partitionBy(g :+ col("__c"): _*)
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy(g: _*)))
+      .withColumn("__rm",
+        sum(col("__o")).over(Window.partitionBy(g :+ col("__r"): _*)))
+      .withColumn("__cm",
+        sum(col("__o")).over(Window.partitionBy(g :+ col("__c"): _*)))
+  }
+
+  /** Distinct-category counts over the cells frame, counting NULL as a
+    * category: `(n_rows, n_cols)` aggregate expressions.
+    */
+  private def categoryCountAggs = Seq(
+    (countDistinct(col("__r")) +
+      max(when(col("__r").isNull, 1L).otherwise(0L))).as("n_rows"),
+    (countDistinct(col("__c")) +
+      max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_cols"))
+
+  def chiSquare(
+      df: DataFrame, groupCols: Seq[String],
+      rowCat: Column, colCat: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val withM = cells
-      .withColumn("__n", sum(col("__o")).over(wG))
-      .withColumn("__rm", sum(col("__o")).over(wR))
-      .withColumn("__cm", sum(col("__o")).over(wC))
+    val withM = contingencyCells(df, groupCols, rowCat, colCat)
       .withColumn("__d",
         (dec(col("__o")) * dec(col("__n")) -
           dec(col("__rm")) * dec(col("__cm"))).cast("double"))
@@ -453,11 +479,15 @@ object Eval {
     withM.groupBy(g: _*)
       .agg(
         max(col("__n")).as("n"),
-        (countDistinct(col("__r")) +
-          max(when(col("__r").isNull, 1L).otherwise(0L))).as("n_rows"),
-        (countDistinct(col("__c")) +
-          max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_cols"),
-        sum(col("__t8")).as("chi28"))
+        categoryCountAggs ++ Seq(
+          sum(col("__t8")).as("__obs8"),
+          sum(dec(col("__rm")) * dec(col("__cm"))).as("__src")): _*)
+      // empty-cell mass: Σ_all e − Σ_observed e = N − Σ_obs r·c/N
+      .withColumn("__miss8",
+        floor((col("n").cast("double") -
+          col("__src").cast("double") / col("n").cast("double")) *
+          lit(1e8) + 0.5).cast("long"))
+      .withColumn("chi28", col("__obs8") + col("__miss8"))
       .withColumn("dof", (col("n_rows") - 1) * (col("n_cols") - 1))
       .select(g ++ Seq(col("n"), col("n_rows"), col("n_cols"), col("dof"),
         col("chi28"),
@@ -486,22 +516,10 @@ object Eval {
   def mutualInfo(
       df: DataFrame, groupCols: Seq[String],
       rowCat: Column, colCat: Column): DataFrame = {
-    require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.types.DecimalType
     val g = groupCols.map(col)
-    val cells = df
-      .select(g ++ Seq(rowCat.cast("string").as("__r"),
-        colCat.cast("string").as("__c")): _*)
-      .groupBy(g ++ Seq(col("__r"), col("__c")): _*)
-      .agg(count(lit(1)).as("__o"))
-    val wG = Window.partitionBy(g: _*)
-    val wR = Window.partitionBy(g :+ col("__r"): _*)
-    val wC = Window.partitionBy(g :+ col("__c"): _*)
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val withM = cells
-      .withColumn("__n", sum(col("__o")).over(wG))
-      .withColumn("__rm", sum(col("__o")).over(wR))
-      .withColumn("__cm", sum(col("__o")).over(wC))
+    val withM = contingencyCells(df, groupCols, rowCat, colCat)
       .withColumn("__t8",
         floor((col("__o").cast("double") / col("__n").cast("double")) *
           log((dec(col("__o")) * dec(col("__n"))).cast("double") /
@@ -510,11 +528,7 @@ object Eval {
     withM.groupBy(g: _*)
       .agg(
         max(col("__n")).as("n"),
-        (countDistinct(col("__r")) +
-          max(when(col("__r").isNull, 1L).otherwise(0L))).as("n_rows"),
-        (countDistinct(col("__c")) +
-          max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_cols"),
-        sum(col("__t8")).as("mi8"))
+        categoryCountAggs :+ sum(col("__t8")).as("mi8"): _*)
       .select(g ++ Seq(col("n"), col("n_rows"), col("n_cols"), col("mi8"),
         when(col("n_rows") > 1 && col("n_cols") > 1,
           col("mi8").cast("double") / lit(1e8)).as("mi")): _*)

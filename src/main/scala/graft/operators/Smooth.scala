@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * the weights present). For i ≫ K this equals the recursion to within
   * the 10⁻⁸ weight quantization.
   *
+  * Overflow contract (the [[graft.llm.Drift.cusum]] discipline): the
+  * numerator is LONG arithmetic bounded by `Σw_j·max|v4| < 10⁸/α·|v|·10⁴`,
+  * so |value| must stay under ~10⁶·α (≈ 2.7·10⁶ at α = 0.3) — pre-scale
+  * wider-ranged metrics before smoothing. The same bound governs the
+  * streaming ring in [[graft.streaming.Streaming.ewmaMonitor]].
+  *
   * Plan: no sequential scan and no self-join — each row BROADCASTS into
   * the K future positions it influences (row i → target i+j with weight
   * w_j, a K-row broadcast cross join), then ONE hash aggregate both sums

@@ -5221,25 +5221,29 @@ object Catalog {
       |        sum(o) OVER (PARTITION BY dow, r) AS rm,
       |        sum(o) OVER (PARTITION BY dow, c) AS cm
       |      FROM cells),
-      |d AS (SELECT dow, r, c, n,
+      |d AS (SELECT dow, r, c, n, rm, cm,
       |        CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
       |             - CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT) AS DOUBLE) AS dd,
       |        CAST(n AS DOUBLE) * CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) AS den
       |      FROM m),
-      |t AS (SELECT dow, n, r, c,
+      |t AS (SELECT dow, n, r, c, rm, cm,
       |        CAST(floor(dd * dd / den * 1e8 + 0.5) AS BIGINT) AS t8
       |      FROM d),
       |a AS (SELECT dow, CAST(max(n) AS BIGINT) AS n,
       |        count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_rows,
       |        count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_cols,
-      |        CAST(sum(t8) AS BIGINT) AS chi28
-      |      FROM t GROUP BY dow)
+      |        CAST(sum(t8) AS BIGINT) AS obs8,
+      |        sum(CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT)) AS src
+      |      FROM t GROUP BY dow),
+      |b AS (SELECT dow, n, n_rows, n_cols,
+      |        obs8 + CAST(floor((CAST(n AS DOUBLE) - CAST(src AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS chi28
+      |      FROM a)
       |SELECT dow, n, n_rows, n_cols,
       |       (n_rows - 1) * (n_cols - 1) AS dof, chi28,
       |       CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
       |         floor(CAST(chi28 AS DOUBLE) / 1e8 * 10000 + 0.5) / 10000
       |       END AS chi24
-      |FROM a ORDER BY dow""".stripMargin) { (s, d) =>
+      |FROM b ORDER BY dow""".stripMargin) { (s, d) =>
     graft.operators.Eval
       .chiSquare(
         Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
@@ -5321,7 +5325,7 @@ object Catalog {
       |      FROM t, w GROUP BY 1, 2)
       |SELECT t.event_type, t.idx, t.us, t.v4,
       |       floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0 * 10000 + 0.5) / 10000 AS ewma4
-      |FROM t JOIN a ON t.event_type = a.event_type AND t.idx = a.tgt
+      |FROM t JOIN a ON t.event_type IS NOT DISTINCT FROM a.event_type AND t.idx = a.tgt
       |ORDER BY t.event_type, t.idx""".stripMargin) { (s, d) =>
     graft.operators.Smooth
       .ewma(Tables.events(s, d), Seq("event_type"),
@@ -5359,7 +5363,7 @@ object Catalog {
       |      WHERE o.rv = CAST(floor(ps.p * CAST(o.m - 1 AS DOUBLE)) AS BIGINT) + 1),
       |a AS (SELECT t.g, e.p, e.m, e.e4, count(*) AS n,
       |        CAST(sum(CASE WHEN t.v4 <= e.e4 THEN 1 ELSE 0 END) AS BIGINT) AS rank_le
-      |      FROM t JOIN e ON t.g = e.g GROUP BY 1, 2, 3, 4)
+      |      FROM t JOIN e ON t.g IS NOT DISTINCT FROM e.g GROUP BY 1, 2, 3, 4)
       |SELECT g AS event_type, p, m, n, rank_le,
       |       CAST(e4 AS DOUBLE) / 10000.0 AS est,
       |       floor(abs(CAST(rank_le AS DOUBLE) / CAST(n AS DOUBLE) - p) * 10000 + 0.5) / 10000 AS rank_err4
@@ -5976,7 +5980,7 @@ object Catalog {
       |a AS (SELECT g, count(*) AS n, CAST(sum(v4) AS BIGINT) AS tt
       |      FROM t GROUP BY 1),
       |d AS (SELECT t.g, a.n, t.o, t.event_id, a.n * t.v4 - a.tt AS dl
-      |      FROM t JOIN a ON t.g = a.g),
+      |      FROM t JOIN a ON t.g IS NOT DISTINCT FROM a.g),
       |l AS (SELECT g, n, dl,
       |        lag(dl, 1) OVER w AS l1, lag(dl, 2) OVER w AS l2,
       |        lag(dl, 3) OVER w AS l3, lag(dl, 4) OVER w AS l4,

@@ -740,6 +740,16 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("chi2") - 50.0 / 63) < 1e-7)
   }
 
+  test("chiSquare: structural zeros contribute their expected mass") {
+    // perfectly associated diagonal 2×2 (5×(a,x), 5×(b,y)): true χ² = N = 10
+    // — the two EMPTY off-diagonal cells each contribute e = 2.5
+    val dep = (Seq.fill(5)(("g", "a", "x")) ++ Seq.fill(5)(("g", "b", "y")))
+      .toDF("g", "r", "c")
+    val Array(d) = Eval.chiSquare(dep, Seq("g"), col("r"), col("c")).collect()
+    assert(d.getAs[Long]("chi28") == 1000000000L)
+    assert(d.getAs[Double]("chi2") == 10.0)
+  }
+
   test("chiSquare: perfect independence is 0; null category is a row") {
     val indep = Seq.fill(5)(("g", "a", "x")) ++ Seq.fill(5)(("g", "a", "y")) ++
       Seq.fill(5)(("g", "b", "x")) ++ Seq.fill(5)(("g", "b", "y"))
