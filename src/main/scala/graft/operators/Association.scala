@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * confounded with `split`?"). A large V / MI between a metadata column
   * and the label is exactly how source-leakage and annotation-artifact
   * bugs surface; complements [[Profile.categoricalEntropy]] (one
-  * column's mix) with the two-column dependence number.
+  * column's mix) with the two-column dependence number. For the
+  * GROUP-SLICED, cross-engine-exact variants of the same statistics see
+  * [[Eval.chiSquare]] / [[Eval.mutualInfo]] (per-slice fix-point tests;
+  * NULL kept as a level there, excluded here).
   *
   *   χ² = Σ_ab (c_ab − e_ab)²/e_ab,  e_ab = r_a·c_b / n
   *      = Σ_ab c_ab²/e_ab − n        (the computed form: UNOBSERVED cells

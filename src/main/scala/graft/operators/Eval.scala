@@ -401,7 +401,13 @@ object Eval {
 
   /** Pearson chi-square test of independence per group — "are these two
     * categoricals associated?" (label×slice leakage probes, feature
-    * screening before target encoding, annotator×category bias checks):
+    * screening before target encoding, annotator×category bias checks).
+    * Relation to [[Association.categoricalAssociation]]: that one is the
+    * GLOBAL two-column scan (single row, r4-convention doubles, nulls
+    * excluded); this is the GROUP-SLICED hypothesis test with exact
+    * fix-point sums and NULL as a first-class level — use Association
+    * for a corpus-wide leakage sweep, this for per-slice dashboards and
+    * cross-engine-exact pipelines:
     *
     *   χ² = Σ_cells (o − e)²/e,   e = r·c/N,   dof = (R−1)(C−1)
     *
@@ -499,7 +505,10 @@ object Eval {
     * effect-SIZE companion to [[chiSquare]] (χ² says "is there any
     * association"; MI says "how many nats of one variable the other
     * carries" — feature-relevance ranking, redundancy pruning before
-    * target encoding, leakage magnitude):
+    * target encoding, leakage magnitude). Same relation to
+    * [[Association.categoricalAssociation]]'s global `mi_bits` as
+    * [[chiSquare]]: group-sliced, exact scale-8 long sums (nats here,
+    * bits there), NULL as a level:
     *
     *   MI = Σ_cells (o/N)·ln(o·N / (r·c))
     *
