@@ -65,6 +65,60 @@ object Quantiles {
       .select((col(groupCol) +: outs): _*)
   }
 
+  /** Exact WEIGHTED quantiles per group — order statistics under row
+    * weights (mixture weights from [[graft.llm.Mixing]], importance or
+    * dedup-count weights), where the unweighted [[quantileCont]] would
+    * mis-state every percentile of a weighted corpus:
+    *
+    *   Q_w(p) = min{ v : Σ_{x ≤ v} w(x) ≥ p·W },   W = Σ w
+    *
+    * (the lower weighted order statistic — exact, no interpolation).
+    * Weights fix-point at scale 4 so the cumulative compare
+    * `cumW·1 ≥ p·W` runs as `cumW4 ≥ ⌈p·W4⌉` in EXACT integer
+    * arithmetic — `⌈⌉` via the floorDiv identity on the rational p =
+    * num/den, no float threshold edge, engine-identical.
+    *
+    * Plan: one (group, value) weight-sum aggregate (map-side combined,
+    * shuffle ∝ distinct values), a cumulative window over each group's
+    * DISTINCT VALUES only, then one min-aggregate per (group, p). Same
+    * shape as [[quantileCont]]; never a window over raw rows.
+    *
+    * @param ps (numerator, denominator, outName) per quantile — p as an
+    *           exact rational
+    * @return per group: (groupCol, then one double column per p) — NULL
+    *         for groups with zero total weight
+    */
+  def weightedQuantile(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      weightCol: org.apache.spark.sql.Column,
+      ps: Seq[(Int, Int, String)]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(ps.nonEmpty && ps.forall { case (n, d, _) => n > 0 && n <= d },
+      s"quantile rationals must be in (0, 1]: $ps")
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(valueCol.isNotNull && weightCol.isNotNull && weightCol > 0)
+      .select(g ++ Seq(valueCol.cast("double").as("__v"),
+        floor(weightCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__w4")): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(sum(col("__w4")).as("__cw"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__cw")).over(wCum))
+      .withColumn("__tot", sum(col("__cw")).over(wAll))
+    val aggs = ps.map { case (num, den, name) =>
+      // threshold ⌈num·W/den⌉ as exact integers: (num·W + den − 1) div den
+      val thr = (lit(num.toLong) * col("__tot") + lit(den - 1L) -
+        pmod(lit(num.toLong) * col("__tot") + lit(den - 1L), lit(den.toLong))) / den
+      min(when(col("__cum") >= thr, col("__v"))).as(name)
+    }
+    cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Hash-sample quantile estimator WITH its own exactness audit — the
     * mergeable one-pass quantile path for when [[quantileCont]]'s
     * distinct-value pass is still too much (10¹²-row groups, streaming

@@ -6012,6 +6012,35 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Weighted quantiles ([[graft.operators.Quantiles.weightedQuantile]]):
+    * quantity-weighted median and p90 of extended price per return flag —
+    * order statistics under mixture/importance weights, where unweighted
+    * percentiles mis-state a weighted corpus. The cumulative compare
+    * runs as exact integers (⌈p·W⌉ via the floorDiv identity on the
+    * rational p); windows touch distinct values only.
+    */
+  val q168 = q(
+    "q168_weighted_quantiles",
+    """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+      |             CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS w4
+      |           FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+      |c AS (SELECT g, v, CAST(sum(w4) AS BIGINT) AS cw FROM t GROUP BY 1, 2),
+      |m AS (SELECT g, v,
+      |        CAST(sum(cw) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(cw) OVER (PARTITION BY g) AS BIGINT) AS tot
+      |      FROM c)
+      |SELECT g AS l_returnflag,
+      |       min(CASE WHEN cum >= (1 * tot + 1) // 2 THEN v END) AS wmed,
+      |       min(CASE WHEN cum >= (9 * tot + 9) // 10 THEN v END) AS wp90
+      |FROM m GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.operators.Quantiles
+      .weightedQuantile(Tables.lineitem(s, d), Seq("l_returnflag"),
+        valueCol = col("l_extendedprice"), weightCol = col("l_quantity"),
+        ps = Seq((1, 2, "wmed"), (9, 10, "wp90")))
+      .transform(ordered("l_returnflag"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6039,5 +6068,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q167)
+    q160, q161, q162, q163, q164, q165, q166, q167, q168)
 }

@@ -420,6 +420,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out("s3") == ((2L, 1L, 0.5)))
   }
 
+  // ------------------------------------------------ Quantiles.weightedQuantile
+
+  test("weightedQuantile: weight mass moves the order statistic; unit weights reduce to unweighted") {
+    // tail-heavy: w = (1,1,1,7) on v = 1..4 → W = 10, ⌈W/2⌉ = 5 → wmed = 4
+    // head-heavy: w = (7,1,1,1) → cum (7,8,9,10) → wmed = 1, p90 (thr 9) = 3
+    val df = Seq(
+      ("tail", 1.0, 1.0), ("tail", 2.0, 1.0), ("tail", 3.0, 1.0), ("tail", 4.0, 7.0),
+      ("head", 1.0, 7.0), ("head", 2.0, 1.0), ("head", 3.0, 1.0), ("head", 4.0, 1.0)
+    ).toDF("g", "v", "w")
+    val out = Quantiles.weightedQuantile(df, Seq("g"), col("v"), col("w"),
+        ps = Seq((1, 2, "wmed"), (9, 10, "wp90")))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("tail").getAs[Double]("wmed") == 4.0)
+    assert(out("head").getAs[Double]("wmed") == 1.0)
+    assert(out("head").getAs[Double]("wp90") == 3.0)
+
+    val unit = (1 to 10).map(i => ("g", i.toDouble, 1.0)).toDF("g", "v", "w")
+    val Array(u) = Quantiles.weightedQuantile(unit, Seq("g"), col("v"),
+      col("w"), ps = Seq((1, 2, "wmed"))).collect()
+    assert(u.getAs[Double]("wmed") == 5.0) // lower weighted order statistic
+
+    // zero/negative/null weights are excluded, not treated as tiny mass
+    val noisy = df.union(Seq(("tail", 0.5, 0.0), ("tail", 0.5, -3.0))
+      .toDF("g", "v", "w"))
+    val again = Quantiles.weightedQuantile(noisy, Seq("g"), col("v"),
+        col("w"), ps = Seq((1, 2, "wmed")))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("wmed")).toMap
+    assert(again("tail") == 4.0)
+  }
+
   // -------------------------------------------- Quantiles.sampleQuantileAudit
 
   test("sampleQuantileAudit: k >= n degenerates to exact order statistics") {
