@@ -6041,6 +6041,42 @@ object Catalog {
       .transform(ordered("l_returnflag"))
   }
 
+  /** Peak interval concurrency ([[graft.operators.Concurrency.maxConcurrent]]):
+    * maximum simultaneously OPEN order-lines per return flag over
+    * [order date, ship date) intervals — the sweep-line live-count
+    * statistic (max concurrent sessions/incidents/in-flight work).
+    * Half-open semantics via (t, delta) ordering; pure integers; peak
+    * extraction is an answer-sized aggregate + broadcast join.
+    */
+  val q169 = q(
+    "q169_max_concurrent",
+    """WITH iv AS (SELECT l.l_returnflag AS g, epoch_us(o.o_orderdate) AS s,
+      |              epoch_us(l.l_shipdate) AS e
+      |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |            WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      |              AND l.l_shipdate > o.o_orderdate),
+      |ev AS (SELECT g, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+      |       UNION ALL SELECT g, e, CAST(-1 AS BIGINT) FROM iv),
+      |c AS (SELECT g, t, d,
+      |        CAST(sum(d) OVER (PARTITION BY g ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM ev),
+      |p AS (SELECT g, CAST(max(cum) AS BIGINT) AS peak FROM c GROUP BY 1),
+      |r AS (SELECT c.g, p.peak, min(c.t) AS peak_at
+      |      FROM c JOIN p ON c.g IS NOT DISTINCT FROM p.g AND c.cum = p.peak
+      |      GROUP BY 1, 2),
+      |n AS (SELECT g, count(*) AS n_intervals FROM iv GROUP BY 1)
+      |SELECT n.g AS l_returnflag, n.n_intervals, r.peak, r.peak_at
+      |FROM n JOIN r ON n.g IS NOT DISTINCT FROM r.g
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val joined = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    graft.operators.Concurrency
+      .maxConcurrent(joined, Seq("l_returnflag"),
+        startCol = unix_micros(col("o_orderdate").cast("timestamp")),
+        endCol = unix_micros(col("l_shipdate").cast("timestamp")))
+      .transform(ordered("l_returnflag"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6068,5 +6104,5 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q167, q168)
+    q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }

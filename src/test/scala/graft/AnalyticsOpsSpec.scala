@@ -106,6 +106,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- Concurrency.maxConcurrent
+
+  test("maxConcurrent: sweep-line peak with first-reach time; half-open boundaries") {
+    import graft.operators.Concurrency
+    // [1,5), [2,4), [3,6): live counts 1,2,3… → peak 3 first reached at t=3
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 4L), ("g", 3L, 6L)).toDF("g", "s", "e")
+    val Array(r) = Concurrency.maxConcurrent(df, Seq("g"), col("s"), col("e"))
+      .collect()
+    assert(r.getAs[Long]("n_intervals") == 3L)
+    assert(r.getAs[Long]("peak") == 3L && r.getAs[Long]("peak_at") == 3L)
+
+    // half-open: [1,3) then [3,5) never overlap → peak 1 at t=1;
+    // the zero-length [7,7) interval is excluded entirely
+    val touch = Seq(("h", 1L, 3L), ("h", 3L, 5L), ("h", 7L, 7L))
+      .toDF("g", "s", "e")
+    val Array(t) = Concurrency.maxConcurrent(touch, Seq("g"), col("s"), col("e"))
+      .collect()
+    assert(t.getAs[Long]("n_intervals") == 2L)
+    assert(t.getAs[Long]("peak") == 1L && t.getAs[Long]("peak_at") == 1L)
+  }
+
   // -------------------------------------------------- Survival.kaplanMeier
 
   test("kaplanMeier: textbook curve with censoring; censored-only times emit no row") {
