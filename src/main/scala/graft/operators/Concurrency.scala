@@ -21,11 +21,17 @@ import org.apache.spark.sql.functions._
   * `peak` and the earliest time reaching it are engine- and
   * order-independent — pure integer arithmetic throughout.
   *
-  * Scale: the running sum is one per-group ordered window over 2·n
-  * events — per-group sequential by nature (a global count admits no
-  * partial order); shard by a coarser group or time-bucket the sweep for
-  * extreme groups, the [[graft.llm.Drift.cusum]] contract. Peak
-  * extraction is an answer-sized aggregate + broadcast join back.
+  * Scale — the sweep is NOT per-group sequential: events bucket into
+  * `buckets` time slices, each slice runs its local running sum in
+  * parallel (window partitioned by (group, bucket)), and the global
+  * prefix is reconstructed by adding each bucket's EXCLUSIVE delta-sum
+  * prefix — an answer-sized window over the ≤ buckets-rows-per-group
+  * bucket frame (the q69 distributed-global-rank idiom). The
+  * reconstructed cums are IDENTICAL to a single global sweep for any
+  * bucketing, so the choice of bucket boundaries (equi-width over the
+  * group's [min, max], computed from an answer-sized bounds aggregate)
+  * affects parallelism only, never results. Peak extraction is an
+  * answer-sized aggregate + broadcast join back.
   *
   * @return per group: (groupCols…, n_intervals, peak, peak_at) —
   *         peak_at the earliest event time at which the live count
@@ -35,8 +41,9 @@ object Concurrency {
 
   def maxConcurrent(
       df: DataFrame, groupCols: Seq[String],
-      startCol: Column, endCol: Column): DataFrame = {
+      startCol: Column, endCol: Column, buckets: Int = 256): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val g = groupCols.map(col)
     val iv = df
       .filter(startCol.isNotNull && endCol.isNotNull && endCol > startCol)
@@ -45,9 +52,37 @@ object Concurrency {
     val ev = iv.select(g ++ Seq(col("__s").as("__t"), lit(1L).as("__d")): _*)
       .unionAll(iv.select(g ++ Seq(col("__e").as("__t"),
         lit(-1L).as("__d")): _*))
-    val wCum = Window.partitionBy(g: _*).orderBy(col("__t").asc, col("__d").asc)
+    // bucket boundaries: equi-width over the group's event-time range
+    // (internal parallelism knob only — any bucketing reconstructs the
+    // same global prefix sums exactly)
+    val mm = ev.groupBy(g: _*)
+      .agg(min(col("__t")).as("__mn"), max(col("__t")).as("__mx"))
+    val mmCond = groupCols.map(x => col(x) <=> col(s"__m_$x")).reduce(_ && _)
+    val evB = ev
+      .join(broadcast(mm.select(groupCols.map(x => col(x).as(s"__m_$x")) ++
+        Seq(col("__mn"), col("__mx")): _*)), mmCond)
+      .withColumn("__bk",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            floor((col("__t") - col("__mn")).cast("double") * buckets /
+              (col("__mx") - col("__mn")).cast("double")).cast("long"))))
+    // phase 1: parallel local sweeps per (group, bucket)
+    val wLocal = Window.partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col("__t").asc, col("__d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = ev.withColumn("__cum", sum(col("__d")).over(wCum))
+    val local = evB.withColumn("__lcum", sum(col("__d")).over(wLocal))
+    // phase 2: exclusive prefix of bucket delta-sums (answer-sized frame)
+    val wPrev = Window.partitionBy(g: _*).orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = evB.groupBy(g :+ col("__bk"): _*)
+      .agg(sum(col("__d")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wPrev), lit(0L)))
+      .select(groupCols.map(x => col(x).as(s"__o_$x")) ++
+        Seq(col("__bk").as("__obk"), col("__off")): _*)
+    val oCond = groupCols.map(x => col(x) <=> col(s"__o_$x")).reduce(_ && _) &&
+      col("__bk") === col("__obk")
+    val c = local.join(broadcast(offsets), oCond)
+      .withColumn("__cum", col("__off") + col("__lcum"))
     val peaks = c.groupBy(g: _*).agg(max(col("__cum")).as("peak"))
     val cond = groupCols.map(x => col(x) <=> col(s"__p_$x")).reduce(_ && _)
     val peakAt = c
