@@ -510,6 +510,76 @@ object Streaming {
         Drift.baselinePsiCols(bins, baseline): _*)
   }
 
+  /** Live concurrency monitor — the O(1)-state streaming twin of
+    * [[graft.operators.Concurrency.maxConcurrent]]: consume the ±1
+    * open/close event stream per group, keep (live, peak, frontier), and
+    * EMIT a row each time the live count reaches a new record high — the
+    * capacity-alarm form of the batch sweep ("we just hit N concurrent
+    * sessions"). On tie-free ordered input the last emitted peak equals
+    * the batch operator's peak and first-reach time exactly (law-tested);
+    * late events behind the applied frontier are dropped (the
+    * [[cusumMonitor]] contract — a sweep cannot be retroactively
+    * corrected in O(1) state).
+    *
+    * @param deltaCol +1 (open) / −1 (close) integer column
+    * @return frame (entityCol, t_us, peak) — one row per record high
+    */
+  def concurrencyMonitor(
+      events: DataFrame, entityCol: String, tsCol: String,
+      deltaCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    def prepared(keyCast: String) = events
+      .filter(col(deltaCol).isNotNull)
+      .select(col(entityCol).cast(keyCast).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        col(deltaCol).cast("long").as("d"))
+    val dt = events.schema(entityCol).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        concurrencyLoop[Long](prepared("long").as[(Long, Long, Long)])
+          .toDF(entityCol, "t_us", "peak")
+          .withColumn(entityCol, col(entityCol).cast(dt))
+      case StringType =>
+        concurrencyLoop[String](prepared("string").as[(String, Long, Long)])
+          .toDF(entityCol, "t_us", "peak")
+      case other => throw new IllegalArgumentException(
+        s"concurrencyMonitor: entity column '$entityCol' has unsupported " +
+          s"key type ${other.simpleString}; use an integral or string id")
+    }
+  }
+
+  private def concurrencyLoop[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long, Long)])(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      se: org.apache.spark.sql.Encoder[(Long, Long, Long)],
+      oe: org.apache.spark.sql.Encoder[(K, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (K, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (live, peak, frontier) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long)]
+          // closes before opens at equal timestamps: half-open intervals
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, d) =>
+            if (frontier != Long.MinValue && ts < frontier) {
+              // late arrival behind the applied frontier: dropped
+            } else {
+              frontier = ts
+              live += d
+              if (live > peak) { peak = live; out += ((key, ts, peak)) }
+            }
+          }
+          state.update((live, peak, frontier))
+          out.iterator
+      }
+  }
+
   /** Gap-based session aggregation (the streaming form of q45): sessions
     * close after `gap` idle time; watermark bounds session state. Same
     * `session_window` call as the batch catalog query — unified semantics.

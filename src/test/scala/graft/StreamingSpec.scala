@@ -573,6 +573,53 @@ class StreamingSpec extends SparkSpec {
       s"law broke: streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming concurrency monitor: record highs across micro-batches; batch law vs maxConcurrent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, unix_micros, when}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = Streaming.concurrencyMonitor(mem.toDF().toDF("g", "ts", "d"),
+        "g", "ts", "d")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conc_mon").start()
+    mem.addData((1L, t("2024-06-01 10:00:00"), 1L),
+      (1L, t("2024-06-01 10:01:00"), 1L))
+    q.processAllAvailable()
+    assert(spark.table("conc_mon").count() == 2) // highs at 1 and 2
+    // dip and recover to the SAME level: no emission; then a new high
+    mem.addData((1L, t("2024-06-01 10:02:00"), -1L),
+      (1L, t("2024-06-01 10:03:00"), 1L), (1L, t("2024-06-01 10:04:00"), 1L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("conc_mon").orderBy("t_us").collect()
+    assert(got.map(_.getAs[Long]("peak")).toSeq == Seq(1L, 2L, 3L))
+
+    // BATCH LAW: last record high ≡ Concurrency.maxConcurrent peak/peak_at
+    // (distinct timestamps = the tie contract)
+    val rnd = new scala.util.Random(31L)
+    val iv = (1 to 300).map { i =>
+      val s = i * 1000L + rnd.nextInt(500)
+      (i % 3L, s, s + 1000L + rnd.nextInt(40000))
+    }.toDF("g", "s", "e")
+    val ev = iv.select(col("g"), col("s").as("tt"), lit(1L).as("d"))
+      .unionAll(iv.select(col("g"), col("e").as("tt"), lit(-1L).as("d")))
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("tt")))
+    val lastHigh = Streaming.concurrencyMonitor(ev, "g", "ts", "d")
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct(col("t_us"), col("peak")),
+        col("peak")).as("m"))
+      .select(col("g"), col("m.t_us").as("peak_at"), col("m.peak").as("peak"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.Concurrency.maxConcurrent(iv, Seq("g"),
+        col("s"), col("e"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("peak_at"), r.getAs[Long]("peak"))).toMap
+    assert(lastHigh == batch && batch.nonEmpty,
+      s"law broke: streamed=$lastHigh batch=$batch")
+  }
+
   test("streaming sessionize: string entity keys keep per-entity state; bad key type fails loudly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
