@@ -56,4 +56,44 @@ object Retention {
       .groupBy(col("cohort"), col("offset"))
       .agg(countDistinct(e).as("n_entities"))
   }
+
+  /** Longest consecutive-activity streak per entity — the gaps-and-islands
+    * loyalty statistic ("how many straight weeks was each user active?")
+    * that [[cohorts]]' triangle can't read off (retention says "active at
+    * offset k", a streak says "active at EVERY offset up to k"):
+    *
+    *   island = period − rank(period)   (constant within a consecutive run)
+    *
+    * over each entity's DISTINCT periods, then the max run length. Same
+    * pure-integer epoch-anchored period arithmetic as [[cohorts]] — no
+    * calendar semantics, engine-identical.
+    *
+    * Plan: one (entity, period) distinct aggregate (map-side combined —
+    * shuffle ∝ entity×period, event volume never windows), one
+    * entity-keyed rank window over that distinct frame, two more
+    * entity-bounded aggregates. At 100 TB: everything after the first
+    * aggregate is entity×period-sized.
+    *
+    * @return per entity: (entityCol, n_periods, max_streak)
+    */
+  def streaks(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, s"periodDays must be positive, got $periodDays")
+    import org.apache.spark.sql.expressions.Window
+    val e = col(entityCol)
+    val periods = events.select(e,
+      expr(s"unix_micros(`$tsCol`) div $MicrosPerDay div $periodDays").as("__p"))
+      .groupBy(e, col("__p")).agg(count(lit(1)).as("__dummy"))
+      .drop("__dummy")
+    val w = Window.partitionBy(e).orderBy(col("__p").asc)
+    periods
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(e, col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(e)
+      .agg(sum(col("__len")).as("n_periods"), max(col("__len")).as("max_streak"))
+  }
 }

@@ -6077,6 +6077,32 @@ object Catalog {
       .transform(ordered("l_returnflag"))
   }
 
+  /** Weekly activity-streak distribution ([[graft.operators.Retention.streaks]]):
+    * how many users sustained each longest-consecutive-days streak — the
+    * gaps-and-islands loyalty statistic on q106's epoch-anchored integer
+    * periods (island = period − rank, constant within a run). Pure
+    * integer arithmetic end to end.
+    */
+  val q170 = q(
+    "q170_activity_streaks",
+    """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p
+      |           FROM events),
+      |i AS (SELECT user_id, p,
+      |        p - row_number() OVER (PARTITION BY user_id ORDER BY p) AS isl
+      |      FROM p),
+      |l AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2),
+      |s AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_periods,
+      |        CAST(max(len) AS BIGINT) AS max_streak
+      |      FROM l GROUP BY 1)
+      |SELECT max_streak, count(*) AS n_users
+      |FROM s GROUP BY 1 ORDER BY max_streak""".stripMargin) { (s, d) =>
+    graft.operators.Retention
+      .streaks(Tables.events(s, d), "user_id", "ts", periodDays = 1)
+      .groupBy(col("max_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .transform(ordered("max_streak"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6104,5 +6130,6 @@ object Catalog {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
+    q170)
 }

@@ -106,6 +106,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- Retention.streaks
+
+  test("streaks: gaps-and-islands longest run; same-period repeats collapse") {
+    import graft.operators.Retention
+    def day(d: Int, h: Int = 0) =
+      new Timestamp((d * 86400L + h * 3600L) * 1000L)
+    // A: days {0,1,2, 5,6} (+ a repeat on day 1) → max streak 3 of 5
+    // B: day {10} only → 1 of 1
+    val events = Seq(
+      (1L, day(0)), (1L, day(1)), (1L, day(1, 5)), (1L, day(2)),
+      (1L, day(5)), (1L, day(6)),
+      (2L, day(10))
+    ).toDF("user_id", "ts")
+    val got = Retention.streaks(events, "user_id", "ts", periodDays = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_periods"), r.getAs[Long]("max_streak"))).toMap
+    assert(got(1L) == ((5L, 3L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
   // ---------------------------------------------- Concurrency.maxConcurrent
 
   test("maxConcurrent: sweep-line peak with first-reach time; half-open boundaries") {
