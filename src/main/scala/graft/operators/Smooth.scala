@@ -133,6 +133,60 @@ object Smooth {
     * @return per group: (groupCols…, n, rho1…rho<maxLag>) — ρ NULL for
     *         constant or too-short series
     */
+  /** Inter-arrival statistics + burstiness per group — "does this stream
+    * arrive regularly, randomly, or in bursts?": gaps between each
+    * entity's consecutive events, aggregated per group into mean, sample
+    * std, and the Goh–Barabási burstiness
+    *
+    *   B = (σ − μ)/(σ + μ)   ∈ [−1, 1):  B < 0 regular (σ ≪ μ),
+    *       B ≈ 0 Poisson (σ ≈ μ),  B → 1 bursty
+    *
+    * — the traffic-shape check behind rate-limit sizing and the
+    * session-gap choice (q121's 30-min gap presumes bursty arrivals; B
+    * measures it).
+    *
+    * Exactness: gaps are exact micros longs; Σg and Σg² accumulate as
+    * DECIMAL (merge-order-free); mean/σ/B are fixed-order double tails
+    * over the exact sums (σ via the n·Σg² − (Σg)² numerator, the
+    * [[graft.operators.Eval.welchT]] identity), mirrored verbatim in SQL.
+    *
+    * Plan: one per-(group, entity) lag window (entity-keyed — raw events
+    * window per entity, the sessionize shape), one hash aggregate.
+    *
+    * @return per group: (groupCols…, n_gaps, mean_s, std_s, burstiness) —
+    *         mean/std in SECONDS; std/burstiness NULL for n ≤ 1
+    */
+  def interArrival(
+      df: DataFrame, groupCols: Seq[String], entityCol: String,
+      orderCol: Column, tieCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(g :+ col(entityCol): _*).orderBy(ord: _*)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val gaps = df
+      .select(g ++ Seq(col(entityCol), orderCol.as("__o")) ++
+        tieCols.map(col): _*)
+      .withColumn("__gap", col("__o") - lag(col("__o"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val m = gaps.groupBy(g: _*).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(dec(col("__gap"))).as("__s1"),
+      sum(dec(col("__gap")) * dec(col("__gap"))).as("__s2"))
+    val nD = col("n_gaps").cast("double")
+    val s1d = col("__s1").cast("double")
+    val vnum = (dec(col("n_gaps")) * col("__s2") - col("__s1") * col("__s1"))
+      .cast("double")
+    val muU = s1d / nD
+    val sigmaU = sqrt(vnum / (nD * (nD - 1.0)))
+    m.select(g ++ Seq(col("n_gaps"),
+      (s1d / nD / 1e6).as("mean_s"),
+      when(col("n_gaps") > 1, sigmaU / 1e6).as("std_s"),
+      when(col("n_gaps") > 1 && sigmaU + muU > 0,
+        (sigmaU - muU) / (sigmaU + muU)).as("burstiness")): _*)
+  }
+
   def acf(
       df: DataFrame, groupCols: Seq[String], orderCol: Column,
       valueCol: Column, tieCols: Seq[String], maxLag: Int = 5): DataFrame = {

@@ -6103,6 +6103,48 @@ object Catalog {
       .transform(ordered("max_streak"))
   }
 
+  /** Inter-arrival burstiness ([[graft.operators.Smooth.interArrival]]):
+    * per event type, gaps between each user's consecutive events of that
+    * type — mean/σ in seconds plus Goh–Barabási B = (σ−μ)/(σ+μ). Exact
+    * DECIMAL/HUGEINT gap moments; fixed-order double tails.
+    */
+  val q171 = q(
+    "q171_burstiness",
+    """WITH t AS (SELECT event_type AS g, user_id, event_id, epoch_us(ts) AS o
+      |           FROM events),
+      |l AS (SELECT g, o - lag(o) OVER (PARTITION BY g, user_id ORDER BY o, event_id) AS gap
+      |      FROM t),
+      |gp AS (SELECT g, gap FROM l WHERE gap IS NOT NULL),
+      |m AS (SELECT g, count(*) AS n_gaps,
+      |        sum(CAST(gap AS HUGEINT)) AS s1,
+      |        sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+      |      FROM gp GROUP BY 1),
+      |d AS (SELECT g, n_gaps, CAST(s1 AS DOUBLE) AS s1d,
+      |        CAST(CAST(n_gaps AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) AS vnum
+      |      FROM m)
+      |SELECT g AS event_type, n_gaps,
+      |       floor((s1d / CAST(n_gaps AS DOUBLE) / 1e6) * 10000 + 0.5) / 10000 AS mean_s4,
+      |       CASE WHEN n_gaps > 1 THEN
+      |         floor((sqrt(vnum / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0))) / 1e6) * 10000 + 0.5) / 10000
+      |       END AS std_s4,
+      |       CASE WHEN n_gaps > 1
+      |             AND sqrt(vnum / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))
+      |                 + s1d / CAST(n_gaps AS DOUBLE) > 0 THEN
+      |         floor(((sqrt(vnum / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))
+      |                 - s1d / CAST(n_gaps AS DOUBLE))
+      |                / (sqrt(vnum / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))
+      |                   + s1d / CAST(n_gaps AS DOUBLE))) * 10000 + 0.5) / 10000
+      |       END AS burst4
+      |FROM d ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .interArrival(Tables.events(s, d), Seq("event_type"), "user_id",
+        orderCol = unix_micros(col("ts")), tieCols = Seq("event_id"))
+      .select(col("event_type"), col("n_gaps"),
+        r4(col("mean_s")).as("mean_s4"), r4(col("std_s")).as("std_s4"),
+        r4(col("burstiness")).as("burst4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6131,5 +6173,5 @@ object Catalog {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170)
+    q170, q171)
 }

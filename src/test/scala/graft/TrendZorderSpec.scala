@@ -102,6 +102,38 @@ class TrendZorderSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("r2"))) // zero-variance target
   }
 
+  // ------------------------------------------------------- interArrival
+
+  test("interArrival: metronome B = −1; hand moments; gaps never cross entities") {
+    // perfectly regular gaps (σ = 0) → burstiness exactly −1
+    val reg = (0 to 5).map(i => ("g", 1L, i * 10L)).toDF("g", "u", "t")
+    val Array(r) = Smooth.interArrival(reg, Seq("g"), "u", col("t"),
+      tieCols = Seq.empty).collect()
+    assert(r.getAs[Long]("n_gaps") == 5L)
+    assert(r.getAs[Double]("std_s") == 0.0)
+    assert(r.getAs[Double]("burstiness") == -1.0)
+
+    // gaps {1e6, 3e6} µs: μ = 2e6, s² = 2e12 → σ = √2·1e6
+    val two = Seq(("h", 1L, 0L), ("h", 1L, 1000000L), ("h", 1L, 4000000L))
+      .toDF("g", "u", "t")
+    val Array(h) = Smooth.interArrival(two, Seq("g"), "u", col("t"),
+      tieCols = Seq.empty).collect()
+    val sigma = math.sqrt(2.0) * 1e6
+    assert(h.getAs[Double]("mean_s") == 2.0)
+    assert(math.abs(h.getAs[Double]("std_s") - sigma / 1e6) < 1e-9)
+    assert(math.abs(h.getAs[Double]("burstiness") -
+      (sigma - 2e6) / (sigma + 2e6)) < 1e-12)
+
+    // interleaved entities: entity-keyed lags, so each contributes its own
+    // regular gaps — never a cross-entity gap
+    val inter = Seq(("g", 1L, 0L), ("g", 2L, 5L), ("g", 1L, 10L),
+      ("g", 2L, 15L), ("g", 1L, 20L)).toDF("g", "u", "t")
+    val Array(x) = Smooth.interArrival(inter, Seq("g"), "u", col("t"),
+      tieCols = Seq.empty).collect()
+    assert(x.getAs[Long]("n_gaps") == 3L) // 2 for u=1, 1 for u=2, all = 10
+    assert(x.getAs[Double]("burstiness") == -1.0)
+  }
+
   // --------------------------------------------------------------- acf
 
   test("acf: alternating series has rho_k = ±(n−k)/n; constants are NULL") {
