@@ -6145,6 +6145,60 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Cramér's V per day-of-week: the [0,1]-normalized effect size over
+    * q151's exact χ² (V = √(χ²/(n·min(R−1, C−1)))) — χ² grows with n,
+    * MI with entropy; V is the scale-free number a dashboard thresholds.
+    * Composes [[graft.operators.Eval.chiSquare]]; one mirrored double
+    * tail on top of the exact chi28.
+    */
+  val q172 = q(
+    "q172_cramers_v",
+    """WITH s AS (SELECT isodow(ts) AS dow, CAST(event_type AS VARCHAR) AS r,
+      |             CAST(user_id % 4 AS VARCHAR) AS c
+      |           FROM events),
+      |cells AS (SELECT dow, r, c, count(*) AS o FROM s GROUP BY 1, 2, 3),
+      |m AS (SELECT dow, r, c, o,
+      |        sum(o) OVER (PARTITION BY dow) AS n,
+      |        sum(o) OVER (PARTITION BY dow, r) AS rm,
+      |        sum(o) OVER (PARTITION BY dow, c) AS cm
+      |      FROM cells),
+      |d AS (SELECT dow, r, c, n, rm, cm,
+      |        CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+      |             - CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT) AS DOUBLE) AS dd,
+      |        CAST(n AS DOUBLE) * CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) AS den
+      |      FROM m),
+      |t AS (SELECT dow, n, r, c, rm, cm,
+      |        CAST(floor(dd * dd / den * 1e8 + 0.5) AS BIGINT) AS t8
+      |      FROM d),
+      |a AS (SELECT dow, CAST(max(n) AS BIGINT) AS n,
+      |        count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_rows,
+      |        count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_cols,
+      |        CAST(sum(t8) AS BIGINT) AS obs8,
+      |        sum(CAST(rm AS HUGEINT) * CAST(cm AS HUGEINT)) AS src
+      |      FROM t GROUP BY dow),
+      |b AS (SELECT dow, n, n_rows, n_cols,
+      |        obs8 + CAST(floor((CAST(n AS DOUBLE) - CAST(src AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS chi28
+      |      FROM a)
+      |SELECT dow, n, chi28,
+      |       CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+      |         floor(sqrt((CAST(chi28 AS DOUBLE) / 1e8)
+      |           / (CAST(n AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) * 10000 + 0.5) / 10000
+      |       END AS v4
+      |FROM b ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .chiSquare(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        rowCat = col("event_type"), colCat = pmod(col("user_id"), lit(4L)))
+      .select(col("dow"), col("n"), col("chi28"),
+        r4(when(col("dof") > 0,
+          sqrt((col("chi28").cast("double") / lit(1e8)) /
+            (col("n").cast("double") *
+              least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))))
+          .as("v4"))
+      .transform(ordered("dow"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6173,5 +6227,5 @@ object Catalog {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171)
+    q170, q171, q172)
 }
