@@ -35,11 +35,21 @@ object DedupCluster {
     * regime where clusters are small and dense. [[AlternatingStar]]:
     * large-star/small-star pointer doubling, rounds = O(log² chain) — the
     * escape hatch for adversarial long-chain graphs that blow past
-    * `maxIters` under propagation.
+    * `maxIters` under propagation. [[Auto]]: the production tiering —
+    * (1) an edge list at or under `localSolveMaxEdges` is solved with a
+    * driver union–find (the collect is BOUNDED BY CONSTRUCTION at the
+    * threshold — the k-means-centroid/heavy-hitter-candidate contract —
+    * and skips every per-round job floor: a 70-edge graph costs 2 jobs,
+    * not 8 rounds × 6 stages); (2) above it, min-label propagation runs
+    * with its per-round change count monitored, and (3) if the counts
+    * stop shrinking geometrically (the long-chain signature: a chain
+    * retires O(1) labels per round), the loop escapes to alternating-star
+    * seeded with the partial labels, so propagation progress is kept.
     */
   sealed trait Algorithm
   case object Propagation extends Algorithm
   case object AlternatingStar extends Algorithm
+  case object Auto extends Algorithm
 
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * Local checkpoints live as persisted RDD blocks outside the SQL
@@ -64,9 +74,150 @@ object DedupCluster {
       aCol: String,
       bCol: String,
       maxIters: Int = 25,
-      algorithm: Algorithm = Propagation): DataFrame = algorithm match {
+      algorithm: Algorithm = Propagation,
+      localSolveMaxEdges: Long = 100000L): DataFrame = algorithm match {
     case Propagation     => componentsPropagation(pairs, aCol, bCol, maxIters)
     case AlternatingStar => componentsStar(pairs, aCol, bCol, maxIters)
+    case Auto => componentsAuto(pairs, aCol, bCol, maxIters, localSolveMaxEdges)
+  }
+
+  /** [[Auto]] tiering — see [[Algorithm]]. The local tier's collect is
+    * threshold-gated (never data-sized: the gate is an exact count of the
+    * canonical deduped edge list), and a sub-threshold component graph is
+    * answer-sized by the same argument as a centroid set — at 100 TB a
+    * real near-dup pair list blows the gate and the distributed tiers run.
+    */
+  private def componentsAuto(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int,
+      localSolveMaxEdges: Long): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    // the pair list is often the tail of an expensive pipeline (LSH,
+    // blocking); cache its 2-long projection ONCE so the gate count, the
+    // node set, and the solve all read the cache instead of re-running it
+    val base = pairs.select(a.as("u"), b.as("v")).persist()
+    val canonical = base
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    val nEdges = canonical.count()
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
+    // both tiers return a localCheckpoint-backed frame, so the base cache
+    // can be dropped without downstream consumers re-deriving the pairs
+    val out =
+      if (nEdges <= localSolveMaxEdges) localUnionFind(canonical, nodes).localCheckpoint()
+      else adaptivePropagation(canonical, nodes, maxIters)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver union–find over a threshold-bounded canonical edge list.
+    * Union-by-min + path-halving; reps are the component minimum by
+    * construction (unions always root at the smaller id), so the output
+    * set is deterministic regardless of edge order. Singletons (self-pair
+    * nodes with no real edge) never leave the cluster — they ride the
+    * left join's coalesce.
+    */
+  private def localUnionFind(canonical: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+      }
+      x
+    }
+    canonical.select(col("hi"), col("lo")).collect().foreach { r =>
+      val (rh, rl) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (rh != rl) {
+        val root = math.min(rh, rl)
+        parent(math.max(rh, rl)) = root
+        parent.getOrElseUpdate(root, root)
+      }
+    }
+    // snapshot keys BEFORE mapping: find() path-halves (mutates the map),
+    // which would corrupt a live keysIterator
+    val labels = parent.keys.toArray.map(id => (id, find(id))).toSeq
+      .filter { case (id, rep) => id != rep }
+    // broadcast the (tiny) non-trivial labels; every absent node is its own rep
+    val labelDf = broadcast(labels.toDF("id", "__rep"))
+    nodes.join(labelDf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+  }
+
+  /** Distributed [[Auto]] tier: min-label propagation with the per-round
+    * changed-label count monitored. A near-dup graph's count collapses
+    * geometrically (diameter 2–4); a chain retires O(1) labels per round.
+    * When a round fails to shrink the count below `0.7×` the previous
+    * round's (after a 2-round grace), the loop escapes to the star
+    * fixpoint SEEDED with the partial labels (edges ∪ id→rep links — the
+    * links stay within components, so the merged graph has identical
+    * components and the star starts from the propagation's progress).
+    */
+  private def adaptivePropagation(
+      canonical: DataFrame, nodes: DataFrame, maxIters: Int): DataFrame = {
+    val edges = canonical.select(col("hi").as("x"), col("lo").as("y"))
+      .union(canonical.select(col("lo").as("x"), col("hi").as("y")))
+      .persist()
+    var labels = edges.groupBy(col("x").as("id"))
+      .agg(min(col("y")).as("__my"))
+      .select(col("id"), least(col("id"), col("__my")).as("rep"))
+      .localCheckpoint()
+    var iters = 1
+    var prevChanged = Long.MaxValue
+    var result: DataFrame = null
+    while (result == null) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "y"), "y")
+        .select(col("x").as("id"), col("rep"), lit(null).cast("long").as("__old"))
+      val next = labels.select(col("id"), col("rep"), col("rep").as("__old"))
+        .unionByName(prop)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"), min(col("__old")).as("__old"))
+        .localCheckpoint()
+      val changed = next.filter(col("rep") < col("__old")).count()
+      freeCheckpoint(labels)
+      labels = next.select("id", "rep")
+      iters += 1
+      if (changed == 0L) {
+        // join back to the full node set: canonical edges dropped self-pair
+        // singletons, which label themselves; checkpoint (the Auto output
+        // contract) so the caller can drop the pair cache
+        result = nodes
+          .join(labels.select(col("id"), col("rep").as("__rep")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+          .localCheckpoint()
+        freeCheckpoint(labels)
+      } else if ((iters > 3 && changed > (prevChanged * 7) / 10) || iters >= maxIters) {
+        // stalled (or out of propagation budget): hand the partial labels
+        // to the star fixpoint — strictly fewer rounds than restarting
+        val seeded = canonical.unionByName(
+            labels.filter(col("id") =!= col("rep"))
+              .select(col("id").as("hi"), col("rep").as("lo")))
+          .distinct()
+          .localCheckpoint()
+        freeCheckpoint(labels)
+        val star = starFixpoint(seeded, maxIters)
+        result = nodes
+          .join(star.select(col("hi").as("id"), col("lo").as("__rep")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+          .localCheckpoint()
+        freeCheckpoint(star)
+      }
+      prevChanged = changed
+    }
+    edges.unpersist(blocking = false)
+    result
   }
 
   private def componentsPropagation(
@@ -151,11 +302,30 @@ object DedupCluster {
     val b = col(bCol).cast("long")
     val nodes = pairs.select(a.as("id")).union(pairs.select(b.as("id")))
       .distinct().persist()
-    var edges = pairs
+    val edges0 = pairs
       .select(greatest(a, b).as("hi"), least(a, b).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
+    val fix = starFixpoint(edges0, maxIters)
+    // fixpoint edge set IS the star graph: hi → component min. Roots (and
+    // self-pair singletons) have no outgoing star edge — they label
+    // themselves.
+    val labels = nodes
+      .join(fix.select(col("hi").as("id"), col("lo").as("__rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+    nodes.unpersist()
+    labels
+  }
+
+  /** The large-star/small-star loop on an already-canonical (hi > lo,
+    * distinct, `localCheckpoint`ed) edge set; returns the fixpoint star
+    * edge set (hi → its component min), itself checkpoint-backed. Shared
+    * by [[AlternatingStar]] and the [[Auto]] escape tier (which seeds it
+    * with partial propagation labels).
+    */
+  private def starFixpoint(edges0: DataFrame, maxIters: Int): DataFrame = {
+    var edges = edges0
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and overflow-free under ANSI mode
@@ -214,14 +384,7 @@ object DedupCluster {
       done = nextFp == fp
       fp = nextFp
     }
-    // fixpoint edge set IS the star graph: hi → component min. Roots (and
-    // self-pair singletons) have no outgoing star edge — they label
-    // themselves.
-    val labels = nodes
-      .join(edges.select(col("hi").as("id"), col("lo").as("__rep")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
-    nodes.unpersist()
-    labels
+    edges
   }
 
   /** Per-cluster summary: representative (min id), member count, and the
@@ -229,8 +392,10 @@ object DedupCluster {
     * is engine-comparable). Only multi-member clusters appear — singletons
     * never entered the pair list.
     */
-  def clusterSummary(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    components(pairs, aCol, bCol)
+  def clusterSummary(
+      pairs: DataFrame, aCol: String, bCol: String,
+      algorithm: Algorithm = Auto): DataFrame =
+    components(pairs, aCol, bCol, algorithm = algorithm)
       .groupBy(col("rep"))
       .agg(
         count(lit(1)).as("n_members"),

@@ -51,6 +51,25 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "debug_components") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(spark, sfDir)
+      val pairs = graft.llm.MinHashLsh
+        .nearDupPairs(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .persist()
+      println(s"pairs: ${pairs.count()}")
+      val prop = graft.llm.DedupCluster.components(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val auto = graft.llm.DedupCluster.components(pairs, "a", "b",
+          algorithm = graft.llm.DedupCluster.Auto)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"prop: ${prop.size} labels, ${prop.map(_._2).size} -> reps ${prop.map(_._2).toSeq.distinct.size}")
+      println(s"auto: ${auto.size} labels, reps ${auto.map(_._2).toSeq.distinct.size}")
+      println(s"auto minus prop: ${(auto -- prop).toSeq.sortBy(_._1).take(20)}")
+      println(s"prop minus auto: ${(prop -- auto).toSeq.sortBy(_._1).take(20)}")
+      spark.stop(); return
+    }
     val eager = graft.queries.Catalog.eagerBuildQueries.contains(name)
     val d = graft.SparkEntry.queries(name)(spark, sfDir)
     d.explain("formatted")

@@ -58,8 +58,12 @@ object IstdatenIngest {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** C9: day-first timestamp, seconds optional (`dd.MM.yyyy HH:mm[:ss]`). */
-  private def parseTs(c: org.apache.spark.sql.Column) =
+  /** C9: day-first timestamp, seconds optional (`dd.MM.yyyy HH:mm[:ss]`).
+    * Public so the catalog can put the exact production parse under the
+    * DuckDB hash gate (q173) — unparseable strings yield NULL, never error.
+    * Reference: `src/02_ingest_istdaten.py:221-233`.
+    */
+  def parseTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(
       try_to_timestamp(c, lit("dd.MM.yyyy HH:mm:ss")),
       try_to_timestamp(c, lit("dd.MM.yyyy HH:mm")))

@@ -655,6 +655,43 @@ class LlmSpec extends SparkSpec {
     assert(star.contains(30L -> 30L)) // self-pair singleton labels itself
   }
 
+  test("dedup clusters: Auto tiering — local union-find, seeded star escape") {
+    // tier 1: sub-threshold edge list → driver union-find; identical labels
+    // to propagation, self-pair singleton preserved
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L),
+      (2L, 1L), (30L, 30L)).toDF("a", "b")
+    val auto = DedupCluster.components(pairs, "a", "b",
+      algorithm = DedupCluster.Auto)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val prop = DedupCluster.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(auto == prop)
+    assert(auto.contains(30L -> 30L))
+
+    // tier 1 solves the adversarial diameter-59 chain without iteration
+    val longChain = (0 until 59).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val autoChain = DedupCluster.components(longChain, "a", "b",
+      algorithm = DedupCluster.Auto)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoChain.size == 60 && autoChain.forall(_._2 == 0L))
+
+    // tiers 2+3: gate forced off (localSolveMaxEdges = 0) — monitored
+    // propagation stalls on the chain (O(1) labels retired per round) and
+    // must escape to the SEEDED star fixpoint, converging where plain
+    // propagation would throw at maxIters
+    val escalated = DedupCluster.components(longChain, "a", "b",
+      algorithm = DedupCluster.Auto, localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(escalated.size == 60 && escalated.forall(_._2 == 0L))
+
+    // tier 2 alone suffices on a near-dup-shaped (shallow) graph even with
+    // the local gate off — geometric change-shrink never trips the escape
+    val shallow = DedupCluster.components(pairs, "a", "b",
+      algorithm = DedupCluster.Auto, localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(shallow == prop)
+  }
+
   test("stratified sample: deterministic, subset-monotone, rate-proportional") {
     val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
