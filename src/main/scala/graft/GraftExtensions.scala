@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_might_contain", "bloom_might_contain(sketch, x) - probe a bloom_agg sketch"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("ewma_block_convolve"),
+      info("ewma_block_convolve",
+        "ewma_block_convolve(prev, cur, weights) - blocked fix-point EWMA over array<long> blocks"),
+      (exprs: Seq[Expression]) => EwmaBlockConvolve(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("mg_sketch"),
       info("mg_sketch", "mg_sketch(item, capacity) - Misra-Gries heavy-hitters summary as array<struct<item,lb>>"),
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), litInt(exprs(1)))))

@@ -54,18 +54,26 @@ object Cooccurrence {
       .filter(col("__it").isNotNull)
       .repartition(col("__bk"))
       .distinct()
+    // ONE basket-size aggregate (map-side on the __bk exchange) serves
+    // BOTH the oversized-offender list and N — the previous form re-ran a
+    // full distinct-count over `sized` just to produce the 1-row N frame
+    // (a second wide aggregate + its exchange, r12 stage-chain trim #1).
+    // Deliberately NOT a collect_list-of-offenders 1-row frame: collect_*
+    // aggregates are flagged nondeterministic, which defeats exchange
+    // canonicalization and made every frame above the meta row build TWICE
+    // (measured — the "one broadcast" variant was net slower).
+    val basketSizes = items.groupBy(col("__bk")).agg(count(lit(1)).as("__bsz"))
     // oversized-basket cap as a broadcast ANTI-join against the (normally
     // EMPTY) offender list — healthy data pays a zero-row broadcast, never
     // a per-basket window sort (measured ~25% cheaper than the window form
     // at sf0.1, and strictly cheaper at scale: the offender frame is
     // data-bug-sized by definition)
-    val oversized = items.groupBy(col("__bk")).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBasketSize)
+    val oversized = basketSizes.filter(col("__bsz") > maxBasketSize)
       .select(col("__bk"))
     val sized = items.join(broadcast(oversized), Seq("__bk"), "left_anti")
-    // N as a broadcast 1-row frame (the q59 idiom) — the whole operator
-    // stays one lazy plan, no eager action at construction
-    val nFrame = sized.select(col("__bk")).distinct()
+    // N as a broadcast 1-row frame (the q59 idiom) — the surviving-basket
+    // count falls out of the same basketSizes aggregate
+    val nFrame = basketSizes.filter(col("__bsz") <= maxBasketSize)
       .agg(count(lit(1)).as("__n"))
     // the per-item basket counts are an ITEM-VOCABULARY-sized dimension
     // frame; broadcasting it (default) spares the pair frame — the big
@@ -75,21 +83,31 @@ object Cooccurrence {
     // N rides IN the item-count frame (one crossJoin against the 1-row
     // frame BEFORE the broadcast) so the Σk²-sized pair frame pays exactly
     // two map-side statistics joins and no third scalar-attach stage —
-    // the r11 stage-chain trim
+    // the r11 stage-chain trim. Both statistics joins reference the SAME
+    // broadcast plan under different aliases (not per-join renamed copies),
+    // so the physical broadcast exchange is built once and REUSED for the
+    // second join (r12 stage-chain trim #2).
     val itemCounts0 = sized.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
       .crossJoin(broadcast(nFrame))
     val itemCounts = if (broadcastItemCounts) broadcast(itemCounts0) else itemCounts0
+    // self-join as SHUFFLE_HASH: both legs are the same reused __bk
+    // exchange, so sort-merge would pay two per-leg sorts for a join whose
+    // key is already co-located — a hash build on one leg is strictly less
+    // work (measured win at sf0.1; the build side is one basket-partition,
+    // bounded by the cap)
     val pairs = sized.as("l")
-      .join(sized.as("r"), col("l.__bk") === col("r.__bk") &&
-        col("l.__it") < col("r.__it"))
+      .join(sized.as("r").hint("shuffle_hash"),
+        col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
       .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
-      .join(itemCounts.withColumnRenamed("__it", "a").withColumnRenamed("__ni", "n_a"), "a")
-      .join(itemCounts.select(col("__it").as("b"), col("__ni").as("n_b")), "b")
-      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-        (col("n_ab").cast("double") / col("__n")).as("support"),
-        (col("n_ab").cast("double") / col("n_a")).as("conf_a_b"),
-        (col("n_ab").cast("double") * col("__n") / (col("n_a") * col("n_b"))).as("lift"))
+      .join(itemCounts.as("ia"), col("a") === col("ia.__it"))
+      .join(itemCounts.as("ib"), col("b") === col("ib.__it"))
+      .select(col("a"), col("b"), col("n_ab"),
+        col("ia.__ni").as("n_a"), col("ib.__ni").as("n_b"),
+        (col("n_ab").cast("double") / col("ia.__n")).as("support"),
+        (col("n_ab").cast("double") / col("ia.__ni")).as("conf_a_b"),
+        (col("n_ab").cast("double") * col("ia.__n") /
+          (col("ia.__ni") * col("ib.__ni"))).as("lift"))
   }
 }

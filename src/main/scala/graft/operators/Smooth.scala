@@ -29,20 +29,19 @@ import org.apache.spark.sql.functions._
   * wider-ranged metrics before smoothing. The same bound governs the
   * streaming ring in [[graft.streaming.Streaming.ewmaMonitor]].
   *
-  * Plan: no sequential scan and no self-join — each row BROADCASTS into
-  * the K future positions it influences (row i → target i+j with weight
-  * w_j, a K-row broadcast cross join), then ONE hash aggregate both sums
-  * the weighted contributions per (group, target) and re-emits the
-  * target row's own identity through its j = 0 leg, so there is no
-  * join-back stage. ×K amplification before the combine, but the
-  * aggregate is map-side-combined and K is a constant (54 at α = 0.3).
-  * Two slower formulations were MEASURED and rejected at sf0.1: a K-deep
-  * sliding `collect_list` + higher-order reduce (2.2s — per-row array
-  * building), and Σ of K explicit `lag()` terms (5.4s — WindowExec runs
-  * one frame processor per offset); this shape runs 1.0s, and the
-  * fold-identity-into-agg trick is worth ~0.1s over an explicit
-  * join-back. Per-group row_number is the only raw-row window — pre-bucket
-  * extreme series, the [[graft.llm.Drift.cusum]] contract.
+  * Plan: no sequential scan and no self-join — rows collapse into
+  * length-K blocks (one array per (group, block)), each block reads its
+  * predecessor through one `lag` window over the n/K-row block frame, and
+  * a native codegen'd convolution ([[graft.functions.EwmaBlockConvolve]])
+  * computes all K taps per position in a primitive loop. Three slower
+  * formulations were MEASURED and rejected at sf0.1: a K-deep sliding
+  * `collect_list` + higher-order reduce (2.2s — per-ROW array building),
+  * Σ of K explicit `lag()` terms (5.4s — WindowExec runs one frame
+  * processor per offset), and the ×K row-broadcast fan-out into one hash
+  * aggregate (1.0s — 32 M combine-input rows; kept as the equality-law
+  * witness [[Smooth.ewmaFanout]]). Per-group row_number is the only
+  * raw-row window — pre-bucket extreme series, the
+  * [[graft.llm.Drift.cusum]] contract.
   */
 object Smooth {
 
@@ -66,6 +65,20 @@ object Smooth {
 
   /** Per-group EWMA series at the catalog's scale-4 fix-point.
     *
+    * Blocked two-phase plan (r12): rows get their per-group index from the
+    * one ordered window, then collapse into LENGTH-K BLOCKS — per (group,
+    * block) a position-sorted `array<long>` of values (and order keys).
+    * Every output position needs sources at most K−1 back, so a block plus
+    * its predecessor (one equi-join of the n/K-row block frame against its
+    * own blk+1 shift — group-spread, unlike a per-group lag window)
+    * covers all its taps; the K-tap convolution itself runs in
+    * [[graft.functions.EwmaBlockConvolve]] — a codegen'd primitive loop,
+    * exact LONG num/den, bit-identical divisions. Data amplification is
+    * ×2 block arrays instead of the previous ×K row fan-out (54 at
+    * α = 0.3, 32 M combine-input rows at sf0.1 — measured 1.0 s there;
+    * this form ~0.3 s); [[ewmaFanout]] keeps the old shape as the
+    * equality-law witness.
+    *
     * @param orderCol ordering column; `tieCols` must make the order total
     *                 for an engine-identical index
     * @return one row per input row: (groupCols…, idx, <orderCol out>,
@@ -79,23 +92,102 @@ object Smooth {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val g = groupCols.map(col)
     val wts = ewmaWeights(alpha)
+    val k = wts.length
+    val base = ewmaBase(df, groupCols, orderCol, valueCol, tieCols)
+    // (idx−1) div K / mod K: the div is exact double arithmetic for
+    // idx < 2^53 (far past the per-group length bound of the overflow
+    // contract); the mod stays in integer arithmetic
+    // Each row lands in ITS OWN block and — for positions ≥ 1, the only
+    // ones a successor's taps can reach — ALSO as a prev-tail element of
+    // the NEXT block, via one explode: the predecessor attach costs ~×2
+    // narrow-row amplification inside a single aggregate instead of a
+    // join against the block frame's shifted self (which, collect_list
+    // being nondeterminism-flagged, would rebuild the whole frame for the
+    // build side — no exchange reuse). The explicit (g, blk) repartition
+    // matters: the window's hash(g) output already *satisfies* (g, blk)
+    // clustering, so without it the aggregate would run at one-task-per-
+    // group parallelism (2 live tasks on the 5-series bench table).
+    // Tail indexing stays exact: the kernel reads prev[|prev| + (i−j)],
+    // and dropping position 0 shifts |prev| and the element indices by
+    // one together.
+    val tagged = base
+      .withColumn("__blk0", floor((col("idx") - 1) / k).cast("long"))
+      .withColumn("__pos", pmod(col("idx") - 1, lit(k.toLong)))
+      .select(g ++ Seq(col("__o"), col("v4"), col("__pos"),
+        explode(when(col("__pos") >= 1, array(
+            struct(col("__blk0").as("__blk"), lit(false).as("__isPrev")),
+            struct((col("__blk0") + 1).as("__blk"), lit(true).as("__isPrev"))))
+          .otherwise(array(
+            struct(col("__blk0").as("__blk"), lit(false).as("__isPrev")))))
+          .as("__t")): _*)
+    val blocks = tagged
+      .select(g ++ Seq(col("__t.__blk").as("__blk"), col("__t.__isPrev").as("__isPrev"),
+        col("__pos"), col("v4"), col("__o")): _*)
+      .repartition(g :+ col("__blk"): _*)
+      .groupBy(g :+ col("__blk"): _*)
+      .agg(
+        array_sort(collect_list(when(!col("__isPrev"),
+          struct(col("__pos"), col("v4"), col("__o"))))).as("__arr"),
+        array_sort(collect_list(when(col("__isPrev"),
+          struct(col("__pos"), col("v4"))))).as("__parr"))
+      // a group's last block spills prev rows into a phantom successor
+      // with no rows of its own — drop it
+      .filter(size(col("__arr")) > 0)
+      .select(g ++ Seq(col("__blk"),
+        transform(col("__arr"), x => x("v4")).as("__vals"),
+        transform(col("__arr"), x => x("__o")).as("__os"),
+        transform(col("__parr"), x => x("v4")).as("__prev")): _*)
+    val conv = graft.functions.EwmaKernel.convolve(
+      coalesce(col("__prev"), array().cast("array<long>")),
+      col("__vals"), lit(wts.toArray))
+    blocks
+      .withColumn("__conv", conv)
+      .select(g ++ Seq(col("__blk"), col("__os"), col("__vals"),
+        posexplode(col("__conv")).as(Seq("__p", "ewma"))): _*)
+      .select(g ++ Seq(
+        (col("__blk") * k + col("__p") + 1).as("idx"),
+        element_at(col("__os"), col("__p") + 1).as(orderOut),
+        element_at(col("__vals"), col("__p") + 1).as("v4"),
+        col("ewma")): _*)
+  }
+
+  /** Shared indexing front end of both EWMA forms: null-filtered rows,
+    * scale-4 long values, per-group row index from the one ordered window.
+    */
+  private def ewmaBase(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, tieCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
     val wIdx = Window.partitionBy(g: _*).orderBy(ord: _*)
-    val base = df.filter(valueCol.isNotNull)
+    df.filter(valueCol.isNotNull)
       .select(g ++ Seq(orderCol.as("__o"),
         floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
           .as("v4")) ++ tieCols.map(col): _*)
       .withColumn("idx", row_number().over(wIdx).cast("long"))
       .drop(tieCols: _*)
+  }
+
+  /** The superseded ×K row-fan-out formulation, kept as the equality-law
+    * witness for [[ewma]] (TrendZorderSpec pins new ≡ old exactly): each
+    * row broadcasts into the K future positions it influences (row i →
+    * target i+j, weight w_j), ONE hash aggregate both sums the weighted
+    * contributions and re-emits the target row's own identity through its
+    * j = 0 leg; targets past the series end have no j = 0 leg and are
+    * dropped by the filter.
+    */
+  private[graft] def ewmaFanout(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      orderOut: String, valueCol: Column, tieCols: Seq[String],
+      alpha: Double = 0.3): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val wts = ewmaWeights(alpha)
+    val base = ewmaBase(df, groupCols, orderCol, valueCol, tieCols)
     val spark = df.sparkSession
     import spark.implicits._
     val wtsDf = broadcast(wts.zipWithIndex
       .map { case (w, j) => (j.toLong, w) }.toDF("__j", "__wt"))
-    // each row broadcasts into the K future positions it influences
-    // (row i → target i+j, weight w_j); ONE hash aggregate both sums the
-    // weighted contributions and re-emits the target row's own identity
-    // (the j = 0 leg), so no join-back stage exists; targets past the
-    // series end have no j = 0 leg and are dropped by the filter
     base.crossJoin(wtsDf)
       .groupBy(g :+ (col("idx") + col("__j")).as("idx2"): _*)
       .agg(

@@ -192,4 +192,25 @@ class TrendZorderSpec extends SparkSpec {
     assert(out.length == 200) // the null row is excluded
     out.foreach(r => assert(r.getAs[Double]("ewma") == 10.0))
   }
+
+  test("Smooth.ewma equality law: blocked form ≡ fan-out form, bit for bit") {
+    // multi-group, irregular values, lengths straddling the K = 54 block
+    // boundary (1, K−1, K, K+1, 3K+7), ties broken by a second column
+    val rng = new scala.util.Random(7)
+    val k = Smooth.ewmaWeights(0.3).length
+    val rows = for {
+      (g, n) <- Seq(("a", 1), ("b", k - 1), ("c", k), ("d", k + 1), ("e", 3 * k + 7))
+      i <- 1 to n
+    } yield (g, i.toLong / 3, i.toLong, math.floor(rng.nextDouble() * 2000 - 1000) / 10)
+    val df = rows.toDF("g", "t", "tie", "v")
+    val a = Smooth.ewma(df, Seq("g"), col("t"), "t_out", col("v"),
+        tieCols = Seq("tie"), alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val b = Smooth.ewmaFanout(df, Seq("g"), col("t"), "t_out", col("v"),
+        tieCols = Seq("tie"), alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(a.size == rows.size && a == b) // exact doubles: same longs, same divisions
+  }
 }
