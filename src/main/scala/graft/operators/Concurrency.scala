@@ -83,17 +83,19 @@ object Concurrency {
       col("__bk") === col("__obk")
     val c = local.join(broadcast(offsets), oCond)
       .withColumn("__cum", col("__off") + col("__lcum"))
-    val peaks = c.groupBy(g: _*).agg(max(col("__cum")).as("peak"))
-    val cond = groupCols.map(x => col(x) <=> col(s"__p_$x")).reduce(_ && _)
-    val peakAt = c
-      .join(broadcast(peaks.select(groupCols.map(x => col(x).as(s"__p_$x")) :+
-        col("peak"): _*)), cond && col("__cum") === col("peak"))
-      .groupBy(g: _*)
-      .agg(max(col("peak")).as("peak"), min(col("__t")).as("peak_at"))
-    val n = iv.groupBy(g: _*).agg(count(lit(1)).as("n_intervals"))
-    val jc = groupCols.map(x => col(x) <=> col(s"__n_$x")).reduce(_ && _)
-    n.join(broadcast(peakAt.select(groupCols.map(x => col(x).as(s"__n_$x")) ++
-        Seq(col("peak"), col("peak_at")): _*)), jc)
-      .select(g ++ Seq(col("n_intervals"), col("peak"), col("peak_at")): _*)
+    // peak, earliest-peak time, and interval count all fall out of ONE
+    // aggregate over the swept stream: `max(struct(cum, −t))` is the
+    // argmax (equal cums pick max(−t) = min t — the earliest), and each
+    // interval contributes exactly one +1 event. The previous tail paid
+    // three more passes over the sweep (a peak aggregate broadcast back,
+    // a peak-row re-join, a separate interval count over `iv`) — measured
+    // ~0.5 s of re-executions at sf0.1 (r12 trim).
+    c.groupBy(g: _*)
+      .agg(
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_intervals"),
+        max(struct(col("__cum").as("peak"),
+          (lit(0L) - col("__t")).as("__negt"))).as("__b"))
+      .select(g ++ Seq(col("n_intervals"), col("__b.peak").as("peak"),
+        (lit(0L) - col("__b.__negt")).as("peak_at")): _*)
   }
 }

@@ -51,6 +51,74 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "debug_pagerank") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def edges(bcast: Boolean): DataFrame = {
+        val ord0 = graft.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val ord = if (bcast) broadcast(ord0) else ord0
+        val e = graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+            (col("o_custkey") * 2).cast("long").as("dst"))
+          .distinct()
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      def variant(label: String, bcastE: Boolean, reuse: Boolean): Unit = {
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          graft.llm.GraphRank.topK(
+              graft.llm.GraphRank.pageRank(edges(bcastE), "src", "dst",
+                rounds = 2, validate = false, reuseFrames = reuse,
+                broadcastRanks = true, symmetric = true), 20)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[$label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      variant("base       ", bcastE = false, reuse = true)
+      variant("bcastE     ", bcastE = true, reuse = true)
+      variant("bcastE-lazy", bcastE = true, reuse = false)
+      variant("lazy       ", bcastE = false, reuse = false)
+      def pprVariant(label: String, bcastE: Boolean, reuse: Boolean): Unit = {
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val seeds = graft.Tables.supplier(spark, sfDir)
+            .filter(col("s_nationkey") === 7)
+            .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+          graft.llm.GraphRank.topK(
+              graft.llm.GraphRank.personalizedPageRank(edges(bcastE), "src", "dst",
+                seeds, "node", rounds = 2, validate = false, reuseFrames = reuse,
+                broadcastRanks = true, symmetric = true), 20)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[ppr $label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      pprVariant("reuse", bcastE = true, reuse = true)
+      pprVariant("lazy ", bcastE = true, reuse = false)
+      spark.stop(); return
+    }
+    if (name == "debug_nb") {
+      import org.apache.spark.sql.functions._
+      def variant(label: String, reuse: Boolean): Unit = {
+        for (i <- 1 to 4) {
+          val docs = graft.Tables.documents(spark, sfDir)
+          val t0 = System.nanoTime()
+          val (model, stats) = graft.llm.NaiveBayes.train(docs, "lang", "text",
+            reuseFrames = reuse)
+          graft.llm.NaiveBayes.predict(docs, "doc_id", "text", model, stats)
+            .select(col("doc_id"), col("label").as("pred_lang"), col("score4"))
+            .write.format("noop").mode("overwrite").save()
+          println(f"[nb $label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      variant("lazy ", reuse = false)
+      variant("reuse", reuse = true)
+      variant("lazy ", reuse = false)
+      variant("reuse", reuse = true)
+      spark.stop(); return
+    }
     if (name == "debug_components") {
       import org.apache.spark.sql.functions._
       val docs = graft.Tables.documents(spark, sfDir)
