@@ -217,7 +217,10 @@ object Decontam {
     *
     * @param corpus    (idCol, vecCol) rows for BOTH splits
     * @param inEvalCol boolean Column: true → eval/benchmark side,
-    *                  false → train side
+    *                  false → train side; rows where the flag evaluates
+    *                  to NULL are EXCLUDED from both sides (the Drift
+    *                  family's null-flag convention) — coalesce a default
+    *                  first if unknown-split rows must participate
     * @return one row per CONTAMINATED eval id: (eval_id, n_hits,
     *         top_train_id, top_sim) — top = highest similarity, train-id
     *         tie-break; eval vectors with no hit are absent (clean)

@@ -200,8 +200,10 @@ object Eval {
     *
     * where d_k = diagonal (both said k), r_k/c_k = marginal counts. The
     * second form clears both divisions: numerator and denominator are
-    * EXACT LONG arithmetic from confusion-cell counts, one IEEE division
-    * at the end — engine-identical, the [[rocAuc]] discipline. Agreement
+    * EXACT DECIMAL(38,0) arithmetic from confusion-cell counts (n², n·Σd
+    * and Σr·c overflow LONG past ~3·10⁹ rows per group — the
+    * [[welchT]]/chiSquare headroom convention), one IEEE division at the
+    * end — engine-identical, the [[rocAuc]] discipline. Agreement
     * on labels is null-safe (both-NULL counts as agreement on the NULL
     * label — the `<=>` convention); rows where either label is null form
     * the NULL marginal rather than dropping.
@@ -236,7 +238,7 @@ object Eval {
           Seq(col("__r1").as("__x_r1"), col("__cs")): _*),
         peCond, "inner")
       .groupBy(g: _*)
-      .agg(sum(col("__rs") * col("__cs")).as("__rc"))
+      .agg(sum(dec38(col("__rs")) * dec38(col("__cs"))).as("__rc"))
     val agg = cells.groupBy(g: _*)
       .agg(sum(col("__c")).as("n"),
         sum(when(col("__r1") <=> col("__r2"), col("__c")).otherwise(0L))
@@ -249,10 +251,17 @@ object Eval {
       .drop(groupCols.map(c => s"__p_$c"): _*)
       .select(g ++ Seq(
         col("n"), col("n_agree"),
-        when(col("n") * col("n") =!= col("__rc"),
-          (col("n") * col("n_agree") - col("__rc")).cast("double") /
-            (col("n") * col("n") - col("__rc"))).as("kappa")): _*)
+        when(dec38(col("n")) * dec38(col("n")) =!= col("__rc"),
+          (dec38(col("n")) * dec38(col("n_agree")) - col("__rc")).cast("double") /
+            (dec38(col("n")) * dec38(col("n")) - col("__rc")).cast("double"))
+          .as("kappa")): _*)
   }
+
+  /** LONG → DECIMAL(38,0): the overflow-headroom cast for count products
+    * (n², marginal products) that exceed 2⁶³ past ~3·10⁹-row groups.
+    */
+  private def dec38(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** Brier score + reliability (calibration) bins per group — "are the
     * model's probabilities honest?": the probability-quality check run

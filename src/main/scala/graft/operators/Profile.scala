@@ -110,6 +110,15 @@ object Profile {
     * log₁₀(1 + 1/d) computed in-engine on 9 literal digits (±1-ulp
     * caveat, r4-rounded downstream like every ln-family statistic).
     *
+    * Magnitude contract: the fix-point digit equals the TRUE first
+    * significant digit only for |v| ≳ 10⁻³ — below that the scale-4
+    * rounding truncates leading zeros into the digit (0.00006 → v4 = 1 →
+    * digit 1, true FSD 6) or drops the row entirely (v4 = 0 under
+    * ~5·10⁻⁵), and values just under a decade boundary can round across
+    * it (0.09999 → v4 = 1000 → digit 1). Pre-scale sub-milli columns
+    * (multiply by a power of ten — Benford shares are scale-invariant)
+    * before auditing them.
+    *
     * Scale: one (group, digit) hash aggregate; the group total rides a
     * window over the ≤9-rows-per-group digit frame. Answer-sized.
     *

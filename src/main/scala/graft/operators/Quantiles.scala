@@ -78,6 +78,15 @@ object Quantiles {
     * arithmetic — `⌈⌉` via the floorDiv identity on the rational p =
     * num/den, no float threshold edge, engine-identical.
     *
+    * Overflow/precision contract (the [[graft.llm.Drift.cusum]]
+    * discipline): the threshold's final `/ den` is Spark double division,
+    * exact ONLY because the numerator is first reduced to an exact
+    * multiple of `den` (the SetSimJoin exact-multiple caveat) — which
+    * holds while `num·W4 + den − 1 < 2^53`. Past ~9·10¹⁵ of scaled
+    * group weight (10¹¹ of raw weight at scale 4) the DuckDB twin's true
+    * integer `//` can disagree at a quantile boundary: pre-aggregate or
+    * rescale weights before that point.
+    *
     * Plan: one (group, value) weight-sum aggregate (map-side combined,
     * shuffle ∝ distinct values), a cumulative window over each group's
     * DISTINCT VALUES only, then one min-aggregate per (group, p). Same
