@@ -506,4 +506,65 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0,
           col("d_num") / (col("n_a") * col("n_b"))).as("d")): _*)
   }
+
+  /** Jensen–Shannon divergence between two CATEGORICAL distributions per
+    * group — the SYMMETRIC, always-finite member of the drift family
+    * (KL [q89] blows up on categories one side lacks; JSD ∈ [0, ln 2]
+    * no matter what): JSD(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q).
+    * The drift number to alert on when either side can have novel
+    * categories (new locales, new event types).
+    *
+    * Exactness: per-category A/B counts are exact longs; each category's
+    * full term  ½·(p·ln(p/m) + q·ln(q/m))  is ONE fixed double
+    * expression over those exact counts, floored at scale 8 into a LONG
+    * before the order-independent sum (the [[hellinger]]/[[psi]]
+    * convention; same ±1-ulp `ln` caveat as q89, r4-rounded downstream).
+    * Zero-count sides contribute only through m (their p·ln(p/m) term is
+    * 0 by continuity — the `when` guard, not a smoothing constant).
+    * NULL categories and NULL flags are excluded (the family's null
+    * convention).
+    *
+    * Plan: one (group, category) A/B count aggregate, group totals ride
+    * a window over the category frame, one final aggregate.
+    *
+    * @return per group: (groupCols…, n_a, n_b, n_cats, jsd8, jsd)
+    */
+  def jsdCategorical(
+      df: DataFrame, groupCols: Seq[String],
+      catCol: org.apache.spark.sql.Column,
+      inACol: org.apache.spark.sql.Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val wAll = Window.partitionBy(g: _*)
+    val cells = df
+      .filter(catCol.isNotNull && inACol.isNotNull)
+      .select(g ++ Seq(catCol.cast("string").as("__cat"),
+        inACol.cast("boolean").as("__a")): _*)
+      .groupBy(g :+ col("__cat"): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .select(g ++ Seq(col("__ca"), col("__cb"),
+        sum(col("__ca")).over(wAll).as("__na"),
+        sum(col("__cb")).over(wAll).as("__nb")): _*)
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / 2.0
+    val term =
+      when(col("__ca") > 0, p * log(p / m)).otherwise(0.0) +
+        when(col("__cb") > 0, q * log(q / m)).otherwise(0.0)
+    cells
+      .withColumn("__t8",
+        when(col("__na") > 0 && col("__nb") > 0,
+          floor(term / 2.0 * lit(1e8) + 0.5).cast("long")).otherwise(0L))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__t8")).as("jsd8"))
+      .select(g ++ Seq(col("n_a"), col("n_b"), col("n_cats"), col("jsd8"),
+        (col("jsd8").cast("double") / lit(1e8)).as("jsd")): _*)
+  }
 }

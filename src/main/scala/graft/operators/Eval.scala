@@ -634,4 +634,170 @@ object Eval {
             (col("n") * col("__s")))
           .as("gini")): _*)
   }
+
+  /** Mann–Whitney U rank-sum test per group — the NONPARAMETRIC A/B
+    * location test ([[welchT]]'s rank sibling): does sample A tend to
+    * produce larger values than sample B, with no normality assumption?
+    * The metric-skeptic's gate before trusting a mean delta on
+    * heavy-tailed metrics (latency, token counts, revenue).
+    *
+    * Exactness: values fix-point at scale 4 (ties are then ENGINE-
+    * IDENTICAL — a double compare never decides a tie), mean ranks use
+    * the exact ×2-integer construction of [[rocAuc]], so `u2 = 2·U_A =
+    * ΣA r2 − n_a(n_a+1)` is an exact LONG; the tie-correction sum
+    * Σ(t³−t) accumulates per-row as `t²−1` in DECIMAL (each tie-group of
+    * size t contributes t·(t²−1)); z is one fixed double expression over
+    * those exact integers — the normal approximation with tie-corrected
+    * variance Var(U) = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    * Relation to AUC: U_A = AUC·n_a·n_b — q122 reports the effect size,
+    * this reports the TEST (z), same rank machinery.
+    *
+    * Plan: one rank window + one tie-count window over the same ordering
+    * (one exchange), one hash aggregate. NULL value/flag rows excluded.
+    *
+    * @return per group: (groupCols…, n_a, n_b, u2, z) — z NULL when
+    *         either side is empty or the tie-corrected variance is 0
+    *         (all values equal)
+    */
+  def mannWhitneyU(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, inSampleA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val wRank = Window.partitionBy(g: _*).orderBy(col("__v4"))
+    val wTies = Window.partitionBy(g :+ col("__v4"): _*)
+    val scored = df
+      .filter(valueCol.isNotNull && inSampleA.isNotNull)
+      .select(g ++ Seq(
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4"),
+        inSampleA.cast("boolean").as("__a")): _*)
+      .select(g ++ Seq(col("__a"),
+        (lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTies) - lit(1L)).as("__r2"),
+        count(lit(1)).over(wTies).as("__t")): _*)
+    val m = scored.groupBy(g: _*).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__a"), col("__r2")).otherwise(0L)).as("__rs2"),
+      sum(dec38(col("__t")) * dec38(col("__t")) - 1).as("__tsum"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val varU = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+      ((nD + 1.0) - col("__tsum").cast("double") / (nD * (nD - 1.0)))
+    m.select(g ++ Seq(
+      col("n_a"), col("n_b"),
+      (col("__rs2") - col("n_a") * (col("n_a") + 1)).as("u2"),
+      when(col("n_a") > 0 && col("n_b") > 0 && col("n_a") + col("n_b") > 1 &&
+          varU > 0,
+        (col("__rs2") - col("n_a") * (col("n_a") + 1) -
+          col("n_a") * col("n_b")).cast("double") / (lit(2.0) * sqrt(varU)))
+        .as("z")): _*)
+  }
+
+  /** Average precision (the area under the precision–recall curve in its
+    * standard step form) per group — the ranking-quality statistic for
+    * IMBALANCED labels, where [[rocAuc]] saturates: AP = Σ_{k: rel}
+    * P(k) / n_pos over the score-descending ranking. The retrieval /
+    * hard-negative-mining grader (q73's mined pairs, q99's fused lists
+    * feed exactly this).
+    *
+    * Determinism: ranking order is (score DESC, tieCol ASC) — the caller
+    * supplies the unique tie-break, the q07/q49 total-order convention —
+    * and each positive position's precision `cum_pos/k` (an exact
+    * rational of two small ints) floors at scale 8 into a LONG before the
+    * order-independent sum; `ap = ap8/1e8/n_pos` is one fixed double
+    * tail. No ±ulp caveat anywhere (no libm).
+    *
+    * Plan: one ordered window (rank + running positive count in the same
+    * frame), one hash aggregate. NULL label/score rows excluded.
+    *
+    * @return per group: (groupCols…, n, n_pos, ap8, ap) — ap NULL when
+    *         the group has no positives
+    */
+  def averagePrecision(
+      df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, scoreCol: Column, tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__s").desc, col("__tb").asc)
+    val run = Window.partitionBy(g: _*).orderBy(col("__s").desc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(g ++ Seq(labelCol.cast("boolean").as("__pos"),
+        scoreCol.as("__s"), tieCol.as("__tb")): _*)
+      .select(g ++ Seq(col("__pos"),
+        row_number().over(w).cast("long").as("__k"),
+        sum(col("__pos").cast("long")).over(run).as("__cp")): _*)
+    scored.groupBy(g: _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("__pos").cast("long")).as("n_pos"),
+        sum(when(col("__pos"),
+          floor(col("__cp").cast("double") / col("__k").cast("double") *
+            lit(1e8) + 0.5).cast("long")).otherwise(0L)).as("ap8"))
+      .select(g ++ Seq(col("n"), col("n_pos"), col("ap8"),
+        when(col("n_pos") > 0,
+          col("ap8").cast("double") / lit(1e8) / col("n_pos").cast("double"))
+          .as("ap")): _*)
+  }
+
+  /** One-way ANOVA F per group — does a categorical factor explain a
+    * numeric metric? ([[welchT]]'s k-level generalization: between-level
+    * variance over within-level variance.) The feature-screening /
+    * slice-effect test run before building per-level models.
+    *
+    *   F = (SSB/(k−1)) / (SSW/(n−k)),
+    *   SSB = Σ_l S1_l²/n_l − S1²/n,  SSW = S2 − Σ_l S1_l²/n_l
+    *
+    * Exactness: per-level moments (n_l, S1_l, S2_l) are exact DECIMAL
+    * over scale-4 longs; each level's S1_l²/n_l rounds to a scale-8 LONG
+    * through ONE double division of exact inputs (identical IEEE op both
+    * engines), so the level sum Q8 is order-independent; SSB/SSW and F
+    * are fixed double tails. Headroom: S1_l² must stay within double's
+    * 2⁵³ integer range for the division to be exact-input — |Σv4| per
+    * level ≲ 9·10⁷ (pre-scale wider metrics; the [[welchT]] contract
+    * family). NULL factor levels are first-class (their rows form a
+    * level); NULL values are excluded.
+    *
+    * Plan: one (group, level) aggregate, one group aggregate — two
+    * map-side-combined exchanges, nothing data-sized after the first.
+    *
+    * @return per group: (groupCols…, n, k, ssb8, ssw8, f) — f NULL when
+    *         k < 2, n ≤ k, or SSW = 0
+    */
+  def anovaF(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, levelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val lvl = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(levelCol.cast("string").as("__lvl"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+      .groupBy(g :+ col("__lvl"): _*)
+      .agg(count(lit(1)).as("__nl"),
+        sum(dec(col("__v4"))).as("__s1"),
+        sum(dec(col("__v4")) * dec(col("__v4"))).as("__s2"))
+      .withColumn("__q8",
+        floor((col("__s1") * col("__s1")).cast("double") /
+          col("__nl").cast("double") + 0.5).cast("long"))
+    val m = lvl.groupBy(g: _*).agg(
+      count(lit(1)).as("k"),
+      sum(col("__nl")).as("n"),
+      sum(col("__s1")).as("__S1"),
+      sum(col("__s2")).as("__S2"),
+      sum(col("__q8")).as("__Q8"))
+    val grand8 = floor((col("__S1") * col("__S1")).cast("double") /
+      col("n").cast("double") + 0.5).cast("long")
+    val ssb8 = col("__Q8") - grand8
+    val ssw8 = (col("__S2") - dec(col("__Q8"))).cast("double")
+    m.select(g ++ Seq(col("n"), col("k"),
+      ssb8.as("ssb8"),
+      floor(ssw8 + 0.5).cast("long").as("ssw8"),
+      when(col("k") > 1 && col("n") > col("k") && ssw8 > 0,
+        (ssb8.cast("double") / (col("k").cast("double") - 1.0)) /
+          (ssw8 / (col("n").cast("double") - col("k").cast("double"))))
+        .as("f")): _*)
+  }
 }

@@ -897,4 +897,167 @@ class EvalOpsSpec extends SparkSpec {
     assert(v.getAs[Double]("hi") >= v.getAs[Double]("mean") - 1e-9)
     assert(v.getAs[Double]("lo") < v.getAs[Double]("hi"))
   }
+
+  // ------------------------------------------------------ mannWhitneyU
+
+  test("mannWhitneyU: hand-computed U and tie-corrected z") {
+    // g=plain: A={1,3}, B={2,4} → U_A = 1 (only 3>2), u2 = 2.
+    //   varU = (2·2/12)·(5 − 0) = 5/3; z = (1−2)/√(5/3) = −0.774597.
+    // g=tied: A={1,2}, B={2,3} → U_A = 0.5 (the 2–2 tie), u2 = 1.
+    //   tsum = 2³−2 = 6; varU = (1/3)·(5 − 6/12) = 1.5;
+    //   z = (0.5−2)/√1.5 = −1.224745.
+    val df = Seq(
+      ("plain", 1.0, true), ("plain", 3.0, true),
+      ("plain", 2.0, false), ("plain", 4.0, false),
+      ("tied", 1.0, true), ("tied", 2.0, true),
+      ("tied", 2.0, false), ("tied", 3.0, false)
+    ).toDF("g", "v", "a")
+    val out = Eval.mannWhitneyU(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (na1, nb1, u1, z1) = out("plain")
+    assert((na1, nb1, u1) == ((2L, 2L, 2L)))
+    assert(math.abs(z1 - (-1.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    val (na2, nb2, u2, z2) = out("tied")
+    assert((na2, nb2, u2) == ((2L, 2L, 1L)))
+    assert(math.abs(z2 - (-1.5 / math.sqrt(1.5))) < 1e-12)
+  }
+
+  test("mannWhitneyU: empty side or all-equal values → z NULL; nulls excluded") {
+    val df = Seq[(String, java.lang.Double, java.lang.Boolean)](
+      ("onlya", 1.0, true), ("onlya", 2.0, true),
+      ("const", 5.0, true), ("const", 5.0, false), ("const", 5.0, false),
+      ("nulls", 1.0, true), ("nulls", 2.0, false),
+      ("nulls", null, true), ("nulls", 9.0, null)
+    ).toDF("g", "v", "a")
+    val out = Eval.mannWhitneyU(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(4)))).toMap
+    assert(out("onlya") == ((2L, 0L, None)))    // empty B
+    assert(out("const")._3.isEmpty)             // varU = 0
+    assert(out("nulls") == ((1L, 1L, Some(-1.0)))) // A below B, n=2 kept rows
+  }
+
+  test("mannWhitneyU law: relation to rocAuc — u2 = 2·AUC·n_a·n_b") {
+    val df = Seq(
+      ("g", 3.0, true), ("g", 1.0, true), ("g", 2.0, false), ("g", 0.0, false),
+      ("g", 2.5, true), ("g", 2.5, false)
+    ).toDF("g", "v", "a")
+    val Array(mw) = Eval.mannWhitneyU(df, Seq("g"), col("v"), col("a")).collect()
+    val Array(auc) = Eval.rocAuc(df, Seq("g"), col("a"), col("v")).collect()
+    val (na, nb) = (mw.getLong(1), mw.getLong(2))
+    assert(mw.getLong(3).toDouble ==
+      2.0 * auc.getDouble(3) * na * nb)
+  }
+
+  // -------------------------------------------------- averagePrecision
+
+  test("averagePrecision: hand-computed AP; no-positive group is NULL") {
+    // g=hand ranking by score desc: [pos, neg, pos] → AP = (1 + 2/3)/2.
+    //   ap8 = 10^8 + floor(2/3·10^8 + 0.5) = 100000000 + 66666667.
+    val df = Seq[(String, java.lang.Boolean, java.lang.Double, java.lang.Long)](
+      ("hand", true, 3.0, 1L), ("hand", false, 2.0, 2L), ("hand", true, 1.0, 3L),
+      ("nopos", false, 1.0, 4L), ("nopos", false, 2.0, 5L),
+      ("nulls", true, 1.0, 6L), ("nulls", null, 9.0, 7L), ("nulls", true, null, 8L)
+    ).toDF("g", "pos", "s", "id")
+    val out = Eval.averagePrecision(df, Seq("g"), col("pos"), col("s"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(out("hand")._1 == 3L && out("hand")._2 == 2L)
+    assert(out("hand")._3 == 166666667L)
+    assert(math.abs(out("hand")._4.get.asInstanceOf[Double] - 166666667L / 1e8 / 2.0) < 1e-15)
+    assert(out("nopos") == ((2L, 0L, 0L, None)))
+    assert(out("nulls") == ((1L, 1L, 100000000L, Some(1.0)))) // null label/score dropped
+  }
+
+  test("averagePrecision: tie broken by tieCol — order is deterministic") {
+    // Two rows tie at score 1.0; tieCol ascending puts the NEGATIVE first
+    // (id 1 < id 2) → ranking [neg, pos] → AP = 1/2. Flipping ids gives 1.
+    def ap(posId: Long, negId: Long): Double = {
+      val df = Seq(("g", true, 1.0, posId), ("g", false, 1.0, negId))
+        .toDF("g", "pos", "s", "id")
+      Eval.averagePrecision(df, Seq("g"), col("pos"), col("s"), col("id"))
+        .collect().head.getDouble(4)
+    }
+    assert(ap(2L, 1L) == 0.5)
+    assert(ap(1L, 2L) == 1.0)
+  }
+
+  // --------------------------------------------------------- anovaF
+
+  test("anovaF: classic two-level hand case F = 13.5") {
+    // levels {1,2,3} vs {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5/(4/4).
+    // scale-8 units: ssb8 = 13.5e8, ssw8 = 4e8.
+    val df = Seq(
+      ("g", "x", 1.0), ("g", "x", 2.0), ("g", "x", 3.0),
+      ("g", "y", 4.0), ("g", "y", 5.0), ("g", "y", 6.0)
+    ).toDF("g", "lvl", "v")
+    val Array(r) = Eval.anovaF(df, Seq("g"), col("v"), col("lvl")).collect()
+    assert((r.getLong(1), r.getLong(2)) == ((6L, 2L)))
+    assert(r.getLong(3) == 1350000000L && r.getLong(4) == 400000000L)
+    assert(math.abs(r.getDouble(5) - 13.5) < 1e-9)
+  }
+
+  test("anovaF: single level or zero within-variance → F NULL; NULL level is a level") {
+    val df = Seq[(String, String, java.lang.Double)](
+      ("onelvl", "x", 1.0), ("onelvl", "x", 2.0),
+      ("zerossw", "x", 1.0), ("zerossw", "x", 1.0),
+      ("zerossw", "y", 2.0), ("zerossw", "y", 2.0),
+      ("nulllvl", null, 1.0), ("nulllvl", null, 2.0),
+      ("nulllvl", "y", 4.0), ("nulllvl", "y", 6.0),
+      ("nulllvl", "x", null) // null value dropped
+    ).toDF("g", "lvl", "v")
+    val out = Eval.anovaF(df, Seq("g"), col("v"), col("lvl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(5)))).toMap
+    assert(out("onelvl") == ((2L, 1L, None)))
+    assert(out("zerossw")._3.isEmpty) // SSB > 0 but SSW = 0 → NULL, not ∞
+    assert(out("nulllvl")._1 == 4L && out("nulllvl")._2 == 2L) // NULL level counted
+    // nulllvl: means 1.5 vs 5, grand 3.25: SSB = 2·1.75²+2·1.75² = 12.25,
+    // SSW = 0.5 + 2 = 2.5 → F = 12.25/(2.5/2) = 9.8
+    assert(math.abs(out("nulllvl")._3.get.asInstanceOf[Double] - 9.8) < 1e-9)
+  }
+
+  // ------------------------------------------------- jsdCategorical
+
+  test("jsdCategorical: identical mix → 0; disjoint categories → ln 2; hand case") {
+    import graft.llm.Drift
+    val df = Seq(
+      // identical: both sides {a, b} uniformly
+      ("same", "a", true), ("same", "b", true),
+      ("same", "a", false), ("same", "b", false),
+      // disjoint supports → JSD = ln 2
+      ("dis", "x", true), ("dis", "y", false),
+      // hand: A = {a, a}, B = {a, b}:
+      //   cat a: p=1, q=½, m=¾ → ½(ln(4/3) + ½·ln(2/3)) = 0.04247468
+      //   cat b: p=0, q=½, m=¼ → ½(½·ln 2)             = 0.17328680
+      //   JSD ≈ 0.21576141
+      ("hand", "a", true), ("hand", "a", true),
+      ("hand", "a", false), ("hand", "b", false)
+    ).toDF("g", "cat", "a")
+    val out = Drift.jsdCategorical(df, Seq("g"), col("cat"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out("same") == ((2L, 2L, 2L, 0.0)))
+    assert(math.abs(out("dis")._4 - math.log(2.0)) < 1e-7)
+    assert(out("hand")._1 == 2L && out("hand")._2 == 2L && out("hand")._3 == 2L)
+    val expect = 0.5 * (math.log(4.0 / 3.0) + 0.5 * math.log(2.0 / 3.0)) +
+      0.25 * math.log(2.0)
+    assert(math.abs(out("hand")._4 - expect) < 1e-7)
+  }
+
+  test("jsdCategorical: bounded by ln 2, symmetric in sides, nulls excluded") {
+    import graft.llm.Drift
+    val df = Seq[(String, String, java.lang.Boolean)](
+      ("g", "a", true), ("g", "a", true), ("g", "b", true),
+      ("g", "a", false), ("g", "c", false), ("g", "c", false),
+      ("g", null, true), ("g", "a", null) // dropped rows
+    ).toDF("g", "cat", "a")
+    val Array(r) = Drift.jsdCategorical(df, Seq("g"), col("cat"), col("a")).collect()
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 3L)))
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= math.log(2.0) + 1e-9)
+    // flip the side flag → identical JSD (symmetry)
+    val Array(rf) = Drift.jsdCategorical(df, Seq("g"), col("cat"), !col("a")).collect()
+    assert(rf.getLong(4) == r.getLong(4)) // jsd8 exactly equal
+  }
 }
