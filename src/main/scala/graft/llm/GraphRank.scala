@@ -416,4 +416,68 @@ object GraphRank {
         Window.orderBy(col("tri_cnt").desc, col("node"))))
       .select(col("rnk"), col("node"), col("tri_cnt"))
   }
+
+  /** Degree assortativity coefficient of an undirected graph — Newman's
+    * r: the Pearson correlation of the degrees at the two ends of every
+    * edge. Positive = hubs link to hubs (social/citation shape), negative
+    * = hubs link to leaves (star/spam-farm shape) — the one-number
+    * structural fingerprint a link-graph curation pipeline reads next to
+    * [[triangleTopK]]'s clustering signal.
+    *
+    * Over the 2|E| ordered edge-end pairs (each undirected edge counted
+    * both directions — the standard convention, which makes the two
+    * marginals identical):
+    *
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),   M = 2|E|
+    *
+    * Exactness: degrees are exact longs; all four moments accumulate in
+    * DECIMAL(38,0) (Σdeg² products overflow LONG past ~3·10⁹-degree
+    * hubs); r is ONE double division of exact integers — no
+    * order-dependence anywhere, so the statistic is engine-identical
+    * before its final r4 rounding. r is NULL for degree-regular graphs
+    * (denominator exactly 0, decided in DECIMAL).
+    *
+    * Plan: edge normalization (1 distinct), one degree aggregate, two
+    * node-keyed equi-joins back to edges (the [[triangleTopK]] reuse
+    * shape), one scalar aggregate + a broadcast of the 1-row node count.
+    * Nothing all-pairs, nothing data-sized after the joins.
+    *
+    * @param edges one row per edge, either direction; duplicates and
+    *              self-loops normalized away
+    * @return ONE row: (n_nodes, m_edges, sum_deg, r)
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val s = col(srcCol)
+    val d = col(dstCol)
+    val und = edges.filter(s =!= d)
+      .select(least(s, d).cast("long").as("u"),
+        greatest(s, d).cast("long").as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val j = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val m = j.agg(
+      count(lit(1)).as("m_edges"),
+      sum(dec(col("du")) + dec(col("dv"))).as("__sx"),
+      sum(dec(col("du")) * dec(col("du")) +
+        dec(col("dv")) * dec(col("dv"))).as("__sxx"),
+      sum(dec(col("du")) * dec(col("dv"))).as("__sxy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("sum_deg"))
+    val num = dec(lit(4)) * dec(col("m_edges")) * col("__sxy") -
+      col("__sx") * col("__sx")
+    val den = dec(lit(2)) * dec(col("m_edges")) * col("__sxx") -
+      col("__sx") * col("__sx")
+    m.crossJoin(broadcast(nn))
+      .select(
+        col("n_nodes"), col("m_edges"), col("sum_deg"),
+        when(den =!= dec(lit(0)),
+          num.cast("double") / den.cast("double")).as("r"))
+  }
 }

@@ -122,4 +122,93 @@ object Asof {
       Some(toleranceSec), rightTieBreak)
       .drop("__bucket")
   }
+
+  /** NEAREST join: for each left row, the right row with the MINIMUM
+    * absolute time distance within the same key — [[join]]'s two-sided
+    * sibling (AS-OF looks only backward; sensor/price alignment often
+    * wants "closest reading either way"). Same union + ordered window
+    * technique, run in BOTH directions over ONE union frame (two windows
+    * share the exchange; only the sort differs), so cost stays one hash
+    * shuffle + two sorts over |L|+|R| rows — never the per-key cartesian
+    * of the naive `abs(dt) <= tol` theta-join.
+    *
+    * Deterministic choice, mirrorable in ANSI SQL: candidates rank by
+    * (|dt| ASC, backward-before-forward at equal distance, tieBreak ASC
+    * among equal-timestamp right rows); dt compares in exact MICROSECOND
+    * longs (`unix_micros`), never truncated seconds.
+    *
+    * @param toleranceUs matches farther than this many MICROSECONDS (in
+    *                    either direction) are nulled out
+    * @param rightTieBreak column ordering right rows that share a
+    *                      timestamp; the SMALLEST under this ordering
+    *                      wins (required for a deterministic result when
+    *                      right timestamps can tie)
+    * @return left columns + `nearest_ts` + `nearest_dt_us` (signed,
+    *         right − left, negative = matched backward) + payloadCols
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Map[String, String],
+      toleranceUs: Option[Long] = None,
+      rightTieBreak: Option[String] = None): DataFrame = {
+
+    val payload = struct(
+      (col(rightTime).as("__n_ts") +:
+        payloadCols.toSeq.sortBy(_._1).map { case (from, to) =>
+          col(from).as(to)
+        }): _*)
+    val tieBreak = rightTieBreak.map(col).getOrElse(lit(0L))
+    val rightU = right
+      .select((keys.map(col) :+ unix_micros(col(rightTime)).as("__us") :+
+        payload.as("__rv") :+ tieBreak.as("__tb")): _*)
+      .withColumn("__side", lit(0))
+    val leftU = left
+      .withColumn("__us", unix_micros(col(leftTime)))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast(rightU.schema("__tb").dataType))
+    val unioned = leftU.unionByName(rightU, allowMissingColumns = true)
+
+    // Backward scan: right rows sort before left at equal __us (side 0 <
+    // 1) so dt = 0 matches; among right rows tied on __us, __tb DESC puts
+    // the SMALLEST tieBreak last, which is what last(ignoreNulls) picks.
+    val wBack = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__us").asc, col("__side").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Forward scan: same frame over the REVERSED time ordering — last
+    // non-null is the right row with the smallest __us >= left's.
+    val wFwd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__us").desc, col("__side").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val both = unioned
+      .withColumn("__prev", last(col("__rv"), ignoreNulls = true).over(wBack))
+      .withColumn("__next", last(col("__rv"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+    val dPrev = col("__us") - unix_micros(col("__prev.__n_ts"))
+    val dNext = unix_micros(col("__next.__n_ts")) - col("__us")
+    val chosen = when(col("__prev").isNotNull && col("__next").isNotNull,
+        when(dPrev <= dNext, col("__prev")).otherwise(col("__next")))
+      .otherwise(coalesce(col("__prev"), col("__next")))
+    val inTol = toleranceUs match {
+      case Some(tol) => when(col("__c").isNotNull &&
+        abs(unix_micros(col("__c.__n_ts")) - col("__us")) <= tol, col("__c"))
+      case None => col("__c")
+    }
+    val withPayload = payloadCols.toSeq.sortBy(_._1).foldLeft(
+      both.withColumn("__c", chosen)
+        .withColumn("__f", inTol)
+        .withColumn("nearest_ts", col("__f.__n_ts"))
+        .withColumn("nearest_dt_us",
+          unix_micros(col("__f.__n_ts")) - col("__us"))) {
+      case (df, (_, to)) => df.withColumn(to, col(s"__f.$to"))
+    }
+    withPayload.drop("__us", "__side", "__tb", "__rv", "__prev", "__next",
+      "__c", "__f")
+  }
 }

@@ -800,4 +800,139 @@ object Eval {
           (ssw8 / (col("n").cast("double") - col("k").cast("double"))))
         .as("f")): _*)
   }
+
+  /** Fleiss' kappa per group — chance-corrected agreement for MANY raters
+    * ([[cohenKappa]]'s generalization from 2 raters to n, in the
+    * variable-raters-per-item form): do the labelers of an annotation
+    * batch agree beyond what their label frequencies predict? The
+    * LLM-data use: grading redundant human/model labels before they
+    * become training targets.
+    *
+    * Input is one row per RATING (item × rater); raters are anonymous
+    * (Fleiss' design — only per-item category counts matter). Items with
+    * fewer than 2 ratings carry no agreement signal and are EXCLUDED
+    * (documented filter; n_items counts kept items only).
+    *
+    *   P_i = (Σ_k n_ik² − n_i) / (n_i·(n_i−1)),  P̄ = mean_i P_i,
+    *   P̄e = Σ_k (c_k / N)²,  κ = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Exactness: per-item counts are exact longs; each P_i is ONE double
+    * division of exact ints floored at scale 8 into a LONG before the
+    * order-independent sum (the [[anovaF]] convention); P̄e's numerator
+    * Σc_k² accumulates in DECIMAL(38,0); κ is a fixed double tail. The
+    * degenerate P̄e = 1 case (single category) is decided by the EXACT
+    * integer compare Σc_k² = N², never a double ≈1 — κ is NULL there.
+    * NULL item/category rows are excluded (the family convention).
+    *
+    * Plan: one (group, item, category) count aggregate, an item-sized
+    * window for n_i, then two answer-sized aggregates joined broadcast —
+    * nothing data-sized after the first exchange.
+    *
+    * @return per group: (groupCols…, n_items, n_ratings, n_cats,
+    *         sum_pi8, kappa) — kappa NULL when P̄e = 1; a group whose
+    *         every item has < 2 ratings produces NO row (it has no
+    *         agreement-bearing data at all)
+    */
+  def fleissKappa(
+      df: DataFrame, groupCols: Seq[String],
+      itemCol: Column, categoryCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(itemCol.isNotNull && categoryCol.isNotNull)
+      .select(g ++ Seq(itemCol.cast("string").as("__it"),
+        categoryCol.cast("string").as("__cat")): _*)
+      .groupBy(g ++ Seq(col("__it"), col("__cat")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wItem = Window.partitionBy(g :+ col("__it"): _*)
+    val kept = cells
+      .withColumn("__ni", sum(col("__c")).over(wItem))
+      .filter(col("__ni") >= 2)
+    val items = kept.groupBy(g :+ col("__it"): _*)
+      .agg(max(col("__ni")).as("__ni"),
+        sum(dec38(col("__c")) * dec38(col("__c"))).as("__si"))
+      .withColumn("__pi8",
+        floor((col("__si") - col("__ni")).cast("double") /
+          (dec38(col("__ni")) * (dec38(col("__ni")) - 1)).cast("double") *
+          lit(1e8) + 0.5).cast("long"))
+    val byGroup = items.groupBy(g: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"),
+      sum(col("__pi8")).as("sum_pi8"))
+    val cats = kept.groupBy(g :+ col("__cat"): _*)
+      .agg(sum(col("__c")).as("__ck"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_cats"),
+        sum(dec38(col("__ck")) * dec38(col("__ck"))).as("__q"))
+    val jCond = groupCols.map(c => col(c) <=> col(s"__x_$c")).reduce(_ && _)
+    val pbar = col("sum_pi8").cast("double") / lit(1e8) /
+      col("n_items").cast("double")
+    val pe = col("__q").cast("double") /
+      (dec38(col("n_ratings")) * dec38(col("n_ratings"))).cast("double")
+    byGroup.join(
+        broadcast(cats.select(groupCols.map(c => col(c).as(s"__x_$c")) ++
+          Seq(col("n_cats"), col("__q")): _*)),
+        jCond)
+      .drop(groupCols.map(c => s"__x_$c"): _*)
+      .select(g ++ Seq(
+        col("n_items"), col("n_ratings"), col("n_cats"), col("sum_pi8"),
+        when(col("n_items") > 0 &&
+            col("__q") =!= dec38(col("n_ratings")) * dec38(col("n_ratings")),
+          (pbar - pe) / (lit(1.0) - pe)).as("kappa")): _*)
+  }
+
+  /** Expected / maximum calibration error per group — the ONE-NUMBER
+    * summaries of [[brierCalibration]]'s reliability diagram: ECE is the
+    * rating-weighted mean |empirical positive rate − mean predicted p|
+    * over probability bins, MCE the worst bin's gap. The go/no-go scalar
+    * for "can this classifier's probabilities be used as sampling
+    * weights?".
+    *
+    * Exactness: with p4 fix-point probabilities (the [[brierCalibration]]
+    * convention, same loud out-of-range guard) each bin's absolute gap
+    * numerator |n_pos_b·10⁴ − Σp4_b| is an EXACT LONG, so the ECE
+    * numerator `ece_num = Σ_b |…|` is an exact integer under the hash
+    * and `ece = ece_num / (N·10⁴)` is one IEEE division. MCE takes a
+    * double max over per-bin one-division gaps (exact inputs → identical
+    * doubles → identical max, no tie hazard).
+    *
+    * Plan: one (group, bin) hash aggregate + one group aggregate —
+    * answer-sized after the first exchange, no window at all.
+    *
+    * @return per group: (groupCols…, n, bins_used, ece_num, ece, mce)
+    */
+  def calibrationError(
+      df: DataFrame, groupCols: Seq[String],
+      probCol: Column, labelCol: Column, bins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bins >= 2, "bins must be >= 2")
+    val g = groupCols.map(col)
+    val p4 = floor(probCol.cast("double") * 10000 + 0.5).cast("long")
+    val t = df
+      .filter(probCol.isNotNull && labelCol.isNotNull)
+      .select(g ++ Seq(p4.as("__p4"),
+        labelCol.cast("boolean").as("__y")): _*)
+      .withColumn("__p4", when(col("__p4") >= 0 && col("__p4") <= 10000,
+        col("__p4")).otherwise(raise_error(concat(
+          lit("calibrationError: probability out of [0,1]: p4="),
+          col("__p4").cast("string")))))
+      .withColumn("__bin",
+        least(lit(bins - 1L), (col("__p4") * bins - pmod(col("__p4") * bins,
+          lit(10000L))) / 10000L).cast("long"))
+    val byBin = t.groupBy(g :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 10000L).otherwise(0L)).as("__np4"),
+        sum(col("__p4")).as("__sp4"))
+      .withColumn("__gap", abs(col("__np4") - col("__sp4")))
+    byBin.groupBy(g: _*).agg(
+        sum(col("__n")).as("n"),
+        count(lit(1)).as("bins_used"),
+        sum(col("__gap")).as("ece_num"),
+        max(col("__gap").cast("double") /
+          (col("__n") * 10000L).cast("double")).as("mce"))
+      .select(g ++ Seq(col("n"), col("bins_used"), col("ece_num"),
+        (col("ece_num").cast("double") / (col("n") * 10000L).cast("double"))
+          .as("ece"),
+        col("mce")): _*)
+  }
 }

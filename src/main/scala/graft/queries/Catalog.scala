@@ -6646,6 +6646,214 @@ object Catalog {
       .transform(ordered("dow"))
   }
 
+  /** Fleiss' kappa ([[graft.operators.Eval.fleissKappa]]): multi-rater
+    * chance-corrected agreement per event type — each user's events of a
+    * type are anonymous "ratings" of that user into value bands; exact
+    * long/DECIMAL count arithmetic, per-item P_i floored at scale 8
+    * (sum_pi8 rides the hash), P̄e = 1 decided by exact integer compare,
+    * r4 kappa tail.
+    */
+  val q186 = q(
+    "q186_fleiss_kappa",
+    """WITH t AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS it,
+      |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS cat
+      |           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT g, it, cat, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3),
+      |w AS (SELECT g, it, cat, c,
+      |        CAST(sum(c) OVER (PARTITION BY g, it) AS BIGINT) AS ni
+      |      FROM c),
+      |k AS (SELECT * FROM w WHERE ni >= 2),
+      |i AS (SELECT g, it, max(ni) AS ni,
+      |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS si
+      |      FROM k GROUP BY 1, 2),
+      |p AS (SELECT g, ni,
+      |        CAST(floor(CAST(si - ni AS DOUBLE)
+      |          / CAST(CAST(ni AS HUGEINT) * (CAST(ni AS HUGEINT) - 1) AS DOUBLE)
+      |          * 100000000 + 0.5) AS BIGINT) AS pi8
+      |      FROM i),
+      |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+      |         CAST(sum(ni) AS BIGINT) AS n_ratings,
+      |         CAST(sum(pi8) AS BIGINT) AS sum_pi8
+      |       FROM p GROUP BY 1),
+      |cc AS (SELECT g, cat, CAST(sum(c) AS BIGINT) AS ck FROM k GROUP BY 1, 2),
+      |cg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cats,
+      |         sum(CAST(ck AS HUGEINT) * CAST(ck AS HUGEINT)) AS q
+      |       FROM cc GROUP BY 1)
+      |SELECT bg.g AS event_type, n_items, n_ratings, n_cats, sum_pi8,
+      |  CASE WHEN n_items > 0
+      |        AND q <> CAST(n_ratings AS HUGEINT) * CAST(n_ratings AS HUGEINT) THEN
+      |    floor(((CAST(sum_pi8 AS DOUBLE) / 100000000.0 / CAST(n_items AS DOUBLE))
+      |           - CAST(q AS DOUBLE)
+      |             / CAST(CAST(n_ratings AS HUGEINT) * CAST(n_ratings AS HUGEINT) AS DOUBLE))
+      |          / (1.0 - CAST(q AS DOUBLE)
+      |             / CAST(CAST(n_ratings AS HUGEINT) * CAST(n_ratings AS HUGEINT) AS DOUBLE))
+      |          * 10000 + 0.5) / 10000
+      |  END AS kappa4
+      |FROM bg JOIN cg ON bg.g IS NOT DISTINCT FROM cg.g
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .fleissKappa(Tables.events(s, d), Seq("event_type"),
+        itemCol = col("user_id"),
+        categoryCol = floor(col("value") / 50).cast("long"))
+      .select(col("event_type"), col("n_items"), col("n_ratings"),
+        col("n_cats"), col("sum_pi8"), r4(col("kappa")).as("kappa4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Expected / maximum calibration error
+    * ([[graft.operators.Eval.calibrationError]]): the reliability-diagram
+    * scalars per event type on an in-plan synthetic probability — the
+    * ECE numerator is an exact long under the hash, ece/mce r4 tails.
+    */
+  val q187 = q(
+    "q187_calibration_error",
+    """WITH t AS (SELECT event_type AS g,
+      |             CAST(floor(CAST((event_id * 7 + user_id) % 1001 AS BIGINT)
+      |               / 1000.0 * 10000 + 0.5) AS BIGINT) AS p4,
+      |             (event_id % 3 = 0) AS y
+      |           FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+      |b AS (SELECT g, least(9, (p4 * 10) // 10000) AS bin,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN y THEN 10000 ELSE 0 END) AS BIGINT) AS np4,
+      |        CAST(sum(p4) AS BIGINT) AS sp4
+      |      FROM t GROUP BY 1, 2),
+      |gp AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS bins_used,
+      |         CAST(sum(abs(np4 - sp4)) AS BIGINT) AS ece_num,
+      |         max(CAST(abs(np4 - sp4) AS DOUBLE) / CAST(n * 10000 AS DOUBLE)) AS mce
+      |       FROM b GROUP BY 1)
+      |SELECT g AS event_type, n, bins_used, ece_num,
+      |  floor(CAST(ece_num AS DOUBLE) / CAST(n * 10000 AS DOUBLE) * 10000 + 0.5) / 10000 AS ece4,
+      |  floor(mce * 10000 + 0.5) / 10000 AS mce4
+      |FROM gp ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .calibrationError(Tables.events(s, d), Seq("event_type"),
+        probCol = pmod(col("event_id") * 7 + col("user_id"), lit(1001L))
+          .cast("double") / 1000.0,
+        labelCol = pmod(col("event_id"), lit(3L)) === 0)
+      .select(col("event_type"), col("n"), col("bins_used"), col("ece_num"),
+        r4(col("ece")).as("ece4"), r4(col("mce")).as("mce4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Degree assortativity ([[graft.llm.GraphRank.degreeAssortativity]]):
+    * Newman's r over the q101 co-purchase part graph — exact DECIMAL
+    * moments over edge-end degree pairs, one double division, NULL-on-
+    * regular decided by exact integer compare. The structural
+    * fingerprint read next to q101's triangle counts.
+    */
+  val q188 = q(
+    "q188_assortativity",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+      |und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |                        greatest(a.l_partkey, b.l_partkey) AS v
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                           AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |        GROUP BY 1),
+      |j AS (SELECT du.d AS du, dv.d AS dv
+      |      FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+      |        sum(CAST(du AS HUGEINT) + CAST(dv AS HUGEINT)) AS sx,
+      |        sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)
+      |            + CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxx,
+      |        sum(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxy
+      |      FROM j),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum(d) AS BIGINT) AS sum_deg FROM deg)
+      |SELECT n_nodes, m_edges, sum_deg,
+      |  CASE WHEN 2 * m_edges * sxx - sx * sx <> 0 THEN
+      |    floor(CAST(4 * m_edges * sxy - sx * sx AS DOUBLE)
+      |          / CAST(2 * m_edges * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000
+      |  END AS r4
+      |FROM m, nn""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk")),
+        col("l_orderkey") === col("__ok") && col("l_partkey") < col("__pk"))
+      .select(col("l_partkey").as("src"), col("__pk").as("dst"))
+    graft.llm.GraphRank.degreeAssortativity(pairs, "src", "dst")
+      .select(col("n_nodes"), col("m_edges"), col("sum_deg"),
+        r4(col("r")).as("r4"))
+  }
+
+  /** Nearest join ([[graft.operators.Asof.nearestJoin]]): each view event
+    * matched to its user's CLOSEST purchase either direction within 2 h —
+    * the two-sided sibling of q09's AS-OF, exact microsecond distances,
+    * ranked-candidate tie semantics (backward-preferred, then event id)
+    * mirrored in the oracle.
+    */
+  val q189 = q(
+    "q189_nearest_join",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT v.event_id AS eid, p.event_id AS pid,
+      |        epoch_us(p.ts) - epoch_us(v.ts) AS dt, p.value AS pval,
+      |        row_number() OVER (PARTITION BY v.event_id
+      |          ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)),
+      |                   CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END,
+      |                   p.event_id) AS rn
+      |      FROM v JOIN p ON p.user_id = v.user_id
+      |       AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000)
+      |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+      |  m.pid AS p_id, m.dt AS nearest_dt_us,
+      |  floor(m.pval * 10000 + 0.5) / 10000 AS p_value4
+      |FROM v LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.eid = v.event_id
+      |ORDER BY v.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val left = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        col("value").as("p_value"))
+    graft.operators.Asof.nearestJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("p_event_id" -> "p_id", "p_value" -> "p_value"),
+        toleranceUs = Some(7200000000L), rightTieBreak = Some("p_event_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("p_id"), col("nearest_dt_us"), r4(col("p_value")).as("p_value4"))
+      .transform(ordered("event_id"))
+  }
+
+  /** TextRank keywords ([[graft.llm.TextRank.keywords]]): top-20 corpus
+    * keywords by weighted PageRank over the adjacent-word co-occurrence
+    * graph (window 2, undirected, minCount 3) — the q83 tokenization
+    * feeding the q146 round machinery; scale-12 floored contributions,
+    * word-lexicographic tie ranks.
+    */
+  val q190 = q(
+    "q190_textrank",
+    """WITH wl AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+      |         i -> w[i] || ' ' || w[i+1])) AS w12 FROM wl),
+      |pp AS (SELECT string_split(w12, ' ')[1] AS a, string_split(w12, ' ')[2] AS b FROM bi),
+      |und AS (SELECT least(a, b) AS u, greatest(a, b) AS v, CAST(count(*) AS BIGINT) AS w
+      |        FROM pp WHERE a <> b GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sym AS (SELECT u AS src, v AS dst, w FROM und UNION ALL SELECT v, u, w FROM und),
+      |od AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ws FROM sym GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM od),
+      |r0 AS (SELECT node, ws, 1e0 / n.n AS pr FROM od, n),
+      |r1 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r0.pr * sym.w / r0.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r0 ON sym.src = r0.node, n
+      |       GROUP BY sym.dst, n.n),
+      |r1d AS (SELECT r1.node, od.ws, r1.pr FROM r1 JOIN od ON r1.node = od.node),
+      |r2 AS (SELECT sym.dst AS node,
+      |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
+      |           (CAST(sum(CAST(floor((r1d.pr * sym.w / r1d.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM sym JOIN r1d ON sym.src = r1d.node, n
+      |       GROUP BY sym.dst, n.n),
+      |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
+      |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
+      |SELECT rnk, node AS word, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.llm.TextRank
+      .keywords(Tables.documents(s, d), "text", minCount = 3, rounds = 2, k = 20)
+      .select(col("rnk"), col("node").as("word"), col("pr12"))
+      .transform(ordered("rnk"))
+  }.copy(eagerBuild = true)
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6676,5 +6884,5 @@ object Catalog {
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172,
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185)
+    q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

@@ -1060,4 +1060,73 @@ class EvalOpsSpec extends SparkSpec {
     val Array(rf) = Drift.jsdCategorical(df, Seq("g"), col("cat"), !col("a")).collect()
     assert(rf.getLong(4) == r.getLong(4)) // jsd8 exactly equal
   }
+
+  // -------------------------------------------------------- fleissKappa
+
+  test("fleissKappa: hand case 0.25; perfect agreement is exactly 1") {
+    // g=hand: item A rated [x,x,y] → P_A = 1/3; item B [y,y,y] → P_B = 1.
+    //   P̄ = 2/3; c_x=2, c_y=4, N=6 → P̄e = 20/36 = 5/9;
+    //   κ = (2/3 − 5/9)/(4/9) = 0.25.
+    // g=perfect: [x,x] and [y,y] → P̄ = 1, P̄e = 1/2 → κ = 1 exactly.
+    val df = Seq(
+      ("hand", "A", "x"), ("hand", "A", "x"), ("hand", "A", "y"),
+      ("hand", "B", "y"), ("hand", "B", "y"), ("hand", "B", "y"),
+      ("perfect", "i1", "x"), ("perfect", "i1", "x"),
+      ("perfect", "i2", "y"), ("perfect", "i2", "y")
+    ).toDF("g", "item", "cat")
+    val out = Eval.fleissKappa(df, Seq("g"), col("item"), col("cat"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (ni, nr, nc, pi8, k) = out("hand")
+    assert((ni, nr, nc) == ((2L, 6L, 2L)))
+    assert(pi8 == 33333333L + 100000000L)
+    assert(math.abs(k - 0.25) < 1e-7)
+    assert(out("perfect")._5 == 1.0)
+  }
+
+  test("fleissKappa: single category → NULL; sub-2-rating items excluded") {
+    val df = Seq(
+      ("mono", "a", "x"), ("mono", "a", "x"), ("mono", "b", "x"), ("mono", "b", "x"),
+      // mixed: item "solo" has 1 rating (dropped); items a,b carry the stats
+      ("mix", "a", "x"), ("mix", "a", "x"), ("mix", "solo", "y"),
+      ("mix", "b", "y"), ("mix", "b", "y"),
+      // allsolo: every item has 1 rating → NO output row
+      ("allsolo", "i", "x")
+    ).toDF("g", "item", "cat")
+    val out = Eval.fleissKappa(df, Seq("g"), col("item"), col("cat"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("mono").isNullAt(5)) // P̄e = 1 decided by exact integer compare
+    assert(!out.contains("allsolo"))
+    val m = out("mix")
+    assert((m.getLong(1), m.getLong(2), m.getLong(3)) == ((2L, 4L, 2L)))
+    assert(m.getDouble(5) == 1.0) // perfect agreement on the kept items
+  }
+
+  // --------------------------------------------------- calibrationError
+
+  test("calibrationError: hand ECE/MCE; perfectly calibrated bin → 0") {
+    // g=hand: bin0 = two misses at p=.05 (gap 1000/20000 = .05),
+    //   bin9 = two hits at p=.95 (gap .05) → ece = 2000/40000 = .05.
+    // g=cal: p=.5 with one hit one miss → gap 0.
+    val df = Seq(
+      ("hand", 0.05, false), ("hand", 0.05, false),
+      ("hand", 0.95, true), ("hand", 0.95, true),
+      ("cal", 0.5, true), ("cal", 0.5, false)
+    ).toDF("g", "p", "y")
+    val out = Eval.calibrationError(df, Seq("g"), col("p"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("hand") == ((4L, 2L, 2000L, 0.05, 0.05)))
+    assert(out("cal") == ((2L, 1L, 0L, 0.0, 0.0)))
+  }
+
+  test("calibrationError: p=1 lands in the top bin; out-of-range raises") {
+    val ok = Seq(("g", 1.0, true), ("g", 0.0, false)).toDF("g", "p", "y")
+    val Array(r) = Eval.calibrationError(ok, Seq("g"), col("p"), col("y")).collect()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    val bad = Seq(("g", 1.2, true)).toDF("g", "p", "y")
+    intercept[Exception] {
+      Eval.calibrationError(bad, Seq("g"), col("p"), col("y")).collect()
+    }
+  }
 }

@@ -255,4 +255,57 @@ class GraphExtrasSpec extends SparkSpec {
       Anomaly.calendarAnomalies(df, Seq.empty, Seq("hr" -> hour(col("ts"))), "value")
     }
   }
+
+  // --------------------------------------------- degree assortativity
+
+  test("degreeAssortativity: star = -1 exactly; regular graph → NULL") {
+    import graft.llm.GraphRank
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val Array(s) = GraphRank.degreeAssortativity(star, "src", "dst").collect()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((4L, 3L, 6L)))
+    assert(s.getDouble(3) == -1.0)
+    // C4 cycle: degree-regular → denominator exactly 0 → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val Array(c) = GraphRank.degreeAssortativity(cyc, "src", "dst").collect()
+    assert(c.getLong(1) == 4L && c.isNullAt(3))
+  }
+
+  // ------------------------------------------------------- TextRank
+
+  test("TextRank.keywords: hub word outranks spokes; count floor prunes") {
+    import graft.llm.TextRank
+    // "hub x hub y hub z": pairs (hub,x)×2, (hub,y)×2, (hub,z)×1 —
+    // minCount=2 prunes (hub,z); star center wins, spokes tie and rank
+    // by word.
+    val docs = Seq(("d1", "hub x hub y hub z")).toDF("doc_id", "text")
+    val got = TextRank.keywords(docs, "text", minCount = 2, rounds = 1, k = 10)
+      .orderBy("rnk").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "hub")
+    assert(got(1).getString(1) == "x" && got(2).getString(1) == "y")
+    assert(got(1).getLong(2) == got(2).getLong(2)) // symmetric spokes tie
+    // hand value: pr(hub) = 0.15/3 + 0.85·(⌊1/3·1e12⌋·2/1e12)
+    val third = math.floor(1.0 / 3.0 * 1e12).toLong
+    val prHub = 0.15 / 3.0 + 0.85 * (2 * third / 1e12)
+    assert(got(0).getLong(2) == math.floor(prHub * 1e12 + 0.5).toLong)
+  }
+
+  test("TextRank.keywords: repeated-word self-pairs dropped; empty graph → empty") {
+    import graft.llm.TextRank
+    val docs = Seq(("d1", "a a a a"), ("d2", "b c")).toDF("doc_id", "text")
+    // only self-pairs (a,a) and one (b,c) under minCount → empty graph
+    assert(TextRank.keywords(docs, "text", minCount = 2, rounds = 1, k = 5)
+      .collect().isEmpty)
+  }
+
+  test("degreeAssortativity: triangle+pendant hand case; input normalization") {
+    import graft.llm.GraphRank
+    // triangle 1-2-3 plus pendant 3-4, with duplicate/reversed/self-loop
+    // noise: degrees (2,2,3,1); r = -20/28.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (3L, 4L), (5L, 5L)).toDF("src", "dst")
+    val Array(r) = GraphRank.degreeAssortativity(edges, "src", "dst").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 8L)))
+    assert(math.abs(r.getDouble(3) - (-20.0 / 28.0)) < 1e-15)
+  }
 }

@@ -123,6 +123,50 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3).isNullAt(1))
   }
 
+  test("nearestJoin: two-sided min-distance, backward-preferred ties, tolerance") {
+    val left = Seq(
+      (1L, "u", "2024-06-01 10:00:00"), // fwd 30 s beats back 60 s
+      (2L, "u", "2024-06-01 10:10:00"), // equal 30 s both ways → backward wins
+      (3L, "u", "2024-06-01 11:00:00"), // two right rows at dt = 0 → min rid
+      (4L, "u", "2024-06-01 13:00:00"), // nearest is 60 min away → out of tol
+      (5L, "w", "2024-06-01 10:00:00")) // no right rows for key
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val right = Seq(
+      ("u", "2024-06-01 09:59:00", 1L),
+      ("u", "2024-06-01 10:00:30", 2L),
+      ("u", "2024-06-01 10:09:30", 3L),
+      ("u", "2024-06-01 10:10:30", 4L),
+      ("u", "2024-06-01 11:00:00", 5L),
+      ("u", "2024-06-01 11:00:00", 6L),
+      ("u", "2024-06-01 12:00:00", 7L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp($"ts"))
+    val got = Asof.nearestJoin(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "m_rid"), toleranceUs = Some(30L * 60 * 1000000),
+        rightTieBreak = Some("rid"))
+      .orderBy("id")
+      .select("id", "m_rid", "nearest_dt_us")
+      .collect()
+    assert((got(0).getLong(1), got(0).getLong(2)) == ((2L, 30000000L)))
+    assert((got(1).getLong(1), got(1).getLong(2)) == ((3L, -30000000L)))
+    assert((got(2).getLong(1), got(2).getLong(2)) == ((5L, 0L)))
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+    assert(got(4).isNullAt(1) && got(4).isNullAt(2))
+  }
+
+  test("nearestJoin law: with only-backward candidates it agrees with asof join") {
+    val left = Seq((1L, "u", "2024-06-01 10:05:00"), (2L, "u", "2024-06-01 10:20:00"))
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val right = Seq(("u", "2024-06-01 10:00:00", 10L), ("u", "2024-06-01 10:04:00", 20L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp($"ts"))
+    val near = Asof.nearestJoin(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "m"), rightTieBreak = Some("rid"))
+      .orderBy("id").select("m").collect().map(_.getLong(0))
+    val asof = Asof.join(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "m"), rightTieBreak = Some("rid"))
+      .orderBy("id").select("m").collect().map(_.getLong(0))
+    assert(near.sameElements(asof))
+  }
+
   test("upsertByKey replaces matched keys and is idempotent") {
     val existing = Seq((1, "old"), (2, "old"), (3, "old")).toDF("k", "v")
     val incoming = Seq((2, "new"), (4, "new")).toDF("k", "v")
