@@ -935,4 +935,208 @@ object Eval {
           .as("ece"),
         col("mce")): _*)
   }
+
+  /** Kruskal–Wallis H per group — the k-level RANK analogue of [[anovaF]]
+    * (as [[mannWhitneyU]] is [[welchT]]'s two-sample rank analogue): does a
+    * categorical factor shift a metric's LOCATION, judged on ranks so heavy
+    * tails and outliers can't dominate? The slice-screening test run when
+    * the metric is known non-normal (latencies, token counts).
+    *
+    * Over pooled midranks R (ties take the block mean rank):
+    *
+    *   H = 12/(n(n+1)) · Σ_l R_l²/n_l − 3(n+1),
+    *   H_c = H / C,  C = 1 − Σ_t (t³−t) / (n³−n)
+    *
+    * Exactness: midranks are exact ×2 longs (`__r2 = 2·rank + tc − 1`, the
+    * [[rocAuc]]/[[mannWhitneyU]] machinery); per-level rank sums and the
+    * tie sum Σ(t³−t) (accumulated per ROW as Σ(t²−1), which telescopes to
+    * the per-value t³−t) ride DECIMAL(38,0); each level's R_l²/n_l =
+    * rs2²/(4n_l) rounds through ONE double division of exact inputs into a
+    * LONG (the [[anovaF]] q8 convention — exact while rs2² < 2⁵³, ~n ≤ 5·10⁴
+    * per group; beyond that both engines round the same IEEE way), so `rq`
+    * is engine-identical under the hash; H and C are fixed double tails.
+    * The all-tied degenerate (C = 0) is decided by the EXACT integer
+    * compare Σ(t³−t) = n³−n, never a double ≈0. NULL values are excluded;
+    * NULL factor levels are first-class (the [[anovaF]] convention).
+    *
+    * Plan: one pooled rank window per group, one (group, level) aggregate,
+    * one group aggregate — everything after the window is answer-sized.
+    *
+    * @return per group: (groupCols…, n, k, rq, h) — h NULL when k < 2,
+    *         n < 2, or every value is tied (C = 0)
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, levelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val wRank = Window.partitionBy(g: _*).orderBy(col("__v4"))
+    val wTies = Window.partitionBy(g :+ col("__v4"): _*)
+    val scored = df
+      .filter(valueCol.isNotNull)
+      .select(g ++ Seq(levelCol.cast("string").as("__lvl"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+      .select(g ++ Seq(col("__lvl"),
+        (lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTies) - lit(1L)).as("__r2"),
+        count(lit(1)).over(wTies).as("__t")): _*)
+    val lvl = scored.groupBy(g :+ col("__lvl"): _*)
+      .agg(count(lit(1)).as("__nl"),
+        sum(dec38(col("__r2"))).as("__rs2"),
+        sum(dec38(col("__t")) * dec38(col("__t")) - 1).as("__ts"))
+      .withColumn("__rq",
+        floor((col("__rs2") * col("__rs2")).cast("double") /
+          (lit(4.0) * col("__nl").cast("double")) + 0.5).cast("long"))
+    val m = lvl.groupBy(g: _*).agg(
+      count(lit(1)).as("k"),
+      sum(col("__nl")).as("n"),
+      sum(col("__rq")).as("rq"),
+      sum(col("__ts")).as("__tsum"))
+    val nD = col("n").cast("double")
+    val n3n = dec38(col("n")) * dec38(col("n")) * dec38(col("n")) -
+      dec38(col("n"))
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("rq").cast("double") -
+      lit(3.0) * (nD + 1.0)
+    val c = lit(1.0) - col("__tsum").cast("double") / n3n.cast("double")
+    m.select(g ++ Seq(col("n"), col("k"), col("rq"),
+      when(col("k") > 1 && col("n") > 1 && col("__tsum") =!= n3n, h / c)
+        .as("h")): _*)
+  }
+
+  /** Wilcoxon signed-rank test per group — the PAIRED location test on
+    * ranks ([[mannWhitneyU]]'s dependent-samples sibling): did a metric
+    * shift within matched pairs (before/after, this-event vs the same
+    * user's previous event), judged robustly? The A/B companion when each
+    * unit is its own control.
+    *
+    * Pairs with either side NULL and zero differences are EXCLUDED (the
+    * standard Wilcoxon convention; n counts kept pairs). Over ranks of
+    * |d| with midranks for tied magnitudes:
+    *
+    *   W⁺ = Σ_{d>0} R_i,   z = (W⁺ − n(n+1)/4) / √Var,
+    *   Var = n(n+1)(2n+1)/24 − Σ_t (t³−t)/48
+    *
+    * Exactness: differences are exact scale-4 longs; ranks ride the ×2
+    * LONG midrank machinery so `w2p = 2·W⁺` is an exact BIGINT under the
+    * hash (headroom: 2n² per group, the [[mannWhitneyU]] u2 contract);
+    * the tie sum accumulates in DECIMAL(38,0); z is one mirrored double
+    * tail. Sign ties (d = 0) are dropped BEFORE ranking (Wilcoxon's
+    * exclusion), magnitude ties are midranked.
+    *
+    * Plan: one |d|-ordered rank window per group + one hash aggregate —
+    * answer-sized after the window.
+    *
+    * @return per group: (groupCols…, n, w2p, z) — z NULL when n = 0 or
+    *         Var ≤ 0 (all magnitudes tied in one block)
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame, groupCols: Seq[String],
+      aCol: Column, bCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val d4 = floor(aCol.cast("double") * 10000 + 0.5).cast("long") -
+      floor(bCol.cast("double") * 10000 + 0.5).cast("long")
+    val wRank = Window.partitionBy(g: _*).orderBy(col("__ad"))
+    val wTies = Window.partitionBy(g :+ col("__ad"): _*)
+    val scored = df
+      .filter(aCol.isNotNull && bCol.isNotNull)
+      .select(g :+ d4.as("__d4"): _*)
+      .filter(col("__d4") =!= 0L)
+      .withColumn("__ad", abs(col("__d4")))
+      .select(g ++ Seq(col("__d4"),
+        (lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTies) - lit(1L)).as("__r2"),
+        count(lit(1)).over(wTies).as("__t")): _*)
+    val m = scored.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__d4") > 0, col("__r2")).otherwise(0L)).as("w2p"),
+      sum(dec38(col("__t")) * dec38(col("__t")) - 1).as("__tsum"))
+    val nD = col("n").cast("double")
+    val varW = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("__tsum").cast("double") / 48.0
+    m.select(g ++ Seq(col("n"), col("w2p"),
+      when(col("n") > 0 && varW > 0,
+        (col("w2p").cast("double") - nD * (nD + 1.0) / 2.0) /
+          (lit(2.0) * sqrt(varW))).as("z")): _*)
+  }
+
+  /** Cliff's delta per group — the ordinal EFFECT SIZE companion to
+    * [[mannWhitneyU]]'s significance z (q182 tells you the shift is real;
+    * this tells you how BIG it is, on the [−1, 1] dominance scale):
+    *
+    *   δ = (#(a&gt;b) − #(a&lt;b)) / (n_a·n_b)
+    *
+    * Computed WITHOUT pair enumeration via the exact U identity
+    * δ = (2·U_A − n_a·n_b) / (n_a·n_b) = (u2 − n_a·n_b) / (n_a·n_b)
+    * — with ties, U_A = #(a&gt;b) + ½·#(a=b) and #(a&gt;b) − #(a&lt;b) =
+    * 2·U_A − n_a·n_b, so the all-pairs dominance count collapses into the
+    * rank machinery's one window + one aggregate. Same exactness contract
+    * as [[mannWhitneyU]] (u2 an exact BIGINT, headroom 2n² per group); δ
+    * is one double division of exact integers.
+    *
+    * @return per group: (groupCols…, n_a, n_b, u2, delta) — delta NULL
+    *         when either sample is empty
+    */
+  def cliffsDelta(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, inSampleA: Column): DataFrame = {
+    val g = groupCols.map(col)
+    mannWhitneyU(df, groupCols, valueCol, inSampleA)
+      .select(g ++ Seq(col("n_a"), col("n_b"), col("u2"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("u2").cast("double") -
+            col("n_a").cast("double") * col("n_b").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("delta")): _*)
+  }
+
+  /** Brown–Forsythe test per group — are the factor levels' VARIANCES
+    * equal? (the robust Levene form: one-way ANOVA on absolute deviations
+    * from each level's MEDIAN, so heavy tails don't masquerade as
+    * heteroscedasticity). Run before trusting [[anovaF]]'s equal-variance
+    * assumption, and as a drift check in its own right (a slice whose
+    * spread doubled is broken even if its mean held).
+    *
+    * Exactness: the per-level median is the exact ×2 order statistic
+    * `med2 = v4_(⌈n/2⌉) + v4_(⌊n/2⌋+1)` (two row_number probes — never a
+    * float percentile), so the deviation `|2·v4 − med2|` is an exact LONG;
+    * deviations then flow through [[anovaF]]'s DECIMAL moment machinery
+    * (passed at scale 4, so anovaF's internal ×10⁴ round-trip reproduces
+    * the integer exactly; F is scale-invariant so the residual ×2 factor
+    * cancels). Output columns are anovaF's over the deviation variable.
+    *
+    * Plan: one per-level sort window (rank + the two median probes as
+    * conditional window sums), then anovaF's two answer-sized aggregates.
+    *
+    * @return per group: (groupCols…, n, k, ssb8, ssw8, f) over the
+    *         |deviation| variable — f NULL when k < 2, n ≤ k, or SSW = 0
+    */
+  def brownForsythe(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, levelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g :+ col("__lvl"): _*).orderBy(col("__v4"))
+    val wAll = Window.partitionBy(g :+ col("__lvl"): _*)
+    val scored = df
+      .filter(valueCol.isNotNull)
+      .select(g ++ Seq(levelCol.cast("string").as("__lvl"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__nl", count(lit(1)).over(wAll))
+    val lowR = floor((col("__nl").cast("double") + 1.0) / 2.0).cast("long")
+    val upR = floor(col("__nl").cast("double") / 2.0).cast("long") + 1L
+    val withMed = scored
+      .withColumn("__med2",
+        sum(when(col("__rn") === lowR, col("__v4")).otherwise(0L))
+          .over(wAll) +
+        sum(when(col("__rn") === upR, col("__v4")).otherwise(0L))
+          .over(wAll))
+      .withColumn("__z",
+        abs(lit(2L) * col("__v4") - col("__med2")).cast("double") / 10000.0)
+    anovaF(withMed, groupCols, valueCol = col("__z"),
+      levelCol = col("__lvl"))
+  }
 }

@@ -6854,6 +6854,197 @@ object Catalog {
       .transform(ordered("rnk"))
   }.copy(eagerBuild = true)
 
+  /** Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]): q185's
+    * nonparametric twin on the same slice — does event type shift value's
+    * location per day-of-week, judged on pooled midranks? Exact ×2-long
+    * midranks, DECIMAL rank sums + tie sum, each level's rs2²/(4n_l)
+    * through one mirrored double division into the exact-BIGINT rq, r4
+    * tie-corrected H tail.
+    */
+  val q191 = q(
+    "q191_kruskal_wallis",
+    """WITH t AS (SELECT isodow(ts) AS g, CAST(event_type AS VARCHAR) AS lvl,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT g, lvl,
+      |        2 * rank() OVER (PARTITION BY g ORDER BY v4)
+      |          + count(*) OVER (PARTITION BY g, v4) - 1 AS r2,
+      |        count(*) OVER (PARTITION BY g, v4) AS tc
+      |      FROM t),
+      |l AS (SELECT g, lvl, CAST(count(*) AS BIGINT) AS nl,
+      |        sum(CAST(r2 AS HUGEINT)) AS rs2,
+      |        sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT) - 1) AS ts
+      |      FROM r GROUP BY 1, 2),
+      |qq AS (SELECT g, nl, ts,
+      |        CAST(floor(CAST(rs2 * rs2 AS DOUBLE)
+      |          / (4.0 * CAST(nl AS DOUBLE)) + 0.5) AS BIGINT) AS rq
+      |      FROM l),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(nl) AS BIGINT) AS n,
+      |        CAST(sum(rq) AS BIGINT) AS rq, sum(ts) AS tsum
+      |      FROM qq GROUP BY 1)
+      |SELECT g AS dow, n, k, rq,
+      |  CASE WHEN k > 1 AND n > 1 AND tsum <>
+      |        CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - n THEN
+      |    floor(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |            * CAST(rq AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      |           / (1.0 - CAST(tsum AS DOUBLE) /
+      |              CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+      |                   * CAST(n AS HUGEINT) - n AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS h4
+      |FROM m ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .kruskalWallis(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        valueCol = col("value"), levelCol = col("event_type"))
+      .select(col("dow"), col("n"), col("k"), col("rq"),
+        r4(col("h")).as("h4"))
+      .transform(ordered("dow"))
+  }
+
+  /** Wilcoxon signed-rank ([[graft.operators.Eval.wilcoxonSignedRank]]):
+    * the PAIRED rank test — per event type, did value shift vs the SAME
+    * user's previous event (lag pairing over (ts, event_id))? Zero
+    * differences Wilcoxon-excluded, exact ×2-long magnitude midranks so
+    * w2p = 2·W⁺ rides the hash as an exact BIGINT, DECIMAL tie sum, r4
+    * z tail.
+    */
+  val q192 = q(
+    "q192_signed_rank",
+    """WITH p AS (SELECT event_type AS g, value AS a,
+      |             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      |           FROM events),
+      |t AS (SELECT g, CAST(floor(a * 10000 + 0.5) AS BIGINT)
+      |             - CAST(floor(b * 10000 + 0.5) AS BIGINT) AS d4
+      |      FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+      |f AS (SELECT g, d4, abs(d4) AS ad FROM t WHERE d4 <> 0),
+      |r AS (SELECT g, d4,
+      |        2 * rank() OVER (PARTITION BY g ORDER BY ad)
+      |          + count(*) OVER (PARTITION BY g, ad) - 1 AS r2,
+      |        count(*) OVER (PARTITION BY g, ad) AS tc
+      |      FROM f),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN d4 > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2p,
+      |        sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT) - 1) AS tsum
+      |      FROM r GROUP BY 1),
+      |v AS (SELECT g, n, w2p,
+      |        CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |          * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+      |          - CAST(tsum AS DOUBLE) / 48.0 AS var_w
+      |      FROM m)
+      |SELECT g AS event_type, n, w2p,
+      |  CASE WHEN n > 0 AND var_w > 0 THEN
+      |    floor(((CAST(w2p AS DOUBLE)
+      |            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+      |           / (2.0 * sqrt(var_w))) * 10000 + 0.5) / 10000
+      |  END AS z4
+      |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.operators.Eval
+      .wilcoxonSignedRank(
+        Tables.events(s, d).withColumn("prev", lag(col("value"), 1).over(w)),
+        Seq("event_type"),
+        aCol = col("value"), bCol = col("prev"))
+      .select(col("event_type"), col("n"), col("w2p"),
+        r4(col("z")).as("z4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Cliff's delta ([[graft.operators.Eval.cliffsDelta]]): the dominance
+    * effect size on q182's exact slice — how BIG is the even- vs odd-user
+    * value shift, on [−1, 1]? Collapses the all-pairs count into the U
+    * identity δ = (u2 − n_a·n_b)/(n_a·n_b); u2 exact BIGINT under the
+    * hash, r4 δ tail.
+    */
+  val q193 = q(
+    "q193_cliffs_delta",
+    """WITH t AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT g, a,
+      |        2 * rank() OVER (PARTITION BY g ORDER BY v4)
+      |          + count(*) OVER (PARTITION BY g, v4) - 1 AS r2
+      |      FROM t),
+      |m AS (SELECT g,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(sum(CASE WHEN a THEN r2 ELSE 0 END) AS BIGINT) AS rs2
+      |      FROM r GROUP BY 1)
+      |SELECT g AS event_type, n_a, n_b,
+      |       rs2 - n_a * (n_a + 1) AS u2,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    floor(((CAST(rs2 - n_a * (n_a + 1) AS DOUBLE)
+      |            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS delta4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .cliffsDelta(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), inSampleA = pmod(col("user_id"), lit(2L)) === 0)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2"),
+        r4(col("delta")).as("delta4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Brown–Forsythe ([[graft.operators.Eval.brownForsythe]]): q185's
+    * equal-VARIANCE companion on the same slice — ANOVA on absolute
+    * deviations from each level's exact ×2-order-statistic median. The
+    * deviation longs flow through anovaF's DECIMAL moments; ssb8/ssw8
+    * exact-by-mirroring, r4 F tail.
+    */
+  val q194 = q(
+    "q194_brown_forsythe",
+    """WITH t AS (SELECT isodow(ts) AS g, CAST(event_type AS VARCHAR) AS lvl,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT g, lvl, v4,
+      |        CAST(row_number() OVER (PARTITION BY g, lvl ORDER BY v4) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY g, lvl) AS BIGINT) AS nl
+      |      FROM t),
+      |md AS (SELECT g, lvl, v4,
+      |        sum(CASE WHEN rn = CAST(floor((CAST(nl AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+      |              THEN v4 ELSE 0 END) OVER (PARTITION BY g, lvl)
+      |        + sum(CASE WHEN rn = CAST(floor(CAST(nl AS DOUBLE) / 2.0) AS BIGINT) + 1
+      |              THEN v4 ELSE 0 END) OVER (PARTITION BY g, lvl) AS med2
+      |      FROM r),
+      |t2 AS (SELECT g, lvl,
+      |        CAST(floor(CAST(abs(2 * v4 - med2) AS DOUBLE) / 10000.0 * 10000 + 0.5)
+      |          AS BIGINT) AS v4
+      |      FROM md),
+      |l AS (SELECT g, lvl, CAST(count(*) AS BIGINT) AS nl,
+      |        sum(CAST(v4 AS HUGEINT)) AS s1,
+      |        sum(CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT)) AS s2
+      |      FROM t2 GROUP BY 1, 2),
+      |qq AS (SELECT g, nl, s1, s2,
+      |        CAST(floor(CAST(s1 * s1 AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5) AS BIGINT) AS q8
+      |      FROM l),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS k, CAST(sum(nl) AS BIGINT) AS n,
+      |        sum(s1) AS gs1, sum(s2) AS gs2, CAST(sum(q8) AS BIGINT) AS gq8
+      |      FROM qq GROUP BY 1),
+      |f AS (SELECT g, n, k,
+      |        gq8 - CAST(floor(CAST(gs1 * gs1 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ssb8,
+      |        CAST(gs2 - gq8 AS DOUBLE) AS sswd
+      |      FROM m)
+      |SELECT g AS dow, n, k, ssb8,
+      |  CAST(floor(sswd + 0.5) AS BIGINT) AS ssw8,
+      |  CASE WHEN k > 1 AND n > k AND sswd > 0 THEN
+      |    floor(((CAST(ssb8 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+      |           / (sswd / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))) * 10000 + 0.5) / 10000
+      |  END AS f4
+      |FROM f ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .brownForsythe(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        valueCol = col("value"), levelCol = col("event_type"))
+      .select(col("dow"), col("n"), col("k"), col("ssb8"), col("ssw8"),
+        r4(col("f")).as("f4"))
+      .transform(ordered("dow"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -6884,5 +7075,6 @@ object Catalog {
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172,
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q182, q183, q184, q185, q186, q187, q188, q189, q190,
+    q191, q192, q193, q194)
 }

@@ -1129,4 +1129,106 @@ class EvalOpsSpec extends SparkSpec {
       Eval.calibrationError(bad, Seq("g"), col("p"), col("y")).collect()
     }
   }
+
+  // ---------------------------------------------------- kruskalWallis
+
+  test("kruskalWallis: singleton levels give the textbook H; degenerates NULL") {
+    // Three singleton levels, distinct values → ranks 1,2,3, each level
+    // term r² exact: H = 12/(3·4)·(1+4+9) − 3·4 = 2.0, no tie correction.
+    val df = Seq(
+      ("g", "a", 1.0), ("g", "b", 2.0), ("g", "c", 3.0),
+      // all-tied group: C = 0 → h NULL (decided by exact integer compare)
+      ("tied", "a", 5.0), ("tied", "b", 5.0),
+      // single level → k < 2 → NULL
+      ("one", "a", 1.0), ("one", "a", 2.0)
+    ).toDF("g", "lvl", "v")
+    val out = Eval.kruskalWallis(df, Seq("g"), col("v"), col("lvl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(4)))).toMap
+    assert(out("g")._1 == 3L && out("g")._2 == 3L)
+    assert(math.abs(out("g")._3.get.asInstanceOf[Double] - 2.0) < 1e-9)
+    assert(out("tied")._3.isEmpty)
+    assert(out("one")._3.isEmpty)
+  }
+
+  test("kruskalWallis: tie-corrected H matches the rq-rounded formula") {
+    // A = {1,1}, B = {3,4}: midranks 1.5,1.5,3,4 → r2 = 3,3,6,8.
+    // rq_A = floor(36/8 + .5) = 5, rq_B = floor(196/8 + .5) = 25 (the
+    // documented nearest-integer level term; error vanishes as n² grows).
+    // tsum = Σ(t³−t) = 6; H = 12/20·30 − 15 = 3, C = 1 − 6/60 = 0.9.
+    val df = Seq(
+      ("g", "A", 1.0), ("g", "A", 1.0), ("g", "B", 3.0), ("g", "B", 4.0)
+    ).toDF("g", "lvl", "v")
+    val Array(r) = Eval.kruskalWallis(df, Seq("g"), col("v"), col("lvl")).collect()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 30L)
+    assert(math.abs(r.getDouble(4) - 3.0 / 0.9) < 1e-9)
+  }
+
+  // ----------------------------------------------- wilcoxonSignedRank
+
+  test("wilcoxonSignedRank: hand case, zero-diff exclusion, null pairs") {
+    // d = {+1, −2, +3} → |d| ranks 1,2,3, W⁺ = 1+3 = 4 → w2p = 8,
+    // z = (4 − 3)/√3.5 = 0.53452; the (5,5) zero pair and the null pair
+    // are excluded (n = 3).
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("g", 2.0, 1.0), ("g", 1.0, 3.0), ("g", 7.0, 4.0),
+      ("g", 5.0, 5.0), ("g", 9.0, null)
+    ).toDF("g", "a", "b")
+    val Array(r) = Eval.wilcoxonSignedRank(df, Seq("g"), col("a"), col("b")).collect()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 8L)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(3.5)) < 1e-9)
+  }
+
+  test("wilcoxonSignedRank: symmetric magnitude ties give z = 0") {
+    // d = {+1, −1}: midranks 1.5 each → W⁺ = 1.5 = n(n+1)/4 → z = 0;
+    // Var = 2·3·5/24 − 6/48 = 1.125 > 0 so z is defined.
+    val df = Seq(("g", 2.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "a", "b")
+    val Array(r) = Eval.wilcoxonSignedRank(df, Seq("g"), col("a"), col("b")).collect()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  // ----------------------------------------------------- cliffsDelta
+
+  test("cliffsDelta: dominance ±1, tie-cancelling, and the U identity") {
+    val df = Seq(
+      // all of A above all of B → δ = 1
+      ("dom", true, 3.0), ("dom", true, 4.0),
+      ("dom", false, 1.0), ("dom", false, 2.0),
+      // exact tie → U = eq/2 → δ = 0
+      ("tie", true, 1.0), ("tie", false, 1.0),
+      // one win one loss → δ = 0
+      ("mix", true, 2.0), ("mix", false, 1.0), ("mix", false, 3.0)
+    ).toDF("g", "a", "v")
+    val out = Eval.cliffsDelta(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("dom") == ((2L, 2L, 8L, 1.0)))
+    assert(out("tie") == ((1L, 1L, 1L, 0.0)))
+    assert(out("mix") == ((1L, 2L, 2L, 0.0)))
+  }
+
+  // --------------------------------------------------- brownForsythe
+
+  test("brownForsythe: hand-computed F on level deviations; even-n median") {
+    // A = {0,2,4}: median 2 → |dev| = {2,0,2}; B = {10,10,10}: devs 0.
+    // ANOVA on devs (×2 internally; F scale-invariant):
+    // SSB = 32/3, SSW = 32/3, F = (32/3)/(32/12) = 4.
+    val df = Seq(
+      ("g", "A", 0.0), ("g", "A", 2.0), ("g", "A", 4.0),
+      ("g", "B", 10.0), ("g", "B", 10.0), ("g", "B", 10.0),
+      // even n: median of {1,3} is 2 → devs {1,1}, zero within-variance
+      // and zero between → F NULL (SSW = 0 with equal level means is
+      // k=1-like degeneracy: here both levels' dev means differ → fine)
+      ("even", "A", 1.0), ("even", "A", 3.0),
+      ("even", "B", 5.0), ("even", "B", 5.0)
+    ).toDF("g", "lvl", "v")
+    val out = Eval.brownForsythe(df, Seq("g"), col("v"), col("lvl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(5)))).toMap
+    assert(out("g")._1 == 6L && out("g")._2 == 2L)
+    assert(math.abs(out("g")._3.get.asInstanceOf[Double] - 4.0) < 1e-6)
+    // "even": devs A = {1,1}, B = {0,0} → SSW = 0 → F NULL
+    assert(out("even")._3.isEmpty)
+  }
 }
