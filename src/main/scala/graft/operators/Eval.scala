@@ -1139,4 +1139,198 @@ object Eval {
     anovaF(withMed, groupCols, valueCol = col("__z"),
       levelCol = col("__lvl"))
   }
+
+  /** Matthews correlation coefficient per group — the single-number
+    * binary-classifier grade that stays honest under class imbalance
+    * (accuracy and F1 both saturate when one class dominates; MCC is the
+    * full-confusion correlation):
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * Exactness: the four cells are exact longs from ONE hash aggregate;
+    * numerator and the four marginals multiply in DECIMAL(38,0) (the
+    * [[cohenKappa]] headroom convention — cell products overflow LONG past
+    * ~3·10⁹-row groups); MCC is one double division with a √ of an exact
+    * integer product. Any zero marginal → MCC NULL (the 0/0 convention),
+    * decided by exact integer compares. NULL label/pred rows excluded.
+    *
+    * @return per group: (groupCols…, tp, fp, tn, fn, mcc)
+    */
+  def matthewsCorr(
+      df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, predCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val m = df
+      .filter(labelCol.isNotNull && predCol.isNotNull)
+      .select(g ++ Seq(labelCol.cast("boolean").as("__y"),
+        predCol.cast("boolean").as("__p")): _*)
+      .groupBy(g: _*).agg(
+        sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"))
+    val num = dec38(col("tp")) * dec38(col("tn")) -
+      dec38(col("fp")) * dec38(col("fn"))
+    val d1 = dec38(col("tp")) + dec38(col("fp"))
+    val d2 = dec38(col("tp")) + dec38(col("fn"))
+    val d3 = dec38(col("tn")) + dec38(col("fp"))
+    val d4 = dec38(col("tn")) + dec38(col("fn"))
+    m.select(g ++ Seq(col("tp"), col("fp"), col("tn"), col("fn"),
+      when(d1 > 0 && d2 > 0 && d3 > 0 && d4 > 0,
+        num.cast("double") /
+          sqrt((d1 * d2).cast("double") * (d3 * d4).cast("double")))
+        .as("mcc")): _*)
+  }
+
+  /** Micro and macro F1 per group over a MULTICLASS (label, pred) pair —
+    * the per-class quality summary a routing/tagging model is graded on.
+    * Micro F1 aggregates cells globally (for single-label multiclass it
+    * equals accuracy); macro F1 averages per-class F1 so rare classes
+    * count equally.
+    *
+    * Per class c (classes = every value observed as a label OR a pred):
+    * tp_c is the diagonal cell, fp_c = pred-marginal − tp_c, fn_c =
+    * label-marginal − tp_c, F1_c = 2tp/(2tp+fp+fn) (denominator ≥ 1 by
+    * construction — a class exists only if observed).
+    *
+    * Exactness: cells and marginals are exact longs; each F1_c is ONE
+    * double division of exact ints floored at scale 8 into a LONG before
+    * the order-independent macro sum (the [[averagePrecision]] ap8
+    * convention); micro F1 is one double division of exact longs. NULL
+    * labels/preds are excluded; macro = f1sum8/1e8/k is a fixed double
+    * tail.
+    *
+    * Plan: one (group, label, pred) cell aggregate, two answer-sized
+    * marginal rollups full-outer-joined per class, one group aggregate.
+    *
+    * @return per group: (groupCols…, n, k_classes, f1sum8, micro_f1,
+    *         macro_f1)
+    */
+  def f1Scores(
+      df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, predCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(labelCol.isNotNull && predCol.isNotNull)
+      .select(g ++ Seq(labelCol.cast("string").as("__y"),
+        predCol.cast("string").as("__p")): _*)
+      .groupBy(g :+ col("__y") :+ col("__p"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byLabel = cells.groupBy(g :+ col("__y").as("__cls"): _*)
+      .agg(sum(col("__c")).as("__nl"),
+        sum(when(col("__y") === col("__p"), col("__c")).otherwise(0L))
+          .as("__tp1"))
+    val byPred = cells.groupBy(g :+ col("__p").as("__cls"): _*)
+      .agg(sum(col("__c")).as("__np"))
+    val perClass = byLabel.join(byPred, groupCols :+ "__cls", "full_outer")
+      .na.fill(0L, Seq("__nl", "__tp1", "__np"))
+      .withColumn("__f18",
+        floor((lit(2.0) * col("__tp1").cast("double")) /
+          (col("__nl") + col("__np")).cast("double") * 1e8 + 0.5)
+          .cast("long"))
+    perClass.groupBy(g: _*).agg(
+        sum(col("__nl")).as("n"),
+        count(lit(1)).as("k_classes"),
+        sum(col("__tp1")).as("__tps"),
+        sum(col("__f18")).as("f1sum8"))
+      .select(g ++ Seq(col("n"), col("k_classes"), col("f1sum8"),
+        (lit(2.0) * col("__tps").cast("double") /
+          (lit(2.0) * col("n").cast("double"))).as("micro_f1"),
+        (col("f1sum8").cast("double") / 1e8 /
+          col("k_classes").cast("double")).as("macro_f1")): _*)
+  }
+
+  /** McNemar's test per group — do two classifiers DISAGREE asymmetrically
+    * on the same rows? (the paired accuracy comparison: only the
+    * discordant cells carry signal). The A/B gate for "is model B actually
+    * better than model A on this slice", run on matched predictions.
+    *
+    *   b = A right ∧ B wrong,  c = A wrong ∧ B right,
+    *   χ² = (b − c)² / (b + c)     (the uncorrected form; documented)
+    *
+    * Exactness: b and c are exact longs from one hash aggregate; (b−c)²
+    * rides DECIMAL(38,0); the statistic is one double division of exact
+    * integers, NULL when b + c = 0 (no discordant pairs — the models are
+    * indistinguishable on this slice). NULL rows (either prediction or
+    * the label) are excluded.
+    *
+    * @param aCorrect boolean Column: model A's prediction was correct
+    * @param bCorrect boolean Column: model B's prediction was correct
+    * @return per group: (groupCols…, n, b, c, chi2)
+    */
+  def mcnemar(
+      df: DataFrame, groupCols: Seq[String],
+      aCorrect: Column, bCorrect: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val m = df
+      .filter(aCorrect.isNotNull && bCorrect.isNotNull)
+      .select(g ++ Seq(aCorrect.cast("boolean").as("__a"),
+        bCorrect.cast("boolean").as("__b")): _*)
+      .groupBy(g: _*).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"))
+    val diff = dec38(col("b")) - dec38(col("c"))
+    m.select(g ++ Seq(col("n"), col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        (diff * diff).cast("double") / (col("b") + col("c")).cast("double"))
+        .as("chi2")): _*)
+  }
+
+  /** Lift / cumulative-gains table per group — the campaign-targeting
+    * read of a scored population: split the (score DESC)-ranked rows into
+    * q quantile buckets; per bucket report the positive rate's LIFT over
+    * the group base rate and the cumulative GAIN (share of all positives
+    * captured so far). The business-facing rendering of the same ranking
+    * [[rocAuc]] grades.
+    *
+    * Determinism: bucket assignment is ntile(q) over (score DESC, tieCol
+    * ASC) — the caller supplies the unique tie-break (q183's convention),
+    * and ntile's floor-based bucket sizing is specified identically in
+    * Spark and ANSI SQL. Lift = (pos_b·n)/(n_b·pos) and gain =
+    * cum_pos/pos are single double divisions of exact longs (products in
+    * DECIMAL(38,0)); gain NULL-guards on pos = 0.
+    *
+    * Plan: one rank window per group + one (group, bucket) aggregate +
+    * one answer-sized totals window — nothing data-sized after the
+    * window.
+    *
+    * @return per (group, bucket): (groupCols…, bucket, n_b, pos_b,
+    *         cum_pos, gain, lift)
+    */
+  def liftGains(
+      df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, scoreCol: Column, tieCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(buckets >= 2, "buckets must be >= 2")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__s").desc, col("__tb").asc)
+    val byBucket = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(g ++ Seq(labelCol.cast("boolean").as("__y"),
+        scoreCol.as("__s"), tieCol.as("__tb")): _*)
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_b"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos_b"))
+    val wTot = Window.partitionBy(g: _*)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("__n", sum(col("n_b")).over(wTot))
+      .withColumn("__pos", sum(col("pos_b")).over(wTot))
+      .withColumn("cum_pos", sum(col("pos_b")).over(wCum))
+      .select(g ++ Seq(col("bucket"), col("n_b"), col("pos_b"), col("cum_pos"),
+        when(col("__pos") > 0,
+          col("cum_pos").cast("double") / col("__pos").cast("double"))
+          .as("gain"),
+        when(col("__pos") > 0,
+          (dec38(col("pos_b")) * dec38(col("__n"))).cast("double") /
+            (dec38(col("n_b")) * dec38(col("__pos"))).cast("double"))
+          .as("lift")): _*)
+  }
 }

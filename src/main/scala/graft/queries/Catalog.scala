@@ -7045,6 +7045,154 @@ object Catalog {
       .transform(ordered("dow"))
   }
 
+  /** Matthews correlation ([[graft.operators.Eval.matthewsCorr]]): the
+    * imbalance-honest binary grade per event type — label = value ≥ 50,
+    * prediction = a noisy value ≥ 45 rule (every 11th event flipped).
+    * Exact long cells, DECIMAL marginal products, one double tail, r4.
+    */
+  val q195 = q(
+    "q195_mcc",
+    """WITH t AS (SELECT event_type AS g, (value >= 50) AS y,
+      |             ((value >= 45) <> (event_id % 11 = 0)) AS p
+      |           FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |m AS (SELECT g,
+      |        CAST(sum(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |        CAST(sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |        CAST(sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |        CAST(sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |      FROM t GROUP BY 1)
+      |SELECT g AS event_type, tp, fp, tn, fn,
+      |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0 THEN
+      |    floor((CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+      |                - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+      |           / sqrt(CAST((CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn) AS DOUBLE)
+      |                  * CAST((CAST(tn AS HUGEINT) + fp) * (CAST(tn AS HUGEINT) + fn) AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS mcc4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .matthewsCorr(Tables.events(s, d), Seq("event_type"),
+        labelCol = col("value") >= 50,
+        predCol = (col("value") >= 45) =!= (pmod(col("event_id"), lit(11L)) === 0))
+      .select(col("event_type"), col("tp"), col("fp"), col("tn"), col("fn"),
+        r4(col("mcc")).as("mcc4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Micro/macro F1 ([[graft.operators.Eval.f1Scores]]): multiclass grade
+    * per day-of-week — label = event_type, prediction = the same with
+    * every 7th event misrouted to 'click'. Exact long cells/marginals,
+    * per-class F1 floored at scale 8 into the order-independent f1sum8,
+    * r4 micro/macro tails.
+    */
+  val q196 = q(
+    "q196_f1_scores",
+    """WITH t AS (SELECT isodow(ts) AS g, CAST(event_type AS VARCHAR) AS y,
+      |             CAST(CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS VARCHAR) AS p
+      |           FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+      |c AS (SELECT g, y, p, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3),
+      |bl AS (SELECT g, y AS cls, CAST(sum(c) AS BIGINT) AS nl,
+      |         CAST(sum(CASE WHEN y = p THEN c ELSE 0 END) AS BIGINT) AS tp1
+      |       FROM c GROUP BY 1, 2),
+      |bp AS (SELECT g, p AS cls, CAST(sum(c) AS BIGINT) AS np FROM c GROUP BY 1, 2),
+      |pc AS (SELECT COALESCE(bl.g, bp.g) AS g,
+      |         COALESCE(nl, 0) AS nl, COALESCE(tp1, 0) AS tp1, COALESCE(np, 0) AS np
+      |       FROM bl FULL OUTER JOIN bp ON bl.g IS NOT DISTINCT FROM bp.g
+      |         AND bl.cls IS NOT DISTINCT FROM bp.cls),
+      |f AS (SELECT g, nl, tp1, np,
+      |        CAST(floor((2.0 * CAST(tp1 AS DOUBLE)) / CAST(nl + np AS DOUBLE)
+      |          * 100000000 + 0.5) AS BIGINT) AS f18
+      |      FROM pc)
+      |SELECT g AS dow, CAST(sum(nl) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS k_classes,
+      |  CAST(sum(f18) AS BIGINT) AS f1sum8,
+      |  floor((2.0 * CAST(sum(tp1) AS DOUBLE) / (2.0 * CAST(sum(nl) AS DOUBLE)))
+      |    * 10000 + 0.5) / 10000 AS micro4,
+      |  floor((CAST(sum(f18) AS DOUBLE) / 100000000.0 / CAST(count(*) AS DOUBLE))
+      |    * 10000 + 0.5) / 10000 AS macro4
+      |FROM f GROUP BY 1 ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .f1Scores(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        labelCol = col("event_type"),
+        predCol = when(pmod(col("event_id"), lit(7L)) === 0, lit("click"))
+          .otherwise(col("event_type")))
+      .select(col("dow"), col("n"), col("k_classes"), col("f1sum8"),
+        r4(col("micro_f1")).as("micro4"), r4(col("macro_f1")).as("macro4"))
+      .transform(ordered("dow"))
+  }
+
+  /** McNemar's paired test ([[graft.operators.Eval.mcnemar]]): are the
+    * q195 rule and a stricter value ≥ 55 rule (every 13th flipped)
+    * asymmetrically wrong on the same events? Exact long discordant
+    * cells, DECIMAL (b−c)², one double tail, r4.
+    */
+  val q197 = q(
+    "q197_mcnemar",
+    """WITH t AS (SELECT event_type AS g,
+      |             (((value >= 45) <> (event_id % 11 = 0)) = (value >= 50)) AS a,
+      |             (((value >= 55) <> (event_id % 13 = 0)) = (value >= 50)) AS b
+      |           FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+      |        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+      |      FROM t GROUP BY 1)
+      |SELECT g AS event_type, n, b_cnt AS b, c_cnt AS c,
+      |  CASE WHEN b_cnt + c_cnt > 0 THEN
+      |    floor((CAST((CAST(b_cnt AS HUGEINT) - c_cnt) * (CAST(b_cnt AS HUGEINT) - c_cnt) AS DOUBLE)
+      |           / CAST(b_cnt + c_cnt AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS chi24
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val label = col("value") >= 50
+    graft.operators.Eval
+      .mcnemar(Tables.events(s, d), Seq("event_type"),
+        aCorrect = ((col("value") >= 45) =!= (pmod(col("event_id"), lit(11L)) === 0)) === label,
+        bCorrect = ((col("value") >= 55) =!= (pmod(col("event_id"), lit(13L)) === 0)) === label)
+      .select(col("event_type"), col("n"), col("b"), col("c"),
+        r4(col("chi2")).as("chi24"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Lift/gains deciles ([[graft.operators.Eval.liftGains]]): the
+    * campaign-targeting table per event type over q183's positives ranked
+    * by value — deterministic ntile(10) over (score DESC, event_id), exact
+    * long bucket counts, DECIMAL lift products, r4 gain/lift tails.
+    */
+  val q198 = q(
+    "q198_lift_gains",
+    """WITH t AS (SELECT event_type AS g, ((user_id + event_id) % 5 = 0) AS y,
+      |             value AS s, event_id AS tb
+      |           FROM events
+      |           WHERE value IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+      |b AS (SELECT g, y, ntile(10) OVER (PARTITION BY g ORDER BY s DESC, tb) AS bucket FROM t),
+      |a AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS n_b,
+      |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_b
+      |      FROM b GROUP BY 1, 2),
+      |w AS (SELECT g, bucket, n_b, pos_b,
+      |        CAST(sum(n_b) OVER (PARTITION BY g) AS BIGINT) AS n,
+      |        CAST(sum(pos_b) OVER (PARTITION BY g) AS BIGINT) AS pos,
+      |        CAST(sum(pos_b) OVER (PARTITION BY g ORDER BY bucket
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      |      FROM a)
+      |SELECT g AS event_type, bucket, n_b, pos_b, cum_pos,
+      |  CASE WHEN pos > 0 THEN
+      |    floor((CAST(cum_pos AS DOUBLE) / CAST(pos AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS gain4,
+      |  CASE WHEN pos > 0 THEN
+      |    floor((CAST(CAST(pos_b AS HUGEINT) * n AS DOUBLE)
+      |           / CAST(CAST(n_b AS HUGEINT) * pos AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS lift4
+      |FROM w ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .liftGains(Tables.events(s, d), Seq("event_type"),
+        labelCol = pmod(col("user_id") + col("event_id"), lit(5L)) === 0,
+        scoreCol = col("value"), tieCol = col("event_id"), buckets = 10)
+      .select(col("event_type"), col("bucket"), col("n_b"), col("pos_b"),
+        col("cum_pos"), r4(col("gain")).as("gain4"), r4(col("lift")).as("lift4"))
+      .transform(ordered("event_type", "bucket"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7076,5 +7224,5 @@ object Catalog {
     q170, q171, q172,
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194)
+    q191, q192, q193, q194, q195, q196, q197, q198)
 }

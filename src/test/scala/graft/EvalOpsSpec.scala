@@ -1231,4 +1231,81 @@ class EvalOpsSpec extends SparkSpec {
     // "even": devs A = {1,1}, B = {0,0} → SSW = 0 → F NULL
     assert(out("even")._3.isEmpty)
   }
+
+  // ---------------------------------------------------- matthewsCorr
+
+  test("matthewsCorr: perfect, inverted, uninformative, and NULL marginals") {
+    val df = Seq(
+      ("perf", true, true), ("perf", true, true),
+      ("perf", false, false), ("perf", false, false),
+      ("inv", true, false), ("inv", false, true),
+      // tp=1, fp=1, tn=1, fn=1 → numerator 0 → MCC 0
+      ("zero", true, true), ("zero", false, true),
+      ("zero", false, false), ("zero", true, false),
+      // all labels positive → tn+fp marginal = 0 → NULL
+      ("onecls", true, true), ("onecls", true, false)
+    ).toDF("g", "y", "p")
+    val out = Eval.matthewsCorr(df, Seq("g"), col("y"), col("p"))
+      .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
+    assert(out("perf").get.asInstanceOf[Double] == 1.0)
+    assert(out("inv").get.asInstanceOf[Double] == -1.0)
+    assert(out("zero").get.asInstanceOf[Double] == 0.0)
+    assert(out("onecls").isEmpty)
+  }
+
+  // ------------------------------------------------------- f1Scores
+
+  test("f1Scores: hand-computed micro/macro; pred-only classes count") {
+    // labels a,a,b; preds a,b,b → per-class F1 = 2/3 both; micro = 2/3.
+    val df = Seq(
+      ("g", "a", "a"), ("g", "a", "b"), ("g", "b", "b"),
+      // label a twice, predicted b twice: both classes' F1 = 0, k = 2
+      ("miss", "a", "b"), ("miss", "a", "b")
+    ).toDF("g", "y", "p")
+    val out = Eval.f1Scores(df, Seq("g"), col("y"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (n, k, f8, microF1, macroF1) = out("g")
+    assert(n == 3L && k == 2L && f8 == 2L * 66666667L)
+    assert(math.abs(microF1 - 2.0 / 3.0) < 1e-9)
+    assert(math.abs(macroF1 - 0.66666667) < 1e-9)
+    assert(out("miss") == ((2L, 2L, 0L, 0.0, 0.0)))
+  }
+
+  // --------------------------------------------------------- mcnemar
+
+  test("mcnemar: discordant cells drive the statistic; concordant-only NULL") {
+    val df = Seq(
+      ("g", true, true), ("g", true, false), ("g", false, true),
+      ("g", true, false),
+      ("same", true, true), ("same", false, false)
+    ).toDF("g", "a", "b")
+    val out = Eval.mcnemar(df, Seq("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    val (n, b, c, chi2) = out("g")
+    assert(n == 4L && b == 2L && c == 1L)
+    assert(math.abs(chi2.get.asInstanceOf[Double] - 1.0 / 3.0) < 1e-12)
+    assert(out("same")._4.isEmpty)
+  }
+
+  // ------------------------------------------------------- liftGains
+
+  test("liftGains: top bucket captures all positives; ntile sizes uneven tails") {
+    // scores 4,3,2,1,0 with positives on 4,3 → 2 buckets sized 3,2:
+    // bucket 1 = {4,3,2}: pos 2, gain 1, lift = (2·5)/(3·2) = 5/3;
+    // bucket 2 = {1,0}: pos 0, gain stays 1, lift 0.
+    val df = Seq(
+      ("g", true, 4.0, 1L), ("g", true, 3.0, 2L), ("g", false, 2.0, 3L),
+      ("g", false, 1.0, 4L), ("g", false, 0.0, 5L)
+    ).toDF("g", "y", "s", "id")
+    val rows = Eval.liftGains(df, Seq("g"), col("y"), col("s"), col("id"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 2L))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 2L))
+    assert(rows.map(_.getDouble(5)).toSeq == Seq(1.0, 1.0))
+    assert(math.abs(rows(0).getDouble(6) - 5.0 / 3.0) < 1e-12)
+    assert(rows(1).getDouble(6) == 0.0)
+  }
 }
