@@ -314,4 +314,174 @@ object Smooth {
           col(s"__num$k").cast("double") / col("__den").cast("double"))
           .as(s"rho$k")): _*)
   }
+
+  /** Cross-correlation function per group — [[acf]]'s two-series sibling:
+    * does series y LEAD series x by k steps? ρ_k = corr(x_t, y_{t−k}) for
+    * k = 0…maxLag over the (orderCol, tieCols)-ordered rows ("does an
+    * error spike follow a deploy event three bins later?" — the
+    * lead/lag diagnostic run before pairing metrics in a dashboard).
+    *
+    * Rows with EITHER value NULL are excluded first (pairwise-complete
+    * series; the lag index runs over kept rows — document gaps by
+    * resampling with [[resampleFill]] first when bins can be empty).
+    *
+    * Exactness (the [[acf]] trick, doubled): both series demean as exact
+    * longs `dx = n·x4 − Σx4`, `dy = n·y4 − Σy4`; all Σdx·dy_{−k}, Σdx²,
+    * Σdy² accumulate in DECIMAL(38,0); each ρ_k is one mirrored double
+    * division with a √ of an exact product. The n-scaling cancels.
+    *
+    * Plan: one broadcast of the per-group totals, one ordered window for
+    * the lags, one hash aggregate — nothing data-sized after the window.
+    *
+    * @return per group: (groupCols…, n, rho0, rho1…rho⟨maxLag⟩) — NULL
+    *         when either series is constant
+    */
+  def ccf(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      xCol: Column, yCol: Column, tieCols: Seq[String],
+      maxLag: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(maxLag >= 0 && maxLag <= 20, s"maxLag out of [0,20]: $maxLag")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(xCol.cast("double") * 10000 + 0.5).cast("long").as("__x4"),
+        floor(yCol.cast("double") * 10000 + 0.5).cast("long").as("__y4")) ++
+        tieCols.map(col): _*)
+    val totals = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x4")).as("__tx"), sum(col("__y4")).as("__ty"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
+    val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
+    val withD = base
+      .join(broadcast(totals.select(
+        groupCols.map(c => col(c).as(s"__a_$c")) ++
+          Seq(col("__n"), col("__tx"), col("__ty")): _*)), cond)
+      .withColumn("__dx", col("__n") * col("__x4") - col("__tx"))
+      .withColumn("__dy", col("__n") * col("__y4") - col("__ty"))
+    val lagged = (1 to maxLag).foldLeft(withD) { (d, k) =>
+      d.withColumn(s"__yl$k", lag(col("__dy"), k).over(w))
+    }
+    val aggs =
+      Seq(sum(dec(col("__dx")) * dec(col("__dx"))).as("__dxx"),
+        sum(dec(col("__dy")) * dec(col("__dy"))).as("__dyy"),
+        sum(dec(col("__dx")) * dec(col("__dy"))).as("__num0")) ++
+      (1 to maxLag).map(k =>
+        sum(dec(col("__dx")) * dec(col(s"__yl$k"))).as(s"__num$k"))
+    lagged.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+      .select(g ++ Seq(col("n")) ++ (0 to maxLag).map(k =>
+        when(col("__dxx") > 0 && col("__dyy") > 0,
+          col(s"__num$k").cast("double") /
+            sqrt(col("__dxx").cast("double") * col("__dyy").cast("double")))
+          .as(s"rho$k")): _*)
+  }
+
+  /** Durbin–Watson statistic per group — first-order serial correlation
+    * in an ordered residual series:
+    *
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²   ∈ [0, 4]
+    *
+    * (≈2 independent, →0 positively autocorrelated, →4 alternating).
+    * The regression-diagnostics companion to [[acf]]'s rho1 — run it on
+    * the residuals of a fit (q166's harmonic residuals, a target-encode
+    * residual) to decide whether "i.i.d. errors" is a lie.
+    *
+    * Exactness: residuals demean as exact longs `e = n·v4 − Σv4` (the
+    * [[acf]] trick — DW is scale-invariant so the n-scaling cancels);
+    * both sums accumulate in DECIMAL(38,0); DW is ONE double division of
+    * exact integers. NULL values are excluded before ordering.
+    *
+    * @return per group: (groupCols…, n, dw) — dw NULL when n &lt; 2 or
+    *         the series is constant
+    */
+  def durbinWatson(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, tieCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")) ++ tieCols.map(col): _*)
+    val totals = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v4")).as("__t"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
+    val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
+    base
+      .join(broadcast(totals.select(
+        groupCols.map(c => col(c).as(s"__a_$c")) ++
+          Seq(col("__n"), col("__t")): _*)), cond)
+      .withColumn("__e", col("__n") * col("__v4") - col("__t"))
+      .withColumn("__pd", col("__e") - lag(col("__e"), 1).over(w))
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(dec(col("__e")) * dec(col("__e"))).as("__den"),
+        sum(dec(col("__pd")) * dec(col("__pd"))).as("__num"))
+      .select(g ++ Seq(col("n"),
+        when(col("n") > 1 && col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("dw")): _*)
+  }
+
+  /** Gap-fill resample per key — regularize an irregular series onto a
+    * fixed `stepSec` grid from each key's first to last observation,
+    * forward-filling missing bins from the most recent value (the
+    * pre-processing every windowed/convolutional operator here assumes:
+    * [[ewma]], [[acf]], [[ccf]] index by ROW, so empty bins must become
+    * rows first).
+    *
+    * Per (key, bin) the LAST observation wins, by (timeCol, tieCol) —
+    * the caller supplies the unique tie-break (the q07 top-1 convention).
+    * Bins are `⌊epoch/step⌋·step` longs (the [[graft.functions.Macros]]
+    * floorBinEpoch convention); the grid is generated with `sequence()`
+    * per key — grid size is span/step, so choose a step that bounds
+    * rows-per-key (a year of 10-min bins ≈ 53k rows/key; for multi-year
+    * spans at second granularity, bin coarser first — the
+    * [[graft.llm.Drift.cusum]] bucket-first contract).
+    *
+    * Plan: one (key, bin) top-1 window, one answer-sized span aggregate,
+    * one sequence-explode (the grid), one bin-keyed equi-join, one
+    * forward-fill window per key. No shuffle is data-sized beyond the
+    * grid itself; the fill value always exists (the grid starts at the
+    * first OBSERVED bin).
+    *
+    * @return per (key, grid bin): (keyCols…, bin_epoch, value,
+    *         is_filled) — value carried forward where is_filled
+    */
+  def resampleFill(
+      df: DataFrame, keyCols: Seq[String], timeCol: Column,
+      valueCol: Column, stepSec: Long, tieCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val k = keyCols.map(col)
+    val wTop = Window.partitionBy(k :+ col("__bin"): _*)
+      .orderBy(col("__ts").desc, col("__tb").desc)
+    val obs = df
+      .filter(timeCol.isNotNull && valueCol.isNotNull)
+      .select(k ++ Seq(
+        (floor(timeCol.cast("timestamp").cast("long") / stepSec) * stepSec)
+          .cast("long").as("__bin"),
+        timeCol.as("__ts"), tieCol.as("__tb"), valueCol.as("__v")): _*)
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(k ++ Seq(col("__bin"), col("__v")): _*)
+    val grid = obs.groupBy(k: _*)
+      .agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
+      .select(k :+ explode(sequence(col("__lo"), col("__hi"),
+        lit(stepSec))).as("__bin"): _*)
+    val wFill = Window.partitionBy(k: _*).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keyCols :+ "__bin", "left")
+      .withColumn("is_filled", col("__v").isNull)
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
+      .select(k ++ Seq(col("__bin").as("bin_epoch"), col("value"),
+        col("is_filled")): _*)
+  }
 }

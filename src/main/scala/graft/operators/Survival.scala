@@ -144,4 +144,57 @@ object Survival {
             (col("e_a8").cast("double") / lit(1e8)) /
             (col("v8").cast("double") / lit(1e8))).as("z2")): _*)
   }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) per group —
+    * [[kaplanMeier]]'s ADDITIVE sibling: instead of the survival product,
+    * the cumulative hazard
+    *
+    *   Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ
+    *
+    * whose increments read directly as instantaneous risk ("0.4% of
+    * still-at-risk sessions convert per minute here") and whose sums are
+    * the natural input to hazard-ratio eyeballing between cohorts.
+    *
+    * Determinism: each dᵢ/nᵢ is ONE double division of exact longs
+    * floored at scale 8 into a LONG, so the cumulative `h8` is exact
+    * integer window arithmetic (the [[kaplanMeier]] log-sum convention
+    * without the log — no ulp caveat at all here); `chaz = h8/1e8` is one
+    * fixed double tail. Censored-only times affect n_risk but emit no
+    * row (the KM convention).
+    *
+    * Plan: identical to [[kaplanMeier]] — one (group, duration) hash
+    * aggregate, then windows over the distinct-duration frame only; the
+    * same bucket-durations-first contract applies at extreme scale.
+    *
+    * @return one row per (group, event time): (groupCols…, t, d, n_risk,
+    *         h8, chaz)
+    */
+  def nelsonAalen(
+      df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val a = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull)
+      .select(g ++ Seq(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("__ev")): _*)
+      .groupBy(g :+ col("t"): _*)
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy(g: _*)
+    val wPrev = Window.partitionBy(g: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.withColumn("n_risk",
+        sum(col("__c")).over(wAll) -
+          coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__t8",
+        floor(col("d").cast("double") / col("n_risk").cast("double") *
+          lit(1e8) + 0.5).cast("long"))
+      .withColumn("h8", sum(col("__t8")).over(wCum))
+      .filter(col("d") >= 1)
+      .select(g ++ Seq(col("t"), col("d"), col("n_risk"), col("h8"),
+        (col("h8").cast("double") / lit(1e8)).as("chaz")): _*)
+  }
 }

@@ -7193,6 +7193,183 @@ object Catalog {
       .transform(ordered("event_type", "bucket"))
   }
 
+  /** Gap-fill resample ([[graft.operators.Smooth.resampleFill]]): each
+    * user's irregular events onto a daily grid, last-observation-wins per
+    * bin ((ts, event_id) tie-break), forward-filled — the regularizer the
+    * row-indexed window operators (ewma/acf/ccf) assume. Values pass
+    * through untouched (no arithmetic to drift); is_filled marks carried
+    * bins.
+    */
+  val q199 = q(
+    "q199_resample_ffill",
+    """WITH o0 AS (SELECT user_id AS k,
+      |         (epoch_us(ts) // 1000000 // 86400) * 86400 AS bin,
+      |         ts, event_id AS tb, value AS v
+      |       FROM events
+      |       WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      |o1 AS (SELECT k, bin, v,
+      |         row_number() OVER (PARTITION BY k, bin ORDER BY ts DESC, tb DESC) AS rn
+      |       FROM o0),
+      |obs AS (SELECT k, bin, v FROM o1 WHERE rn = 1),
+      |sp AS (SELECT k, min(bin) AS lo, max(bin) AS hi FROM obs GROUP BY 1),
+      |grid AS (SELECT k, unnest(generate_series(lo, hi, 86400)) AS bin FROM sp),
+      |j AS (SELECT grid.k, grid.bin, obs.v
+      |      FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.bin = obs.bin)
+      |SELECT k AS user_id, bin AS bin_epoch,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bin
+      |    ROWS UNBOUNDED PRECEDING) AS value,
+      |  (v IS NULL) AS is_filled
+      |FROM j ORDER BY user_id, bin_epoch""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .resampleFill(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        Seq("user_id"), timeCol = col("ts"), valueCol = col("value"),
+        stepSec = 86400L, tieCol = col("event_id"))
+      .select(col("user_id"), col("bin_epoch"), col("value"), col("is_filled"))
+      .transform(orderedWide("user_id", "bin_epoch"))
+  }
+
+  /** Cross-correlation ([[graft.operators.Smooth.ccf]]): does the props.k
+    * payload lead value by 0–3 steps per event type? Both series demean
+    * as exact n·v−Σ longs, DECIMAL moment sums, one mirrored double
+    * division per lag, r4 tails.
+    */
+  val q200 = q(
+    "q200_ccf",
+    """WITH t AS (SELECT event_type AS g, ts, event_id,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS x4,
+      |             CAST(floor(CAST(json_extract(props, '$.k') AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS y4
+      |           FROM events
+      |           WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(x4) AS BIGINT) AS tx, CAST(sum(y4) AS BIGINT) AS ty
+      |        FROM t GROUP BY 1),
+      |d AS (SELECT t.g, ts, event_id, n, n * x4 - tx AS dx, n * y4 - ty AS dy
+      |      FROM t JOIN tot ON t.g IS NOT DISTINCT FROM tot.g),
+      |l AS (SELECT g, n, dx, dy,
+      |        lag(dy, 1) OVER (PARTITION BY g ORDER BY ts, event_id) AS y1,
+      |        lag(dy, 2) OVER (PARTITION BY g ORDER BY ts, event_id) AS y2,
+      |        lag(dy, 3) OVER (PARTITION BY g ORDER BY ts, event_id) AS y3
+      |      FROM d),
+      |m AS (SELECT g, max(n) AS n,
+      |        sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS dxx,
+      |        sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS dyy,
+      |        sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS n0,
+      |        sum(CAST(dx AS HUGEINT) * CAST(y1 AS HUGEINT)) AS n1,
+      |        sum(CAST(dx AS HUGEINT) * CAST(y2 AS HUGEINT)) AS n2,
+      |        sum(CAST(dx AS HUGEINT) * CAST(y3 AS HUGEINT)) AS n3
+      |      FROM l GROUP BY 1)
+      |SELECT g AS event_type, n,
+      |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+      |    floor((CAST(n0 AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS rho0_4,
+      |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+      |    floor((CAST(n1 AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS rho1_4,
+      |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+      |    floor((CAST(n2 AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS rho2_4,
+      |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+      |    floor((CAST(n3 AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS rho3_4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .ccf(Tables.events(s, d), Seq("event_type"), orderCol = col("ts"),
+        xCol = col("value"),
+        yCol = get_json_object(col("props"), "$.k").cast("double"),
+        tieCols = Seq("event_id"), maxLag = 3)
+      .select(col("event_type"), col("n"),
+        r4(col("rho0")).as("rho0_4"), r4(col("rho1")).as("rho1_4"),
+        r4(col("rho2")).as("rho2_4"), r4(col("rho3")).as("rho3_4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Durbin–Watson ([[graft.operators.Smooth.durbinWatson]]): first-order
+    * serial correlation of demeaned value per event type over
+    * (ts, event_id) order — exact n·v−Σ residual longs, DECIMAL sums,
+    * one double division, r4.
+    */
+  val q201 = q(
+    "q201_durbin_watson",
+    """WITH t AS (SELECT event_type AS g, ts, event_id,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(v4) AS BIGINT) AS tv
+      |        FROM t GROUP BY 1),
+      |d AS (SELECT t.g, ts, event_id, n, n * v4 - tv AS e
+      |      FROM t JOIN tot ON t.g IS NOT DISTINCT FROM tot.g),
+      |l AS (SELECT g, n, e,
+      |        e - lag(e, 1) OVER (PARTITION BY g ORDER BY ts, event_id) AS pd
+      |      FROM d),
+      |m AS (SELECT g, max(n) AS n,
+      |        sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS den,
+      |        sum(CAST(pd AS HUGEINT) * CAST(pd AS HUGEINT)) AS num
+      |      FROM l GROUP BY 1)
+      |SELECT g AS event_type, n,
+      |  CASE WHEN n > 1 AND den > 0 THEN
+      |    floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS dw4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .durbinWatson(Tables.events(s, d), Seq("event_type"),
+        orderCol = col("ts"), valueCol = col("value"),
+        tieCols = Seq("event_id"))
+      .select(col("event_type"), col("n"), r4(col("dw")).as("dw4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Nelson–Aalen cumulative hazard ([[graft.operators.Survival
+    * .nelsonAalen]]): q164's additive sibling on the same time-to-first-
+    * purchase durations — each d/n term floors at scale 8 so h8 is exact
+    * cumulative long arithmetic (no log/exp anywhere), r4 chaz tail.
+    */
+  val q202 = q(
+    "q202_nelson_aalen",
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+      |             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |             max(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |dd AS (SELECT user_id % 3 AS segment,
+      |         CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+      |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |       FROM u),
+      |a AS (SELECT segment, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c
+      |      FROM dd GROUP BY 1, 2),
+      |k AS (SELECT segment, t, d,
+      |        CAST(sum(c) OVER (PARTITION BY segment) AS BIGINT)
+      |          - CAST(coalesce(sum(c) OVER (PARTITION BY segment ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |      FROM a),
+      |m AS (SELECT segment, t, d, n_risk,
+      |        CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS t8
+      |      FROM k),
+      |w AS (SELECT segment, t, d, n_risk,
+      |        CAST(sum(t8) OVER (PARTITION BY segment ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h8
+      |      FROM m)
+      |SELECT segment, t, d, n_risk, h8,
+      |  floor((CAST(h8 AS DOUBLE) / 1e8) * 10000 + 0.5) / 10000 AS chaz4
+      |FROM w WHERE d >= 1 ORDER BY segment, t""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tl"))
+    val durations = u.select(
+      pmod(col("user_id"), lit(3L)).as("segment"),
+      when(col("tp").isNotNull, col("tp") - col("t0"))
+        .otherwise(col("tl") - col("t0")).as("dur"),
+      col("tp").isNotNull.as("ev"))
+    graft.operators.Survival
+      .nelsonAalen(durations, Seq("segment"),
+        durationCol = col("dur"), eventCol = col("ev"))
+      .select(col("segment"), col("t"), col("d"), col("n_risk"), col("h8"),
+        r4(col("chaz")).as("chaz4"))
+      .transform(orderedWide("segment", "t"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7224,5 +7401,5 @@ object Catalog {
     q170, q171, q172,
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198)
+    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

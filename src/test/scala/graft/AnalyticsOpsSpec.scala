@@ -174,6 +174,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(2L) == 0.0) // d = n_risk → exact zero, not exp(−∞)
   }
 
+  test("nelsonAalen: cumulative d/n hazard; censor-only times emit no row") {
+    import graft.operators.Survival
+    // (1, ev), (2, cens), (3, ev), (3, ev): Ĥ(1) = 1/4 = 0.25;
+    // t=2 censors silently; Ĥ(3) = 0.25 + 2/2 = 1.25 — exact h8 longs.
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true)).toDF("g", "dur", "ev")
+    val out = Survival.nelsonAalen(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L).getAs[Long]("n_risk") == 4L)
+    assert(out(1L).getAs[Long]("h8") == 25000000L)
+    assert(out(1L).getAs[Double]("chaz") == 0.25)
+    assert(out(3L).getAs[Long]("n_risk") == 2L)
+    assert(out(3L).getAs[Long]("h8") == 125000000L)
+    assert(out(3L).getAs[Double]("chaz") == 1.25)
+  }
+
   test("logRank: identical cohorts score 0; hand-computed separation") {
     import graft.operators.Survival
     // symmetric cohorts → every O−E term is exactly 0

@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
 import graft.operators.{Smooth, Trend}
@@ -158,6 +160,77 @@ class TrendZorderSpec extends SparkSpec {
     val Array(r) = Smooth.acf(ramp, Seq("g"), col("t"), col("v"),
       tieCols = Seq.empty, maxLag = 1).collect()
     assert(r.getAs[Double]("rho1") > 0.9)
+  }
+
+  // --------------------------------------------------------------- ccf
+
+  test("ccf: mirrored alternating series — rho0 = −1, rho_k = ∓(n−k)/n") {
+    // x = +1,−1,… and y = −x (n = 6, both mean 0): y_{t−1} = x_t so
+    // every lag-1 product is positive → ρ₁ = 5/6; ρ₂ = −4/6; ρ₀ = −1.
+    val df = (1 to 6).map { i =>
+      val x = if (i % 2 == 1) 1.0 else -1.0
+      ("g", i.toLong, x, -x)
+    }.toDF("g", "t", "x", "y")
+    val Array(r) = Smooth.ccf(df, Seq("g"), col("t"), col("x"), col("y"),
+      tieCols = Seq.empty, maxLag = 2).collect()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("rho0") == -1.0)
+    assert(r.getAs[Double]("rho1") == 5.0 / 6.0)
+    assert(r.getAs[Double]("rho2") == -4.0 / 6.0)
+  }
+
+  test("ccf: constant series are NULL; null rows drop pairwise") {
+    val df = Seq[(String, Long, java.lang.Double, java.lang.Double)](
+      ("g", 1L, 1.0, 5.0), ("g", 2L, 2.0, 5.0), ("g", 3L, 3.0, 5.0),
+      ("g", 4L, null, 9.0), ("g", 5L, 4.0, null)
+    ).toDF("g", "t", "x", "y")
+    val Array(r) = Smooth.ccf(df, Seq("g"), col("t"), col("x"), col("y"),
+      tieCols = Seq.empty, maxLag = 1).collect()
+    assert(r.getAs[Long]("n") == 3L) // both null rows excluded
+    assert(r.isNullAt(r.fieldIndex("rho0"))) // y constant on kept rows
+  }
+
+  // ------------------------------------------------------- durbinWatson
+
+  test("durbinWatson: alternating = 3 exactly, ramp = 0.6, constant NULL") {
+    // x = 1,−1,1,−1: e = ±4e4; Σe² = 6.4e9, Σdiff² = 3·(8e4)² = 1.92e10
+    // → DW = 3. Ramp 1..4: e = (−6,−2,2,6)e4 → 4.8e9/8e9 = 0.6.
+    val alt = Seq(("a", 1L, 1.0), ("a", 2L, -1.0), ("a", 3L, 1.0),
+      ("a", 4L, -1.0)).toDF("g", "t", "v")
+    val ramp = (1 to 4).map(i => ("r", i.toLong, i.toDouble)).toDF("g", "t", "v")
+    val const = Seq(("c", 1L, 7.0), ("c", 2L, 7.0)).toDF("g", "t", "v")
+    val out = Smooth.durbinWatson(alt.union(ramp).union(const), Seq("g"),
+        col("t"), col("v"), tieCols = Seq.empty)
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("a").get.asInstanceOf[Double] == 3.0)
+    assert(out("r").get.asInstanceOf[Double] == 0.6)
+    assert(out("c").isEmpty)
+  }
+
+  // ------------------------------------------------------- resampleFill
+
+  test("resampleFill: grid spans first..last bin; last-obs-wins; forward fill") {
+    val df = Seq(
+      // bin 0: one obs; bin 20: two obs — later ts wins (v = 3)
+      ("k", Timestamp.valueOf("2024-01-01 00:00:05"), 1.0, 1L),
+      ("k", Timestamp.valueOf("2024-01-01 00:00:21"), 2.0, 2L),
+      ("k", Timestamp.valueOf("2024-01-01 00:00:25"), 3.0, 3L)
+    ).toDF("k", "ts", "v", "id")
+    val rows = Smooth.resampleFill(df, Seq("k"), col("ts"), col("v"),
+        stepSec = 10L, tieCol = col("id"))
+      .orderBy("bin_epoch").collect()
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(rows.map(_.getLong(1)).toSeq == Seq(base, base + 10, base + 20))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 3.0))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(false, true, false))
+  }
+
+  test("resampleFill: same-timestamp collision resolves by tie column") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:05")
+    val df = Seq(("k", t, 1.0, 1L), ("k", t, 9.0, 2L)).toDF("k", "ts", "v", "id")
+    val Array(r) = Smooth.resampleFill(df, Seq("k"), col("ts"), col("v"),
+      stepSec = 10L, tieCol = col("id")).collect()
+    assert(r.getDouble(2) == 9.0) // highest tie wins (DESC)
   }
 
   // ------------------------------------------------------------ Smooth
