@@ -1140,6 +1140,55 @@ object Eval {
       levelCol = col("__lvl"))
   }
 
+  /** Theil's uncertainty coefficient U(Y|X) per group — [[mutualInfo]]
+    * NORMALIZED into "what fraction of Y's entropy does knowing X
+    * remove?" ∈ [0, 1] (the asymmetric, scale-free association measure —
+    * unlike [[chiSquare]]'s V it reads directly as predictive power, the
+    * feature-vs-target screen before a categorical feature earns a slot):
+    *
+    *   U(Y|X) = (H(Y) − H(Y|X)) / H(Y) = I(X;Y) / H(Y)
+    *
+    * over the same contingency cells as [[mutualInfo]]/[[chiSquare]]:
+    * H(Y) = −Σ_cells (o/n)·ln(cm/n) and H(Y|X) = −Σ_cells (o/n)·ln(o/rm)
+    * (summing the marginal entropy per CELL weights each column by its
+    * own mass — algebraically identical to the per-column form).
+    *
+    * Exactness: both entropies accumulate as per-cell terms floored at
+    * scale 8 into LONGs (the [[mutualInfo]] convention — cells are
+    * category-pair-sized, so the ±1-ulp `ln` caveat touches answer-sized
+    * sums only); U is one double division, NULL when H(Y) = 0 (Y is a
+    * single category). NULL categories are first-class cells.
+    *
+    * Plan: one cell aggregate + marginal windows over the cell frame
+    * (the shared contingency scaffold), one group aggregate.
+    *
+    * @return per group: (groupCols…, n, n_rows, n_cols, hy8, hyx8, u)
+    */
+  def uncertaintyCoeff(
+      df: DataFrame, groupCols: Seq[String],
+      rowCat: Column, colCat: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val withM = contingencyCells(df, groupCols, rowCat, colCat)
+      .withColumn("__hy8",
+        floor(-(col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__cm").cast("double") / col("__n").cast("double")) *
+          lit(1e8) + 0.5).cast("long"))
+      .withColumn("__hyx8",
+        floor(-(col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__o").cast("double") / col("__rm").cast("double")) *
+          lit(1e8) + 0.5).cast("long"))
+    withM.groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        categoryCountAggs ++ Seq(sum(col("__hy8")).as("hy8"),
+          sum(col("__hyx8")).as("hyx8")): _*)
+      .select(g ++ Seq(col("n"), col("n_rows"), col("n_cols"),
+        col("hy8"), col("hyx8"),
+        when(col("hy8") > 0,
+          (col("hy8") - col("hyx8")).cast("double") /
+            col("hy8").cast("double")).as("u")): _*)
+  }
+
   /** Matthews correlation coefficient per group — the single-number
     * binary-classifier grade that stays honest under class imbalance
     * (accuracy and F1 both saturate when one class dominates; MCC is the

@@ -484,4 +484,76 @@ object Smooth {
       .select(k ++ Seq(col("__bin").as("bin_epoch"), col("value"),
         col("is_filled")): _*)
   }
+
+  /** Seasonal-naive forecast scorecard per group — before any model earns
+    * a slot, it must beat "the value one season ago": this scores that
+    * baseline (or, by extension, flags series where even it fails) with
+    * the four standard errors over an ordered series:
+    *
+    *   MAE, RMSE, SMAPE = mean 2|e|/(|a|+|f|),
+    *   MASE = MAE / MAE(one-step naive)   (Hyndman & Koehler 2006)
+    *
+    * where f_t = v_{t−season} (rows with no seasonal predecessor are
+    * excluded from the errors; n_eval counts kept rows) and MASE's
+    * denominator is the in-sample one-step naive error — MASE &lt; 1
+    * means the seasonal baseline beats last-value-carried-forward.
+    *
+    * Exactness: values are scale-4 longs, so errors are exact integers;
+    * Σ|e| and Σe² accumulate in DECIMAL(38,0); each SMAPE term is one
+    * double division of exact ints floored at scale 8 into a LONG (0/0
+    * terms — both sides zero — count 0, documented); MAE/RMSE/SMAPE/MASE
+    * are fixed double tails. Run [[resampleFill]] first when bins can be
+    * missing — the lag index is ROW-based.
+    *
+    * Plan: one ordered window (two lags in the same frame), one hash
+    * aggregate.
+    *
+    * @return per group: (groupCols…, n, n_eval, mae, rmse, smape, mase)
+    *         — NULLs when n_eval = 0 (mase also when the naive error
+    *         sum is 0)
+    */
+  def seasonalNaiveEval(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, tieCols: Seq[String], season: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(season >= 1, s"season must be >= 1: $season")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val ord = col("__o").asc +: tieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
+    val lagged = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(orderCol.as("__o"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")) ++ tieCols.map(col): _*)
+      .withColumn("__f4", lag(col("__v4"), season).over(w))
+      .withColumn("__p4", lag(col("__v4"), 1).over(w))
+      .withColumn("__e", col("__v4") - col("__f4"))
+      .withColumn("__sm8",
+        when(abs(col("__v4")) + abs(col("__f4")) > 0,
+          floor(lit(2.0) * abs(col("__e")).cast("double") /
+            (abs(col("__v4")) + abs(col("__f4"))).cast("double") *
+            lit(1e8) + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+    val m = lagged.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__f4").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+      sum(abs(dec(col("__e")))).as("__sae"),
+      sum(dec(col("__e")) * dec(col("__e"))).as("__se2"),
+      sum(when(col("__f4").isNotNull, col("__sm8")).otherwise(0L)).as("__sm8"),
+      sum(when(col("__p4").isNotNull, 1L).otherwise(0L)).as("__n1"),
+      sum(abs(dec(col("__v4") - col("__p4")))).as("__sad"))
+    val ne = col("n_eval").cast("double")
+    m.select(g ++ Seq(col("n"), col("n_eval"),
+      when(col("n_eval") > 0,
+        col("__sae").cast("double") / ne / 1e4).as("mae"),
+      when(col("n_eval") > 0,
+        sqrt(col("__se2").cast("double") / ne) / 1e4).as("rmse"),
+      when(col("n_eval") > 0,
+        col("__sm8").cast("double") / lit(1e8) / ne).as("smape"),
+      when(col("n_eval") > 0 && col("__n1") > 0 && col("__sad") > 0,
+        (col("__sae").cast("double") / ne) /
+          (col("__sad").cast("double") / col("__n1").cast("double")))
+        .as("mase")): _*)
+  }
 }

@@ -7370,6 +7370,160 @@ object Catalog {
       .transform(orderedWide("segment", "t"))
   }
 
+  /** Modularity ([[graft.llm.GraphRank.modularity]]): does the BRAND
+    * partition of q188's co-purchase graph capture its edge structure?
+    * One exact rational Σ(4m·e_c − d_c²)/(4m²) — long counts, DECIMAL
+    * community terms, one double division, r4.
+    */
+  val q203 = q(
+    "q203_modularity",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+      |und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |                        greatest(a.l_partkey, b.l_partkey) AS v
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                           AND a.l_partkey < b.l_partkey),
+      |cmap AS (SELECT p_partkey AS node, CAST(p_brand AS VARCHAR) AS comm FROM part),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |        GROUP BY 1),
+      |dc AS (SELECT cmap.comm AS comm, CAST(sum(deg) AS BIGINT) AS dc,
+      |         CAST(count(*) AS BIGINT) AS nodes
+      |       FROM deg LEFT JOIN cmap ON deg.node = cmap.node GROUP BY 1),
+      |wc AS (SELECT cu.comm AS comm_u, cv.comm AS comm_v
+      |       FROM und LEFT JOIN cmap cu ON und.u = cu.node
+      |                LEFT JOIN cmap cv ON und.v = cv.node),
+      |ec AS (SELECT comm_u AS comm, CAST(count(*) AS BIGINT) AS ec FROM wc
+      |       WHERE comm_u IS NOT DISTINCT FROM comm_v GROUP BY 1),
+      |me AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+      |pc AS (SELECT dc.comm, dc.dc, dc.nodes, COALESCE(ec.ec, 0) AS ec, me.m_edges
+      |       FROM dc LEFT JOIN ec ON dc.comm IS NOT DISTINCT FROM ec.comm, me)
+      |SELECT CAST(sum(nodes) AS BIGINT) AS n_nodes, max(m_edges) AS m_edges,
+      |  CAST(count(*) AS BIGINT) AS n_comms,
+      |  CASE WHEN max(m_edges) > 0 THEN
+      |    floor((CAST(sum(4 * CAST(m_edges AS HUGEINT) * ec
+      |                    - CAST(dc AS HUGEINT) * dc) AS DOUBLE)
+      |           / (4.0 * CAST(max(m_edges) AS DOUBLE) * CAST(max(m_edges) AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS q4
+      |FROM pc""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk")),
+        col("l_orderkey") === col("__ok") && col("l_partkey") < col("__pk"))
+      .select(col("l_partkey").as("src"), col("__pk").as("dst"))
+    graft.llm.GraphRank
+      .modularity(pairs, "src", "dst",
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        "p_partkey", "p_brand")
+      .select(col("n_nodes"), col("m_edges"), col("n_comms"),
+        r4(col("q")).as("q4"))
+  }
+
+  /** Seasonal-naive scorecard ([[graft.operators.Smooth
+    * .seasonalNaiveEval]]): daily value totals per event type scored
+    * against "same day last week" — exact scale-4 error integers, DECIMAL
+    * Σ|e|/Σe², per-bin SMAPE terms floored at scale 8, r4 tails; MASE
+    * compares against the one-step naive.
+    */
+  val q204 = q(
+    "q204_forecast_eval",
+    """WITH s0 AS (SELECT event_type AS g,
+      |         (epoch_us(ts) // 1000000 // 86400) * 86400 AS bin,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS b4
+      |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT g, bin,
+      |        CAST(floor(CAST(b4 AS DOUBLE) / 10000.0 * 10000 + 0.5) AS BIGINT) AS v4
+      |      FROM s0),
+      |l AS (SELECT g, v4, lag(v4, 7) OVER (PARTITION BY g ORDER BY bin) AS f4,
+      |        lag(v4, 1) OVER (PARTITION BY g ORDER BY bin) AS p4
+      |      FROM t),
+      |e AS (SELECT g, v4, f4, p4, v4 - f4 AS e,
+      |        CASE WHEN abs(v4) + abs(f4) > 0 THEN
+      |          CAST(floor(2.0 * CAST(abs(v4 - f4) AS DOUBLE)
+      |            / CAST(abs(v4) + abs(f4) AS DOUBLE) * 1e8 + 0.5) AS BIGINT)
+      |        ELSE 0 END AS sm8
+      |      FROM l),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN f4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+      |        sum(abs(CAST(e AS HUGEINT))) AS sae,
+      |        sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS se2,
+      |        CAST(sum(CASE WHEN f4 IS NOT NULL THEN sm8 ELSE 0 END) AS BIGINT) AS sm8,
+      |        CAST(sum(CASE WHEN p4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |        sum(abs(CAST(v4 - p4 AS HUGEINT))) AS sad
+      |      FROM e GROUP BY 1)
+      |SELECT g AS event_type, n, n_eval,
+      |  CASE WHEN n_eval > 0 THEN
+      |    floor((CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000
+      |  END AS mae4,
+      |  CASE WHEN n_eval > 0 THEN
+      |    floor((sqrt(CAST(se2 AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 10000.0) * 10000 + 0.5) / 10000
+      |  END AS rmse4,
+      |  CASE WHEN n_eval > 0 THEN
+      |    floor((CAST(sm8 AS DOUBLE) / 1e8 / CAST(n_eval AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS smape4,
+      |  CASE WHEN n_eval > 0 AND n1 > 0 AND sad > 0 THEN
+      |    floor(((CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE))
+      |           / (CAST(sad AS DOUBLE) / CAST(n1 AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS mase4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        Macros.floorBinEpoch(col("ts"), 86400L).as("bin"))
+      .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("b4"))
+    graft.operators.Smooth
+      .seasonalNaiveEval(daily, Seq("event_type"), orderCol = col("bin"),
+        valueCol = col("b4").cast("double") / 10000.0,
+        tieCols = Seq.empty, season = 7)
+      .select(col("event_type"), col("n"), col("n_eval"),
+        r4(col("mae")).as("mae4"), r4(col("rmse")).as("rmse4"),
+        r4(col("smape")).as("smape4"), r4(col("mase")).as("mase4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Uncertainty coefficient ([[graft.operators.Eval.uncertaintyCoeff]]):
+    * how much of the value band's entropy does event type explain, per
+    * day-of-week — q158's mutual information normalized by H(Y); per-cell
+    * scale-8 entropy terms, exact long hy8/hyx8 under the hash, r4 U.
+    */
+  val q205 = q(
+    "q205_uncertainty_coeff",
+    """WITH t AS (SELECT isodow(ts) AS g, CAST(event_type AS VARCHAR) AS r,
+      |             CAST(CAST(floor(value / 25) AS BIGINT) AS VARCHAR) AS c
+      |           FROM events),
+      |cells AS (SELECT g, r, c, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2, 3),
+      |w AS (SELECT g, r, c, o,
+      |        CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS n,
+      |        CAST(sum(o) OVER (PARTITION BY g, r) AS BIGINT) AS rm,
+      |        CAST(sum(o) OVER (PARTITION BY g, c) AS BIGINT) AS cm
+      |      FROM cells),
+      |h AS (SELECT g, n, r, c,
+      |        CAST(floor(-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * ln(CAST(cm AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS hy8,
+      |        CAST(floor(-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * ln(CAST(o AS DOUBLE) / CAST(rm AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS hyx8
+      |      FROM w)
+      |SELECT g AS dow, max(n) AS n,
+      |  count(DISTINCT r) + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_rows,
+      |  count(DISTINCT c) + max(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_cols,
+      |  CAST(sum(hy8) AS BIGINT) AS hy8, CAST(sum(hyx8) AS BIGINT) AS hyx8,
+      |  CASE WHEN sum(hy8) > 0 THEN
+      |    floor((CAST(sum(hy8) - sum(hyx8) AS DOUBLE) / CAST(sum(hy8) AS DOUBLE))
+      |      * 10000 + 0.5) / 10000
+      |  END AS u4
+      |FROM h GROUP BY 1 ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .uncertaintyCoeff(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        rowCat = col("event_type"),
+        colCat = floor(col("value") / 25).cast("long"))
+      .select(col("dow"), col("n"), col("n_rows"), col("n_cols"),
+        col("hy8"), col("hyx8"), r4(col("u")).as("u4"))
+      .transform(ordered("dow"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7401,5 +7555,6 @@ object Catalog {
     q170, q171, q172,
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
+    q203, q204, q205)
 }

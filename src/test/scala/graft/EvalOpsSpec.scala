@@ -1208,6 +1208,28 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("mix") == ((1L, 2L, 2L, 0.0)))
   }
 
+  // ------------------------------------------------ uncertaintyCoeff
+
+  test("uncertaintyCoeff: perfect prediction = 1, independence = 0, constant Y NULL") {
+    val df = Seq(
+      // X = Y exactly → U = 1
+      ("perf", "a", "a"), ("perf", "a", "a"), ("perf", "b", "b"), ("perf", "b", "b"),
+      // uniform independent 2×2 → U = 0 (hy8 = hyx8 term-for-term)
+      ("ind", "a", "x"), ("ind", "a", "y"), ("ind", "b", "x"), ("ind", "b", "y"),
+      // Y constant → H(Y) = 0 → NULL
+      ("const", "a", "z"), ("const", "b", "z")
+    ).toDF("g", "x", "y")
+    val out = Eval.uncertaintyCoeff(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), Option(r.get(6)))).toMap
+    assert(out("perf")._1 == 2L * 34657359L) // 2·⌊½ln2·1e8+½⌋
+    assert(out("perf")._2 == 0L)
+    assert(out("perf")._3.get.asInstanceOf[Double] == 1.0)
+    assert(out("ind")._1 == out("ind")._2) // identical terms → U = 0
+    assert(out("ind")._3.get.asInstanceOf[Double] == 0.0)
+    assert(out("const")._1 == 0L && out("const")._3.isEmpty)
+  }
+
   // --------------------------------------------------- brownForsythe
 
   test("brownForsythe: hand-computed F on level deviations; even-n median") {

@@ -308,4 +308,39 @@ class GraphExtrasSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 8L)))
     assert(math.abs(r.getDouble(3) - (-20.0 / 28.0)) < 1e-15)
   }
+
+  // ------------------------------------------------------- modularity
+
+  test("modularity: two bridged triangles = 70/196; one community = 0") {
+    import graft.llm.GraphRank
+    // Triangles {1,2,3}, {4,5,6} + bridge 3–4: m = 7, e_c = 3 each,
+    // d_c = 7 each → Q = 2·(4·7·3 − 49)/(4·49) = 70/196.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comms = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "b")).toDF("node", "comm")
+    val Array(r) = GraphRank.modularity(edges, "src", "dst", comms,
+      "node", "comm").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 7L, 2L)))
+    assert(math.abs(r.getDouble(3) - 70.0 / 196.0) < 1e-15)
+
+    // everything in ONE community is exactly 0 by construction
+    val one = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"),
+      (6L, "x")).toDF("node", "comm")
+    val Array(o) = GraphRank.modularity(edges, "src", "dst", one,
+      "node", "comm").collect()
+    assert(o.getDouble(3) == 0.0)
+  }
+
+  test("modularity: unmapped nodes pool into a NULL community") {
+    import graft.llm.GraphRank
+    // one edge 1–2, only node 1 mapped: communities {x: d=1}, {NULL: d=1},
+    // no intra edges → Q = ((0−1) + (0−1))/(4·1) = −0.5
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val comms = Seq((1L, "x")).toDF("node", "comm")
+    val Array(r) = GraphRank.modularity(edges, "src", "dst", comms,
+      "node", "comm").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+    assert(r.getDouble(3) == -0.5)
+  }
 }

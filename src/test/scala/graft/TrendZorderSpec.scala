@@ -225,6 +225,29 @@ class TrendZorderSpec extends SparkSpec {
     assert(rows.map(_.getBoolean(3)).toSeq == Seq(false, true, false))
   }
 
+  // -------------------------------------------------- seasonalNaiveEval
+
+  test("seasonalNaiveEval: ramp vs season-2 forecast — hand metrics") {
+    // v = 1,2,3,4 with season 2: f = (·,·,1,2), e = (2,2) → MAE = RMSE = 2;
+    // SMAPE = (2·2/4 + 2·2/6)/2 ≈ 0.8333; naive-1 MAE = 1 → MASE = 2.
+    val df = (1 to 4).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "t", "v")
+    val Array(r) = Smooth.seasonalNaiveEval(df, Seq("g"), col("t"), col("v"),
+      tieCols = Seq.empty, season = 2).collect()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_eval") == 2L)
+    assert(r.getAs[Double]("mae") == 2.0)
+    assert(r.getAs[Double]("rmse") == 2.0)
+    assert(math.abs(r.getAs[Double]("smape") - (1.0 + 0.66666667) / 2) < 1e-8)
+    assert(r.getAs[Double]("mase") == 2.0)
+  }
+
+  test("seasonalNaiveEval: short series (no seasonal predecessor) → NULL metrics") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 6.0)).toDF("g", "t", "v")
+    val Array(r) = Smooth.seasonalNaiveEval(df, Seq("g"), col("t"), col("v"),
+      tieCols = Seq.empty, season = 7).collect()
+    assert(r.getAs[Long]("n_eval") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mae")) && r.isNullAt(r.fieldIndex("mase")))
+  }
+
   test("resampleFill: same-timestamp collision resolves by tie column") {
     val t = Timestamp.valueOf("2024-01-01 00:00:05")
     val df = Seq(("k", t, 1.0, 1L), ("k", t, 9.0, 2L)).toDF("k", "ts", "v", "id")
