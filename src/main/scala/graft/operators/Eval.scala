@@ -1189,6 +1189,226 @@ object Eval {
             col("hy8").cast("double")).as("u")): _*)
   }
 
+  /** Kendall's τ-b per group over PRE-BINNED pairs — the rank-concordance
+    * association for ordinal data ([[spearman]]'s pair-counting sibling;
+    * τ reads as "probability a random pair agrees in direction, minus
+    * disagrees"). Input columns must already be DISCRETIZED to bounded
+    * integer bins (deciles, value bands — the [[chiSquare]]/
+    * [[mutualInfo]] contingency contract): concordance then collapses
+    * into the JOINT-CELL table, so the all-pairs count is a self-join of
+    * an ANSWER-SIZED frame (≤ bins² cells → ≤ bins⁴ cell pairs), never
+    * row pairs.
+    *
+    *   C = Σ_{c,c': x'&gt;x, y'&gt;y} o_c·o_c',  D likewise with y'&lt;y,
+    *   τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)),
+    *   n₀ = n(n−1)/2, n₁/n₂ = Σ marginal-tie pairs
+    *
+    * Exactness: cell counts are exact longs; C, D, and all pair counts
+    * accumulate in DECIMAL(38,0); τ_b is one double division with a √ of
+    * an exact product. NULL x/y rows are excluded (ordinal comparison
+    * needs a value); τ_b is NULL when either variable is constant.
+    *
+    * Plan: one cell aggregate, one broadcast cell self-join per group
+    * (bounded by contract), two marginal rollups — nothing row-sized
+    * after the first aggregate.
+    *
+    * @return per group: (groupCols…, n, conc, disc, tau_b)
+    */
+  def kendallTauB(
+      df: DataFrame, groupCols: Seq[String],
+      xBinCol: Column, yBinCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(xBinCol.isNotNull && yBinCol.isNotNull)
+      .select(g ++ Seq(xBinCol.cast("long").as("__x"),
+        yBinCol.cast("long").as("__y")): _*)
+      .groupBy(g :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val right = cells.select(
+      groupCols.map(c => col(c).as(s"__b_$c")) ++
+        Seq(col("__x").as("__x2"), col("__y").as("__y2"),
+          col("__o").as("__o2")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    val pairs = cells.join(broadcast(right),
+      cond && col("__x") < col("__x2") && col("__y") =!= col("__y2"))
+    val cd = pairs.groupBy(g: _*).agg(
+      sum(when(col("__y") < col("__y2"),
+        dec38(col("__o")) * dec38(col("__o2"))).otherwise(dec38(lit(0))))
+        .as("__conc"),
+      sum(when(col("__y") > col("__y2"),
+        dec38(col("__o")) * dec38(col("__o2"))).otherwise(dec38(lit(0))))
+        .as("__disc"))
+    val xm = cells.groupBy(g :+ col("__x"): _*).agg(sum(col("__o")).as("__nx"))
+      .groupBy(g: _*).agg(
+        sum(col("__nx")).as("__n"),
+        sum(dec38(col("__nx")) * (dec38(col("__nx")) - 1)).as("__tx2"))
+    val ym = cells.groupBy(g :+ col("__y"): _*).agg(sum(col("__o")).as("__ny"))
+      .groupBy(g: _*).agg(
+        sum(dec38(col("__ny")) * (dec38(col("__ny")) - 1)).as("__ty2"))
+      .select(groupCols.map(c => col(c).as(s"__ym_$c")) :+ col("__ty2"): _*)
+    val zm = cd.select(groupCols.map(c => col(c).as(s"__cd_$c")) ++
+      Seq(col("__conc"), col("__disc")): _*)
+    val n02 = dec38(col("__n")) * (dec38(col("__n")) - 1)
+    val denA = (n02 - col("__tx2")).cast("double")
+    val denB = (n02 - col("__ty2")).cast("double")
+    xm.join(ym, groupCols.map(c => col(c) <=> col(s"__ym_$c")).reduce(_ && _))
+      .join(zm, groupCols.map(c => col(c) <=> col(s"__cd_$c")).reduce(_ && _),
+        "left")
+      .select(g ++ Seq(col("__n").as("n"),
+        coalesce(col("__conc"), dec38(lit(0))).cast("long").as("conc"),
+        coalesce(col("__disc"), dec38(lit(0))).cast("long").as("disc"),
+        when(denA > 0 && denB > 0,
+          (coalesce(col("__conc"), dec38(lit(0))) -
+            coalesce(col("__disc"), dec38(lit(0)))).cast("double") /
+            (sqrt(denA) * sqrt(denB)) * 2.0).as("tau_b")): _*)
+  }
+
+  /** Two-proportion z-test per group — THE conversion A/B primitive:
+    * did variant A's success rate differ from B's?
+    *
+    *   z = (x_a/n_a − x_b/n_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) ),
+    *   p̂ = (x_a+x_b)/(n_a+n_b)
+    *
+    * Exactness: the four counts are exact longs from one hash aggregate;
+    * z is one fixed double expression of them, NULL when either arm is
+    * empty or the pooled rate is degenerate (p̂ ∈ {0,1}, decided by exact
+    * integer compares). NULL success/arm rows are excluded.
+    *
+    * @return per group: (groupCols…, n_a, x_a, n_b, x_b, z)
+    */
+  def twoProportionZ(
+      df: DataFrame, groupCols: Seq[String],
+      successCol: Column, inACol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val m = df
+      .filter(successCol.isNotNull && inACol.isNotNull)
+      .select(g ++ Seq(successCol.cast("boolean").as("__s"),
+        inACol.cast("boolean").as("__a")): _*)
+      .groupBy(g: _*).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val p = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (col("x_a").cast("double") / naD -
+      col("x_b").cast("double") / nbD) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / naD + lit(1.0) / nbD))
+    m.select(g ++ Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("x_a") + col("x_b") > 0 &&
+        col("x_a") + col("x_b") < col("n_a") + col("n_b"), z).as("z")): _*)
+  }
+
+  /** Odds ratio + relative risk with Wald 95% CI per group — the 2×2
+    * exposure/outcome summary ("exposed users convert at 2.1× the odds,
+    * CI [1.7, 2.6]") that a z-statistic alone doesn't communicate:
+    *
+    *   OR = (a·d)/(b·c),  RR = (a/(a+b)) / (c/(c+d)),
+    *   CI = exp( ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d) )
+    *
+    * with a = exposed∧outcome, b = exposed∧¬outcome, c = unexposed∧
+    * outcome, d = unexposed∧¬outcome.
+    *
+    * Exactness: cells are exact longs; OR's numerator/denominator
+    * multiply in DECIMAL(38,0) before ONE division; RR is a ratio of two
+    * single divisions; the CI carries the documented ln/exp ±1-ulp caveat
+    * (absorbed by the r4 reporting convention). All four statistics are
+    * NULL when ANY cell is 0 (the Wald CI is undefined there — add the
+    * Haldane ½ upstream if you want the corrected estimate).
+    *
+    * @return per group: (groupCols…, a, b, c, d, odds_ratio, rr, or_lo,
+    *         or_hi)
+    */
+  def oddsRatio(
+      df: DataFrame, groupCols: Seq[String],
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val m = df
+      .filter(exposedCol.isNotNull && outcomeCol.isNotNull)
+      .select(g ++ Seq(exposedCol.cast("boolean").as("__e"),
+        outcomeCol.cast("boolean").as("__y")): _*)
+      .groupBy(g: _*).agg(
+        sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val or = (dec38(col("a")) * dec38(col("d"))).cast("double") /
+      (dec38(col("b")) * dec38(col("c"))).cast("double")
+    val rr = (col("a").cast("double") / (col("a") + col("b")).cast("double")) /
+      (col("c").cast("double") / (col("c") + col("d")).cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    m.select(g ++ Seq(col("a"), col("b"), col("c"), col("d"),
+      when(ok, or).as("odds_ratio"),
+      when(ok, rr).as("rr"),
+      when(ok, exp(log(or) - lit(1.96) * se)).as("or_lo"),
+      when(ok, exp(log(or) + lit(1.96) * se)).as("or_hi")): _*)
+  }
+
+  /** Cohen's d and Hedges' g per group — the EFFECT SIZE companion to
+    * [[welchT]]'s significance (q150 says the shift is real; this says
+    * how many pooled standard deviations wide it is — the number that
+    * survives sample-size changes):
+    *
+    *   d = (m̄_a − m̄_b) / s_p,
+    *   s_p² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2),
+    *   g = d·(1 − 3/(4(n_a+n_b) − 9))      (small-sample correction)
+    *
+    * Exactness: per-arm moments are exact DECIMAL sums over scale-4
+    * longs (the [[welchT]] machinery); each variance numerator
+    * n·S2 − S1² is exact DECIMAL; d and g are fixed double tails. NULL
+    * when either arm has &lt; 2 rows or s_p = 0 (decided on the exact
+    * integer numerators).
+    *
+    * @return per group: (groupCols…, n_a, n_b, d, g)
+    */
+  def cohensD(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, inACol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val m = df
+      .filter(valueCol.isNotNull && inACol.isNotNull)
+      .select(g ++ Seq(
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4"),
+        inACol.cast("boolean").as("__a")): _*)
+      .groupBy(g: _*).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), dec38(col("__v4"))).otherwise(dec38(lit(0))))
+          .as("__s1a"),
+        sum(when(col("__a"), dec38(col("__v4")) * dec38(col("__v4")))
+          .otherwise(dec38(lit(0)))).as("__s2a"),
+        sum(when(!col("__a"), dec38(col("__v4"))).otherwise(dec38(lit(0))))
+          .as("__s1b"),
+        sum(when(!col("__a"), dec38(col("__v4")) * dec38(col("__v4")))
+          .otherwise(dec38(lit(0)))).as("__s2b"))
+    val vnumA = dec38(col("n_a")) * col("__s2a") - col("__s1a") * col("__s1a")
+    val vnumB = dec38(col("n_b")) * col("__s2b") - col("__s1b") * col("__s1b")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    // (n−1)s² = vnum/n exactly; pooled variance in v4² units
+    val sp2 = (vnumA.cast("double") / naD + vnumB.cast("double") / nbD) /
+      (naD + nbD - 2.0)
+    val dEff = (col("__s1a").cast("double") / naD -
+      col("__s1b").cast("double") / nbD) / sqrt(sp2)
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (naD + nbD) - 9.0)
+    val ok = col("n_a") > 1 && col("n_b") > 1 &&
+      (vnumA > 0 || vnumB > 0)
+    m.select(g ++ Seq(col("n_a"), col("n_b"),
+      when(ok, dEff).as("d"),
+      when(ok, dEff * corr).as("g")): _*)
+  }
+
   /** Matthews correlation coefficient per group — the single-number
     * binary-classifier grade that stays honest under class imbalance
     * (accuracy and F1 both saturate when one class dominates; MCC is the

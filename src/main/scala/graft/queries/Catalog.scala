@@ -7524,6 +7524,193 @@ object Catalog {
       .transform(ordered("dow"))
   }
 
+  /** Kendall τ-b ([[graft.operators.Eval.kendallTauB]]): ordinal
+    * concordance between value bands and props.k bands per day-of-week —
+    * all-pairs counting collapsed onto the bounded joint-cell table
+    * (broadcast cell self-join, never row pairs); DECIMAL C/D counts,
+    * one mirrored split-√ double tail, r4.
+    */
+  val q206 = q(
+    "q206_kendall_tau",
+    """WITH t AS (SELECT isodow(ts) AS g,
+      |             CAST(floor(value / 10) AS BIGINT) AS x,
+      |             CAST(floor(CAST(json_extract(props, '$.k') AS DOUBLE) / 10) AS BIGINT) AS y
+      |           FROM events
+      |           WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      |cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2, 3),
+      |p AS (SELECT a.g,
+      |        sum(CASE WHEN a.y < b.y THEN CAST(a.o AS HUGEINT) * b.o ELSE 0 END) AS conc,
+      |        sum(CASE WHEN a.y > b.y THEN CAST(a.o AS HUGEINT) * b.o ELSE 0 END) AS disc
+      |      FROM cells a JOIN cells b ON a.g IS NOT DISTINCT FROM b.g
+      |        AND a.x < b.x AND a.y <> b.y
+      |      GROUP BY 1),
+      |xm AS (SELECT g, CAST(sum(nx) AS BIGINT) AS n,
+      |         sum(CAST(nx AS HUGEINT) * (CAST(nx AS HUGEINT) - 1)) AS tx2
+      |       FROM (SELECT g, x, CAST(sum(o) AS BIGINT) AS nx FROM cells GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |ym AS (SELECT g, sum(CAST(ny AS HUGEINT) * (CAST(ny AS HUGEINT) - 1)) AS ty2
+      |       FROM (SELECT g, y, CAST(sum(o) AS BIGINT) AS ny FROM cells GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT xm.g AS dow, n,
+      |  CAST(COALESCE(conc, 0) AS BIGINT) AS conc,
+      |  CAST(COALESCE(disc, 0) AS BIGINT) AS disc,
+      |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) - tx2 > 0
+      |        AND CAST(n AS HUGEINT) * (n - 1) - ty2 > 0 THEN
+      |    floor((CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)
+      |           / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE))
+      |              * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE)))
+      |           * 2.0) * 10000 + 0.5) / 10000
+      |  END AS tau4
+      |FROM xm JOIN ym ON xm.g IS NOT DISTINCT FROM ym.g
+      |  LEFT JOIN p ON xm.g IS NOT DISTINCT FROM p.g
+      |ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .kendallTauB(Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        xBinCol = floor(col("value") / 10).cast("long"),
+        yBinCol = floor(get_json_object(col("props"), "$.k").cast("double") / 10)
+          .cast("long"))
+      .select(col("dow"), col("n"), col("conc"), col("disc"),
+        r4(col("tau_b")).as("tau4"))
+      .transform(ordered("dow"))
+  }
+
+  /** Two-proportion z ([[graft.operators.Eval.twoProportionZ]]): do even-
+    * and odd-id users hit value ≥ 50 at the same rate per event type —
+    * the conversion A/B primitive; four exact long counts, one mirrored
+    * double tail, degenerate pooled rates decided by integer compares.
+    */
+  val q207 = q(
+    "q207_two_proportion_z",
+    """WITH t AS (SELECT event_type AS g, (value >= 50) AS s, (user_id % 2 = 0) AS a
+      |           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      |m AS (SELECT g,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN a AND s THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+      |      FROM t GROUP BY 1)
+      |SELECT g AS event_type, n_a, x_a, n_b, x_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+      |    floor(((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |            - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |           / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+      |          * 10000 + 0.5) / 10000
+      |  END AS z4
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .twoProportionZ(Tables.events(s, d), Seq("event_type"),
+        successCol = col("value") >= 50,
+        inACol = pmod(col("user_id"), lit(2L)) === 0)
+      .select(col("event_type"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        r4(col("z")).as("z4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Odds ratio / relative risk ([[graft.operators.Eval.oddsRatio]]): are
+    * even-id users likelier to purchase, per day-of-week — exact 2×2
+    * cells, DECIMAL OR products, Wald CI with the documented ln/exp ulp
+    * caveat absorbed by r4.
+    */
+  val q208 = q(
+    "q208_odds_ratio",
+    """WITH t AS (SELECT isodow(ts) AS g, (user_id % 2 = 0) AS e,
+      |             (event_type = 'purchase') AS y
+      |           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |m AS (SELECT g,
+      |        CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |        CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |        CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |        CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |      FROM t GROUP BY 1)
+      |SELECT g AS dow, a, b, c, d,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    floor((CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+      |           / CAST(CAST(b AS HUGEINT) * c AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS or4,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    floor(((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+      |           / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))) * 10000 + 0.5) / 10000
+      |  END AS rr4,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    floor(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+      |                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+      |              - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+      |                            + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS lo4,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+      |    floor(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+      |                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+      |              + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+      |                            + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS hi4
+      |FROM m ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .oddsRatio(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        exposedCol = pmod(col("user_id"), lit(2L)) === 0,
+        outcomeCol = col("event_type") === "purchase")
+      .select(col("dow"), col("a"), col("b"), col("c"), col("d"),
+        r4(col("odds_ratio")).as("or4"), r4(col("rr")).as("rr4"),
+        r4(col("or_lo")).as("lo4"), r4(col("or_hi")).as("hi4"))
+      .transform(ordered("dow"))
+  }
+
+  /** Cohen's d / Hedges' g ([[graft.operators.Eval.cohensD]]): how many
+    * pooled standard deviations separate even- and odd-user values per
+    * event type — q150's effect-size companion on q182's slice; exact
+    * DECIMAL arm moments, fixed double tails, r4.
+    */
+  val q209 = q(
+    "q209_cohens_d",
+    """WITH t AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      |m AS (SELECT g,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        sum(CASE WHEN a THEN CAST(v4 AS HUGEINT) ELSE 0 END) AS s1a,
+      |        sum(CASE WHEN a THEN CAST(v4 AS HUGEINT) * v4 ELSE 0 END) AS s2a,
+      |        sum(CASE WHEN NOT a THEN CAST(v4 AS HUGEINT) ELSE 0 END) AS s1b,
+      |        sum(CASE WHEN NOT a THEN CAST(v4 AS HUGEINT) * v4 ELSE 0 END) AS s2b
+      |      FROM t GROUP BY 1),
+      |v AS (SELECT g, n_a, n_b,
+      |        CAST(n_a AS HUGEINT) * s2a - s1a * s1a AS va,
+      |        CAST(n_b AS HUGEINT) * s2b - s1b * s1b AS vb,
+      |        s1a, s1b
+      |      FROM m)
+      |SELECT g AS event_type, n_a, n_b,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND (va > 0 OR vb > 0) THEN
+      |    floor(((CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |            - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |           / sqrt((CAST(va AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |                   + CAST(vb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS d4,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND (va > 0 OR vb > 0) THEN
+      |    floor((((CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |             - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |            / sqrt((CAST(va AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |                    + CAST(vb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)))
+      |           * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS g4
+      |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .cohensD(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), inACol = pmod(col("user_id"), lit(2L)) === 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r4(col("d")).as("d4"), r4(col("g")).as("g4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7556,5 +7743,5 @@ object Catalog {
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-    q203, q204, q205)
+    q203, q204, q205, q206, q207, q208, q209)
 }

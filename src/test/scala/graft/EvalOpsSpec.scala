@@ -1208,6 +1208,89 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("mix") == ((1L, 2L, 2L, 0.0)))
   }
 
+  // ------------------------------------------------------ kendallTauB
+
+  test("kendallTauB: monotone ±1; tie-corrected hand case; constant NULL") {
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L),
+      ("down", 1L, 3L), ("down", 2L, 2L), ("down", 3L, 1L),
+      // x = {1,1,2}, y = {1,2,2}: C = 1, D = 0, tie pairs 1 each side
+      // → τ_b = 1/√(2·2)·2/2 = 0.5
+      ("tie", 1L, 1L), ("tie", 1L, 2L), ("tie", 2L, 2L),
+      ("const", 5L, 1L), ("const", 5L, 2L)
+    ).toDF("g", "x", "y")
+    val out = Eval.kendallTauB(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    // split-√ denominator: √6·√6 = 6−ulp, so ±1 lands within 2 ulp
+    assert((out("up")._1, out("up")._2, out("up")._3) == ((3L, 3L, 0L)))
+    assert(math.abs(out("up")._4.get.asInstanceOf[Double] - 1.0) < 1e-14)
+    assert((out("down")._1, out("down")._2, out("down")._3) == ((3L, 0L, 3L)))
+    assert(math.abs(out("down")._4.get.asInstanceOf[Double] + 1.0) < 1e-14)
+    assert(out("tie")._2 == 1L && out("tie")._3 == 0L)
+    assert(math.abs(out("tie")._4.get.asInstanceOf[Double] - 0.5) < 1e-14)
+    assert(out("const")._4.isEmpty) // x constant → denominator 0
+  }
+
+  // --------------------------------------------------- twoProportionZ
+
+  test("twoProportionZ: hand case; degenerate pooled rates are NULL") {
+    // A: 2/4, B: 1/4 → p̂ = 3/8, z = 0.25/√(3/8·5/8·1/2)
+    val df = Seq(
+      ("g", true, true), ("g", true, true), ("g", false, true), ("g", false, true),
+      ("g", true, false), ("g", false, false), ("g", false, false), ("g", false, false),
+      ("allwin", true, true), ("allwin", true, false)
+    ).toDF("g", "s", "a")
+    val out = Eval.twoProportionZ(df, Seq("g"), col("s"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), Option(r.get(5)))).toMap
+    val (na, xa, nb, xb, z) = out("g")
+    assert((na, xa, nb, xb) == ((4L, 2L, 4L, 1L)))
+    val expected = 0.25 / math.sqrt(3.0 / 8 * 5.0 / 8 * 0.5)
+    assert(math.abs(z.get.asInstanceOf[Double] - expected) < 1e-12)
+    assert(out("allwin")._5.isEmpty) // p̂ = 1
+  }
+
+  // -------------------------------------------------------- oddsRatio
+
+  test("oddsRatio: 2x2 hand case with Wald CI; zero cell → NULL") {
+    // a=2, b=1, c=1, d=2: OR = 4, RR = 2, CI = exp(ln4 ± 1.96·√3)
+    val df = Seq(
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false), ("g", false, false),
+      ("z", true, true), ("z", false, true), ("z", false, false)
+    ).toDF("g", "e", "y")
+    val out = Eval.oddsRatio(df, Seq("g"), col("e"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = out("g")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(5) == 4.0)
+    assert(r.getDouble(6) == 2.0)
+    assert(math.abs(r.getDouble(7) - math.exp(math.log(4.0) - 1.96 * math.sqrt(3.0))) < 1e-9)
+    assert(math.abs(r.getDouble(8) - math.exp(math.log(4.0) + 1.96 * math.sqrt(3.0))) < 1e-9)
+    assert(out("z").isNullAt(5)) // b = 0 cell
+  }
+
+  // ---------------------------------------------------------- cohensD
+
+  test("cohensD: hand-computed pooled effect; Hedges correction; tiny arms NULL") {
+    // A = {1,3}, B = {5,9}: s_p² = (2+8)/2 = 5, d = −5/√5 = −√5;
+    // g = d·(1 − 3/(16−9)) = d·4/7
+    val df = Seq(
+      ("g", 1.0, true), ("g", 3.0, true), ("g", 5.0, false), ("g", 9.0, false),
+      ("small", 1.0, true), ("small", 2.0, false), ("small", 3.0, false)
+    ).toDF("g", "v", "a")
+    val out = Eval.cohensD(df, Seq("g"), col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    val (na, nb, d, gg) = out("g")
+    assert((na, nb) == ((2L, 2L)))
+    assert(math.abs(d.get.asInstanceOf[Double] + math.sqrt(5.0)) < 1e-9)
+    assert(math.abs(gg.get.asInstanceOf[Double] + math.sqrt(5.0) * 4 / 7) < 1e-9)
+    assert(out("small")._3.isEmpty) // n_a = 1 → NULL
+  }
+
   // ------------------------------------------------ uncertaintyCoeff
 
   test("uncertaintyCoeff: perfect prediction = 1, independence = 0, constant Y NULL") {
