@@ -482,4 +482,57 @@ object TextAnalysis {
         when(col("n_types") > 1 && dden > 0 && dvy > 0,
           dnum * dnum / (dden * dvy)).as("r2")): _*)
   }
+
+  /** Vocabulary-richness estimators per group — how much vocabulary is the
+    * corpus still MISSING? The acquisition-planning companion to the q82
+    * vocab table: bias-corrected Chao1 estimates total type count from the
+    * rare-type profile, and the Good–Turing mass estimates the probability
+    * the NEXT token is unseen (the number that says whether more data
+    * still buys new vocabulary):
+    *
+    *   Chao1 = D + f₁(f₁−1) / (2(f₂+1)),   p_unseen = f₁ / N
+    *
+    * with D observed types, N tokens, f₁/f₂ types seen exactly once/twice
+    * (the bias-corrected Chao1 form is total — no f₂ = 0 special case).
+    *
+    * Exactness: everything up to the two final divisions is exact long
+    * counts off the token frequency table; both tails are single double
+    * divisions of exact integers. Empty-token artifacts of the
+    * single-space convention are excluded (both engines split identically).
+    *
+    * Plan: one (group, token) count aggregate (map-side combined), one
+    * answer-sized frequency-profile aggregate. The frequency table is the
+    * same frame q79/q82/q157 aggregate — vocabulary-sized, never raw
+    * tokens, after the first exchange.
+    *
+    * @return per group: (groupCols…, n_tokens, d_types, f1, f2, chao1,
+    *         p_unseen) — chao1 ≥ d_types always; p_unseen NULL when the
+    *         group has no tokens
+    */
+  def vocabRichness(
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      textCol: Column): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val freq = df
+      .filter(textCol.isNotNull)
+      .select(g :+ explode(split(textCol, " ")).as("__tok"): _*)
+      .filter(col("__tok") =!= "")
+      .groupBy(g :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__c"))
+    freq.groupBy(g: _*).agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("d_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(g ++ Seq(col("n_tokens"), col("d_types"), col("f1"), col("f2"),
+        (col("d_types").cast("double") +
+          (col("f1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (col("f1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) - 1))
+            .cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double"))).as("chao1"),
+        when(col("n_tokens") > 0,
+          col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("p_unseen")): _*)
+  }
 }

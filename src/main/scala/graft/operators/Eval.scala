@@ -1409,6 +1409,62 @@ object Eval {
       when(ok, dEff * corr).as("g")): _*)
   }
 
+  /** Cochran–Armitage trend test per group — does a BINARY outcome trend
+    * monotonically across ORDERED doses (spend bands, retry counts,
+    * model-size tiers)? The dose-response sharpening of [[chiSquare]]:
+    * a χ² sees any association, this z sees the ordered one, with k−2
+    * fewer degrees of freedom wasted.
+    *
+    * With per-dose (n_i, x_i) at integer dose scores d_i:
+    *
+    *   z = (N·T − X·S₁) · √N / √( X(N−X)(N·S₂ − S₁²) ),
+    *   T = Σx_i·d_i,  S₁ = Σn_i·d_i,  S₂ = Σn_i·d_i²
+    *
+    * (the p̄-centered form multiplied through by N — every factor is an
+    * exact integer before the one double tail).
+    *
+    * Exactness: dose cells are exact longs; T, S₁, S₂ and the
+    * numerator/variance products accumulate in DECIMAL(38,0); z is one
+    * mirrored double expression, NULL when X = 0, X = N (constant
+    * outcome) or N·S₂ = S₁² (single dose) — all decided by exact integer
+    * compares. NULL dose/outcome rows are excluded.
+    *
+    * Plan: one (group, dose) aggregate, one answer-sized group aggregate.
+    *
+    * @param doseCol integer-valued ordered score (cast to long) — bin
+    *                first for continuous exposures
+    * @return per group: (groupCols…, n, x, k_doses, z)
+    */
+  def cochranArmitage(
+      df: DataFrame, groupCols: Seq[String],
+      doseCol: Column, successCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val byDose = df
+      .filter(doseCol.isNotNull && successCol.isNotNull)
+      .select(g ++ Seq(doseCol.cast("long").as("__d"),
+        successCol.cast("boolean").as("__s")): _*)
+      .groupBy(g :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__ni"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__xi"))
+    val m = byDose.groupBy(g: _*).agg(
+      sum(col("__ni")).as("n"),
+      sum(col("__xi")).as("x"),
+      count(lit(1)).as("k_doses"),
+      sum(dec38(col("__xi")) * dec38(col("__d"))).as("__t"),
+      sum(dec38(col("__ni")) * dec38(col("__d"))).as("__s1"),
+      sum(dec38(col("__ni")) * dec38(col("__d")) * dec38(col("__d")))
+        .as("__s2"))
+    val num = dec38(col("n")) * col("__t") - dec38(col("x")) * col("__s1")
+    val varq = dec38(col("x")) * (dec38(col("n")) - dec38(col("x"))) *
+      (dec38(col("n")) * col("__s2") - col("__s1") * col("__s1"))
+    m.select(g ++ Seq(col("n"), col("x"), col("k_doses"),
+      when(col("x") > 0 && col("x") < col("n") &&
+          dec38(col("n")) * col("__s2") =!= col("__s1") * col("__s1"),
+        num.cast("double") * sqrt(col("n").cast("double")) /
+          sqrt(varq.cast("double"))).as("z")): _*)
+  }
+
   /** Matthews correlation coefficient per group — the single-number
     * binary-classifier grade that stays honest under class imbalance
     * (accuracy and F1 both saturate when one class dominates; MCC is the

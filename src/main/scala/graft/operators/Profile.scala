@@ -149,4 +149,61 @@ object Profile {
       .select(g ++ Seq(col("digit"), col("n"), col("n_d"), col("frac"),
         col("expected"), col("dev")): _*)
   }
+
+  /** ABC (Pareto) classification per group — rank keys by their value
+    * share and class them A/B/C at cumulative thresholds (the inventory/
+    * revenue-concentration triage: "which 20% of parts carry 80% of
+    * spend?"). The per-key rendering of the concentration [[Eval.gini]]
+    * summarizes into one number.
+    *
+    * Determinism: keys rank by (value DESC, key ASC) — a total order.
+    * Class boundaries are EXACT integer comparisons of the cumulative
+    * rational: key is A while cum·100 ≤ aPct·total (in DECIMAL — never a
+    * double ≥-threshold at a boundary), B while ≤ bPct·total, else C; the
+    * key that CROSSES a threshold takes the next class. Values are
+    * scale-4 longs and must be non-negative (negative values would make
+    * the cumulative share non-monotone — not checked, documented).
+    *
+    * Plan: one (group, key) aggregate, one ranked window per group, one
+    * totals window — nothing beyond the key-sized frame after the first
+    * exchange.
+    *
+    * @return per (group, key): (groupCols…, key, rnk, value4, cum4,
+    *         share, abc_class)
+    */
+  def abcClassification(
+      df: DataFrame, groupCols: Seq[String],
+      keyCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(0 < aPct && aPct < bPct && bPct <= 100,
+      s"need 0 < aPct < bPct <= 100: $aPct, $bPct")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val byKey = df
+      .filter(keyCol.isNotNull && valueCol.isNotNull)
+      .select(g ++ Seq(keyCol.cast("string").as("key"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+      .groupBy(g :+ col("key"): _*)
+      .agg(sum(col("__v4")).as("value4"))
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col("value4").desc, col("key").asc)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(g: _*)
+    byKey
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cum4", sum(col("value4")).over(wCum))
+      .withColumn("__tot", sum(col("value4")).over(wTot))
+      .select(g ++ Seq(col("key"), col("rnk"), col("value4"), col("cum4"),
+        when(col("__tot") > 0,
+          col("cum4").cast("double") / col("__tot").cast("double"))
+          .as("share"),
+        when(dec(col("cum4")) * 100 <= dec(col("__tot")) * aPct, "A")
+          .when(dec(col("cum4")) * 100 <= dec(col("__tot")) * bPct, "B")
+          .otherwise("C").as("abc_class")): _*)
+  }
 }

@@ -452,14 +452,23 @@ object Smooth {
     * grid itself; the fill value always exists (the grid starts at the
     * first OBSERVED bin).
     *
+    * @param method "locf" carries the last observation forward (values
+    *               pass through UNTOUCHED — no arithmetic); "linear"
+    *               interpolates between the bracketing observations as
+    *               one double expression of exact bin longs (every
+    *               filled bin has both brackets by grid construction)
     * @return per (key, grid bin): (keyCols…, bin_epoch, value,
-    *         is_filled) — value carried forward where is_filled
+    *         is_filled) — value carried forward (or interpolated) where
+    *         is_filled
     */
   def resampleFill(
       df: DataFrame, keyCols: Seq[String], timeCol: Column,
-      valueCol: Column, stepSec: Long, tieCol: Column): DataFrame = {
+      valueCol: Column, stepSec: Long, tieCol: Column,
+      method: String = "locf"): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    require(method == "locf" || method == "linear",
+      s"method must be locf|linear: $method")
     val k = keyCols.map(col)
     val wTop = Window.partitionBy(k :+ col("__bin"): _*)
       .orderBy(col("__ts").desc, col("__tb").desc)
@@ -478,11 +487,38 @@ object Smooth {
         lit(stepSec))).as("__bin"): _*)
     val wFill = Window.partitionBy(k: _*).orderBy(col("__bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, keyCols :+ "__bin", "left")
+    val joined = grid.join(obs, keyCols :+ "__bin", "left")
       .withColumn("is_filled", col("__v").isNull)
-      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
-      .select(k ++ Seq(col("__bin").as("bin_epoch"), col("value"),
-        col("is_filled")): _*)
+    if (method == "locf") {
+      joined
+        .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
+        .select(k ++ Seq(col("__bin").as("bin_epoch"), col("value"),
+          col("is_filled")): _*)
+    } else {
+      // linear: interpolate between the bracketing observations. Every
+      // filled bin HAS both brackets (the grid spans first..last observed
+      // bin), so the expression below never sees a NULL side. The
+      // interpolation is ONE double expression of the exact bin longs and
+      // the two observed values — mirrorable verbatim in SQL.
+      val wBack = Window.partitionBy(k: _*).orderBy(col("__bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val obsBin = when(col("__v").isNotNull, col("__bin"))
+      val lerped = joined
+        .withColumn("__pv",
+          last(col("__v"), ignoreNulls = true).over(wFill).cast("double"))
+        .withColumn("__pb", last(obsBin, ignoreNulls = true).over(wFill))
+        .withColumn("__nv",
+          last(col("__v"), ignoreNulls = true).over(wBack).cast("double"))
+        .withColumn("__nb", last(obsBin, ignoreNulls = true).over(wBack))
+      lerped
+        .withColumn("value",
+          when(!col("is_filled"), col("__v").cast("double"))
+            .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+              (col("__bin") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double")))
+        .select(k ++ Seq(col("__bin").as("bin_epoch"), col("value"),
+          col("is_filled")): _*)
+    }
   }
 
   /** Seasonal-naive forecast scorecard per group — before any model earns

@@ -7711,6 +7711,161 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** ABC/Pareto classification ([[graft.operators.Profile
+    * .abcClassification]]): brands classed A/B/C by revenue share per
+    * return flag — deterministic (value DESC, key) ranking, class
+    * boundaries decided by EXACT DECIMAL comparisons of the cumulative
+    * rational (cum·100 ≤ pct·total), never a double threshold.
+    */
+  val q210 = q(
+    "q210_abc_classes",
+    """WITH t AS (SELECT l.l_returnflag AS g, p.p_brand AS k,
+      |             CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |           WHERE l.l_extendedprice IS NOT NULL AND p.p_brand IS NOT NULL),
+      |bk AS (SELECT g, k, CAST(sum(v4) AS BIGINT) AS value4 FROM t GROUP BY 1, 2),
+      |r AS (SELECT g, k, value4,
+      |        CAST(row_number() OVER (PARTITION BY g ORDER BY value4 DESC, k) AS BIGINT) AS rnk,
+      |        CAST(sum(value4) OVER (PARTITION BY g ORDER BY value4 DESC, k
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum4,
+      |        CAST(sum(value4) OVER (PARTITION BY g) AS BIGINT) AS tot
+      |      FROM bk)
+      |SELECT g AS l_returnflag, k AS p_brand, rnk, value4, cum4,
+      |  CASE WHEN tot > 0 THEN
+      |    floor((CAST(cum4 AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS share4,
+      |  CASE WHEN CAST(cum4 AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 80 THEN 'A'
+      |       WHEN CAST(cum4 AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM r ORDER BY l_returnflag, rnk""".stripMargin) { (s, d) =>
+    val joined = Tables.lineitem(s, d)
+      .join(Tables.part(s, d),
+        col("l_partkey") === col("p_partkey"))
+    graft.operators.Profile
+      .abcClassification(joined, Seq("l_returnflag"),
+        keyCol = col("p_brand"), valueCol = col("l_extendedprice"))
+      .select(col("l_returnflag"), col("key").as("p_brand"), col("rnk"),
+        col("value4"), col("cum4"), r4(col("share")).as("share4"),
+        col("abc_class"))
+      .transform(ordered("l_returnflag", "rnk"))
+  }
+
+  /** Vocabulary richness ([[graft.llm.TextAnalysis.vocabRichness]]):
+    * bias-corrected Chao1 + Good–Turing unseen mass per language — "does
+    * more data still buy new vocabulary?" Exact long frequency-profile
+    * counts, two double tails, r4.
+    */
+  val q211 = q(
+    "q211_vocab_richness",
+    """WITH tok AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |m AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        CAST(count(*) AS BIGINT) AS d_types,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |      FROM f GROUP BY 1)
+      |SELECT g AS lang, n_tokens, d_types, f1, f2,
+      |  floor((CAST(d_types AS DOUBLE)
+      |         + CAST(CAST(f1 AS HUGEINT) * (CAST(f1 AS HUGEINT) - 1) AS DOUBLE)
+      |           / (2.0 * CAST(f2 + 1 AS DOUBLE))) * 10000 + 0.5) / 10000 AS chao1_4,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    floor((CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS p_unseen4
+      |FROM m ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis
+      .vocabRichness(Tables.documents(s, d), Seq("lang"), textCol = col("text"))
+      .select(col("lang"), col("n_tokens"), col("d_types"), col("f1"),
+        col("f2"), r4(col("chao1")).as("chao1_4"),
+        r4(col("p_unseen")).as("p_unseen4"))
+      .transform(ordered("lang"))
+  }
+
+  /** Linear-interpolation resample ([[graft.operators.Smooth
+    * .resampleFill]] `method = "linear"`): q199's grid with interpolated
+    * instead of carried values — one mirrored double expression of the
+    * exact bin longs and the two bracketing observations.
+    */
+  val q212 = q(
+    "q212_resample_linear",
+    """WITH o0 AS (SELECT user_id AS k,
+      |         (epoch_us(ts) // 1000000 // 86400) * 86400 AS bin,
+      |         ts, event_id AS tb, value AS v
+      |       FROM events
+      |       WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      |o1 AS (SELECT k, bin, v,
+      |         row_number() OVER (PARTITION BY k, bin ORDER BY ts DESC, tb DESC) AS rn
+      |       FROM o0),
+      |obs AS (SELECT k, bin, v FROM o1 WHERE rn = 1),
+      |sp AS (SELECT k, min(bin) AS lo, max(bin) AS hi FROM obs GROUP BY 1),
+      |grid AS (SELECT k, unnest(generate_series(lo, hi, 86400)) AS bin FROM sp),
+      |j AS (SELECT grid.k, grid.bin, obs.v
+      |      FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.bin = obs.bin),
+      |j2 AS (SELECT k, bin, v, (v IS NULL) AS is_filled,
+      |        CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bin
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+      |          OVER (PARTITION BY k ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pb,
+      |        CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bin DESC
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS nv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+      |          OVER (PARTITION BY k ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS nb
+      |      FROM j)
+      |SELECT k AS user_id, bin AS bin_epoch,
+      |  CASE WHEN NOT is_filled THEN CAST(v AS DOUBLE)
+      |       ELSE pv + (nv - pv) * CAST(bin - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+      |  END AS value,
+      |  is_filled
+      |FROM j2 ORDER BY user_id, bin_epoch""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .resampleFill(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        Seq("user_id"), timeCol = col("ts"), valueCol = col("value"),
+        stepSec = 86400L, tieCol = col("event_id"), method = "linear")
+      .select(col("user_id"), col("bin_epoch"), col("value"), col("is_filled"))
+      .transform(orderedWide("user_id", "bin_epoch"))
+  }
+
+  /** Cochran–Armitage trend ([[graft.operators.Eval.cochranArmitage]]):
+    * does purchase propensity trend across value bands per day-of-week —
+    * the multiplied-through integer form, DECIMAL dose moments, one
+    * mirrored double tail, degenerates by exact compares, r4.
+    */
+  val q213 = q(
+    "q213_cochran_armitage",
+    """WITH t AS (SELECT isodow(ts) AS g, CAST(floor(value / 25) AS BIGINT) AS dd,
+      |             (event_type = 'purchase') AS s
+      |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |bd AS (SELECT g, dd, CAST(count(*) AS BIGINT) AS ni,
+      |         CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS xi
+      |       FROM t GROUP BY 1, 2),
+      |m AS (SELECT g, CAST(sum(ni) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS x,
+      |        CAST(count(*) AS BIGINT) AS k_doses,
+      |        sum(CAST(xi AS HUGEINT) * dd) AS tt,
+      |        sum(CAST(ni AS HUGEINT) * dd) AS s1,
+      |        sum(CAST(ni AS HUGEINT) * dd * dd) AS s2
+      |      FROM bd GROUP BY 1)
+      |SELECT g AS dow, n, x, k_doses,
+      |  CASE WHEN x > 0 AND x < n AND CAST(n AS HUGEINT) * s2 <> s1 * s1 THEN
+      |    floor((CAST(CAST(n AS HUGEINT) * tt - CAST(x AS HUGEINT) * s1 AS DOUBLE)
+      |           * sqrt(CAST(n AS DOUBLE))
+      |           / sqrt(CAST(CAST(x AS HUGEINT) * (CAST(n AS HUGEINT) - x)
+      |                       * (CAST(n AS HUGEINT) * s2 - s1 * s1) AS DOUBLE)))
+      |          * 10000 + 0.5) / 10000
+      |  END AS z4
+      |FROM m ORDER BY dow""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .cochranArmitage(
+        Tables.events(s, d).withColumn("dow", Macros.isoDow(col("ts"))),
+        Seq("dow"),
+        doseCol = floor(col("value") / 25).cast("long"),
+        successCol = col("event_type") === "purchase")
+      .select(col("dow"), col("n"), col("x"), col("k_doses"),
+        r4(col("z")).as("z4"))
+      .transform(ordered("dow"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7743,5 +7898,5 @@ object Catalog {
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-    q203, q204, q205, q206, q207, q208, q209)
+    q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }

@@ -1208,6 +1208,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("mix") == ((1L, 2L, 2L, 0.0)))
   }
 
+  // -------------------------------------------------- cochranArmitage
+
+  test("cochranArmitage: exact z = 2 on a perfect dose ramp; degenerates NULL") {
+    // doses 0,1,2 with (n,x) = (2,0),(2,1),(2,2): T=5, S1=6, S2=10,
+    // num = 6·5−3·6 = 12, var = 3·3·24 = 216 → z = 12√6/√216 = 2 exactly.
+    val df = Seq(
+      ("g", 0L, false), ("g", 0L, false), ("g", 1L, true), ("g", 1L, false),
+      ("g", 2L, true), ("g", 2L, true),
+      ("allwin", 0L, true), ("allwin", 1L, true),
+      ("onedose", 5L, true), ("onedose", 5L, false)
+    ).toDF("g", "dose", "s")
+    val out = Eval.cochranArmitage(df, Seq("g"), col("dose"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(out("g")._1 == 6L && out("g")._2 == 3L && out("g")._3 == 3L)
+    assert(math.abs(out("g")._4.get.asInstanceOf[Double] - 2.0) < 1e-12)
+    assert(out("allwin")._4.isEmpty)  // X = N
+    assert(out("onedose")._4.isEmpty) // N·S2 = S1²
+  }
+
   // ------------------------------------------------------ kendallTauB
 
   test("kendallTauB: monotone ±1; tie-corrected hand case; constant NULL") {

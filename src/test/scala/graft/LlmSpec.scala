@@ -1529,4 +1529,29 @@ class LlmSpec extends SparkSpec {
     assert(g2.getAs[Long]("n_types") == 1L)
     assert(g2.isNullAt(g2.fieldIndex("slope")))
   }
+
+  // --------------------------------------------------- vocabRichness
+
+  test("vocabRichness: hand frequency profile; empty tokens excluded") {
+    // tokens: a×2, b×2, c×1, d×1 → N=6, D=4, f1=2, f2=2;
+    // Chao1 = 4 + 2·1/(2·3) = 4⅓; p_unseen = 2/6. The double space in
+    // doc 1 must not create an empty token.
+    val df = Seq(("en", "a b  a c"), ("en", "d b")).toDF("lang", "text")
+    val Array(r) = TextAnalysis.vocabRichness(df, Seq("lang"), col("text"))
+      .collect()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("d_types") == 4L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 2L)
+    assert(math.abs(r.getAs[Double]("chao1") - (4.0 + 1.0 / 3.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_unseen") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("vocabRichness: all-singletons corpus — Chao1 grows, p_unseen = 1") {
+    val df = Seq(("x", "p q r s")).toDF("lang", "text")
+    val Array(r) = TextAnalysis.vocabRichness(df, Seq("lang"), col("text"))
+      .collect()
+    assert(r.getAs[Long]("f1") == 4L && r.getAs[Long]("f2") == 0L)
+    assert(r.getAs[Double]("chao1") == 4.0 + 4.0 * 3.0 / 2.0)
+    assert(r.getAs[Double]("p_unseen") == 1.0)
+  }
 }

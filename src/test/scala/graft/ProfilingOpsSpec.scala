@@ -125,4 +125,28 @@ class ProfilingOpsSpec extends SparkSpec {
     assert(math.abs(out(5).getAs[Double]("dev") -
       (0.25 - math.log10(1.2))) < 1e-12)
   }
+
+  // ------------------------------------------------- abcClassification
+
+  test("abcClassification: exact threshold boundaries; ties rank by key") {
+    // values a=50, b=30, c=15, d=5 (total 100): cum 50, 80, 95, 100 →
+    // a,b are A (cum·100 ≤ 80·total INCLUSIVE at 80), c is B (≤ 95),
+    // d is C — the boundary keys land on the lower class by the exact
+    // integer compare.
+    val df = Seq(("g", "a", 50.0), ("g", "b", 30.0), ("g", "c", 15.0),
+      ("g", "d", 5.0)).toDF("g", "k", "v")
+    val out = Profile.abcClassification(df, Seq("g"), col("k"), col("v"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(4), r.getString(6))).toMap
+    assert(out("a") == ((1L, 500000L, "A")))
+    assert(out("b") == ((2L, 800000L, "A")))
+    assert(out("c") == ((3L, 950000L, "B")))
+    assert(out("d") == ((4L, 1000000L, "C")))
+
+    // equal values: deterministic rank by key ascending
+    val tie = Seq(("g", "z", 1.0), ("g", "y", 1.0)).toDF("g", "k", "v")
+    val ranks = Profile.abcClassification(tie, Seq("g"), col("k"), col("v"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(ranks("y") == 1L && ranks("z") == 2L)
+  }
 }

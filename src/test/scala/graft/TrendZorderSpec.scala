@@ -256,6 +256,19 @@ class TrendZorderSpec extends SparkSpec {
     assert(r.getDouble(2) == 9.0) // highest tie wins (DESC)
   }
 
+  test("resampleFill linear: exact interpolation between brackets") {
+    // obs at bins 0 (v=1) and 30 (v=4), step 10 → 1, 2, 3, 4 exactly
+    val df = Seq(
+      ("k", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L),
+      ("k", Timestamp.valueOf("2024-01-01 00:00:30"), 4.0, 2L)
+    ).toDF("k", "ts", "v", "id")
+    val rows = Smooth.resampleFill(df, Seq("k"), col("ts"), col("v"),
+        stepSec = 10L, tieCol = col("id"), method = "linear")
+      .orderBy("bin_epoch").collect()
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(false, true, true, false))
+  }
+
   // ------------------------------------------------------------ Smooth
 
   test("Smooth.ewmaWeights: fix-point taps, underflow truncation") {
