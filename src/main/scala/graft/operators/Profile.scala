@@ -206,4 +206,96 @@ object Profile {
           .when(dec(col("cum4")) * 100 <= dec(col("__tot")) * bPct, "B")
           .otherwise("C").as("abc_class")): _*)
   }
+
+  /** Foreign-key health audit — how many child rows reference a parent
+    * that doesn't exist? The referential-integrity gate run after every
+    * ingest/upsert (a nonzero orphan rate after q15's month upsert means
+    * the merge dropped parents it shouldn't have).
+    *
+    * NULL child keys are counted separately (`n_null_key`) — a NULL FK is
+    * "intentionally unparented", not an orphan; rows with any NULL key
+    * component are excluded from the orphan check (the SQL FK semantics).
+    *
+    * Plan: one LEFT SEMI-shaped aggregate — child keys aggregate FIRST
+    * (map-side combined, key-sized), then one equi-join against the
+    * distinct parent keys, then one scalar aggregate. The child table
+    * never shuffles raw; broadcast the parent side when it is
+    * dimension-sized (Spark's planner does, under the threshold).
+    *
+    * @param keys child-column → parent-column name pairs
+    * @return ONE row: (n_child, n_null_key, n_orphans, n_distinct_missing,
+    *         orphan_rate) — orphan_rate over non-NULL-key child rows
+    */
+  def fkAudit(
+      child: DataFrame, parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val ck = keys.map { case (c, _) => col(c) }
+    val nonNull = ck.map(_.isNotNull).reduce(_ && _)
+    val childKeys = child
+      .select((ck :+ nonNull.as("__ok")): _*)
+      .groupBy((keys.map { case (c, _) => col(c) } :+ col("__ok")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val parentKeys = parent
+      .select(keys.map { case (c, p) => col(p).as(s"__p_$c") }: _*)
+      .distinct()
+    val cond = keys.map { case (c, _) => col(c) === col(s"__p_$c") }
+      .reduce(_ && _)
+    childKeys
+      .join(parentKeys, cond, "left")
+      .agg(
+        sum(col("__n")).as("n_child"),
+        sum(when(!col("__ok"), col("__n")).otherwise(0L)).as("n_null_key"),
+        sum(when(col("__ok") && col(s"__p_${keys.head._1}").isNull,
+          col("__n")).otherwise(0L)).as("n_orphans"),
+        sum(when(col("__ok") && col(s"__p_${keys.head._1}").isNull, 1L)
+          .otherwise(0L)).as("n_distinct_missing"))
+      .select(col("n_child"), col("n_null_key"), col("n_orphans"),
+        col("n_distinct_missing"),
+        when(col("n_child") - col("n_null_key") > 0,
+          col("n_orphans").cast("double") /
+            (col("n_child") - col("n_null_key")).cast("double"))
+          .as("orphan_rate"))
+  }
+
+  /** Functional-dependency audit — "does A determine B?" (is station_id →
+    * station_name actually a function, or did two ingests disagree?). The
+    * schema-inference / normalization check a curation pipeline runs
+    * before trusting a column as a lookup key.
+    *
+    * A determinant VALUE violates when it maps to ≥ 2 distinct dependent
+    * values (NULL counts as a value — two rows (k, NULL) and (k, 'x')
+    * disagree). Output is the per-group audit summary plus the violation
+    * mass, all exact longs.
+    *
+    * Plan: one (group, lhs, rhs) distinct-pair aggregate (map-side
+    * combined), one (group, lhs) aggregate, one group aggregate — each
+    * step strictly smaller; nothing row-sized after the first exchange.
+    *
+    * @return per group: (groupCols…, n_rows, n_lhs, n_violating_lhs,
+    *         n_violating_rows, max_rhs_per_lhs, fd_holds)
+    */
+  def fdViolations(
+      df: DataFrame, groupCols: Seq[String],
+      lhsCol: org.apache.spark.sql.Column,
+      rhsCol: org.apache.spark.sql.Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val pairs = df
+      .select(g ++ Seq(lhsCol.cast("string").as("__l"),
+        rhsCol.cast("string").as("__r")): _*)
+      .groupBy(g ++ Seq(col("__l"), col("__r")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val byLhs = pairs.groupBy(g :+ col("__l"): _*)
+      .agg(count(lit(1)).as("__k"), sum(col("__n")).as("__rows"))
+    byLhs.groupBy(g: _*)
+      .agg(
+        sum(col("__rows")).as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+        sum(when(col("__k") > 1, col("__rows")).otherwise(0L))
+          .as("n_violating_rows"),
+        max(col("__k")).as("max_rhs_per_lhs"))
+      .withColumn("fd_holds", col("n_violating_lhs") === 0L)
+  }
 }

@@ -7866,6 +7866,72 @@ object Catalog {
       .transform(ordered("dow"))
   }
 
+  /** FK orphan audit ([[graft.operators.Profile.fkAudit]]): lineitem →
+    * part referential health with synthesized breakage (every 17th parent
+    * dropped, every 31st order's key NULLed) — child keys aggregate
+    * before the parent join; NULL FKs counted separately, never as
+    * orphans.
+    */
+  val q214 = q(
+    "q214_fk_audit",
+    """WITH c AS (SELECT CASE WHEN l_orderkey % 31 = 0 THEN NULL ELSE l_partkey END AS k
+      |           FROM lineitem),
+      |ck AS (SELECT k, (k IS NOT NULL) AS ok, CAST(count(*) AS BIGINT) AS n
+      |       FROM c GROUP BY 1, 2),
+      |p AS (SELECT DISTINCT p_partkey AS pk FROM part WHERE p_partkey % 17 <> 0),
+      |j AS (SELECT ck.k, ck.ok, ck.n, p.pk FROM ck LEFT JOIN p ON ck.k = p.pk)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_child,
+      |  CAST(sum(CASE WHEN NOT ok THEN n ELSE 0 END) AS BIGINT) AS n_null_key,
+      |  CAST(sum(CASE WHEN ok AND pk IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_orphans,
+      |  CAST(sum(CASE WHEN ok AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_missing,
+      |  CASE WHEN sum(n) - sum(CASE WHEN NOT ok THEN n ELSE 0 END) > 0 THEN
+      |    floor((CAST(sum(CASE WHEN ok AND pk IS NULL THEN n ELSE 0 END) AS DOUBLE)
+      |           / CAST(sum(n) - sum(CASE WHEN NOT ok THEN n ELSE 0 END) AS DOUBLE))
+      |          * 10000 + 0.5) / 10000
+      |  END AS orphan_rate4
+      |FROM j""".stripMargin) { (s, d) =>
+    val child = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(31L)) === 0, lit(null).cast("long"))
+        .otherwise(col("l_partkey")).as("fk"))
+    val parent = Tables.part(s, d)
+      .filter(pmod(col("p_partkey"), lit(17L)) =!= 0)
+    graft.operators.Profile
+      .fkAudit(child, parent, Seq("fk" -> "p_partkey"))
+      .select(col("n_child"), col("n_null_key"), col("n_orphans"),
+        col("n_distinct_missing"), r4(col("orphan_rate")).as("orphan_rate4"))
+  }
+
+  /** Functional-dependency audit ([[graft.operators.Profile
+    * .fdViolations]]): does user_id determine the value band, per event
+    * type? (It shouldn't — the audit quantifies the violation mass.)
+    * Exact long counts off the strictly-shrinking pair → lhs → group
+    * aggregate chain.
+    */
+  val q215 = q(
+    "q215_fd_audit",
+    """WITH t AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS l,
+      |             CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS r
+      |           FROM events),
+      |p AS (SELECT g, l, r, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2, 3),
+      |bl AS (SELECT g, l, CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(n) AS BIGINT) AS rows_ FROM p GROUP BY 1, 2)
+      |SELECT g AS event_type, CAST(sum(rows_) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_lhs,
+      |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+      |  CAST(sum(CASE WHEN k > 1 THEN rows_ ELSE 0 END) AS BIGINT) AS n_violating_rows,
+      |  max(k) AS max_rhs_per_lhs,
+      |  (sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0) AS fd_holds
+      |FROM bl GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Profile
+      .fdViolations(Tables.events(s, d), Seq("event_type"),
+        lhsCol = col("user_id"),
+        rhsCol = floor(col("value") / 50).cast("long"))
+      .select(col("event_type"), col("n_rows"), col("n_lhs"),
+        col("n_violating_lhs"), col("n_violating_rows"),
+        col("max_rhs_per_lhs"), col("fd_holds"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7898,5 +7964,6 @@ object Catalog {
     q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-    q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
+    q214, q215)
 }

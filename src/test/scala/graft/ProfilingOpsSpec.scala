@@ -149,4 +149,48 @@ class ProfilingOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(ranks("y") == 1L && ranks("z") == 2L)
   }
+
+  // --------------------------------------------------------- fkAudit
+
+  test("fkAudit: orphans counted by rows and distinct keys; NULL FKs separate") {
+    val child = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "x"), (3L, "x"),
+      (null, "x"), (3L, "x")).toDF("fk", "pad").select(col("fk"))
+    val parent = Seq((1L, "p"), (2L, "q")).toDF("pk", "name")
+    val Array(r) = Profile.fkAudit(child, parent, Seq("fk" -> "pk")).collect()
+    assert(r.getLong(0) == 5L) // n_child
+    assert(r.getLong(1) == 1L) // n_null_key
+    assert(r.getLong(2) == 2L) // two rows with fk = 3
+    assert(r.getLong(3) == 1L) // one distinct missing key
+    assert(r.getDouble(4) == 0.5) // 2 of 4 non-null rows
+  }
+
+  test("fkAudit: composite keys match componentwise") {
+    val child = Seq((1L, "a"), (1L, "b")).toDF("k1", "k2")
+    val parent = Seq((1L, "a")).toDF("p1", "p2")
+    val Array(r) = Profile.fkAudit(child, parent,
+      Seq("k1" -> "p1", "k2" -> "p2")).collect()
+    assert(r.getLong(0) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(4) == 0.5)
+  }
+
+  // ---------------------------------------------------- fdViolations
+
+  test("fdViolations: violation mass, NULL-as-value, and a holding FD") {
+    val df = Seq[(String, String, String)](
+      // k1 → {v1, v2} over 3 rows: one violating determinant
+      ("bad", "k1", "v1"), ("bad", "k1", "v2"), ("bad", "k1", "v1"),
+      ("bad", "k2", "v1"),
+      // NULL is a dependent VALUE: k disagrees between NULL and 'x'
+      ("nul", "k", null), ("nul", "k", "x"),
+      // clean: every determinant maps to one value
+      ("ok", "a", "1"), ("ok", "a", "1"), ("ok", "b", "2")
+    ).toDF("g", "l", "r")
+    val out = Profile.fdViolations(df, Seq("g"), col("l"), col("r"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5), x.getBoolean(6))).toMap
+    assert(out("bad") == ((4L, 2L, 1L, 3L, 2L, false)))
+    assert(out("nul") == ((2L, 1L, 1L, 2L, 2L, false)))
+    assert(out("ok") == ((3L, 2L, 0L, 0L, 1L, true)))
+  }
 }
