@@ -535,4 +535,61 @@ object TextAnalysis {
           col("f1").cast("double") / col("n_tokens").cast("double"))
           .as("p_unseen")): _*)
   }
+
+  /** Cross-corpus vocabulary overlap per group — before mixing corpus B
+    * into corpus A (or grading a new acquisition against the owned set),
+    * measure how much of B's LEXICON is new: type-level Jaccard, and the
+    * token-level OOV MASS (what fraction of B's running text uses types A
+    * has never seen — the number that predicts tokenizer/embedding
+    * coverage, where a rare-type count would mislead).
+    *
+    * Exactness: everything is exact long presence/count arithmetic off
+    * ONE (group, token) aggregate carrying both sides; the two rates are
+    * single double divisions. Empty tokens of the single-space convention
+    * are excluded; rows with a NULL side flag are excluded (the
+    * [[graft.llm.Decontam]] null-flag convention).
+    *
+    * Plan: one token-volume hash aggregate (map-side combined), one
+    * vocabulary-sized group aggregate. Text never shuffles — only
+    * (group, token, counts).
+    *
+    * @param inACol boolean: true → corpus A, false → corpus B
+    * @return per group: (groupCols…, v_a, v_b, v_shared, jaccard,
+    *         oov_types_b, tokens_b, oov_mass_b) — rates NULL when the
+    *         respective denominator is 0
+    */
+  def vocabOverlap(
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      textCol: Column, inACol: Column): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val byType = df
+      .filter(textCol.isNotNull && inACol.isNotNull)
+      .select(g ++ Seq(inACol.cast("boolean").as("__a"),
+        explode(split(textCol, " ")).as("__tok")): _*)
+      .filter(col("__tok") =!= "")
+      .groupBy(g :+ col("__tok"): _*)
+      .agg(
+        max(when(col("__a"), 1L).otherwise(0L)).as("__ina"),
+        max(when(!col("__a"), 1L).otherwise(0L)).as("__inb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    byType.groupBy(g: _*)
+      .agg(
+        sum(col("__ina")).as("v_a"),
+        sum(col("__inb")).as("v_b"),
+        sum(col("__ina") * col("__inb")).as("v_shared"),
+        count(lit(1)).as("__union"),
+        sum(col("__cb")).as("tokens_b"),
+        sum(when(col("__ina") === 0, col("__cb")).otherwise(0L))
+          .as("__oov_mass"))
+      .select(g ++ Seq(col("v_a"), col("v_b"), col("v_shared"),
+        when(col("__union") > 0,
+          col("v_shared").cast("double") / col("__union").cast("double"))
+          .as("jaccard"),
+        (col("v_b") - col("v_shared")).as("oov_types_b"),
+        col("tokens_b"),
+        when(col("tokens_b") > 0,
+          col("__oov_mass").cast("double") / col("tokens_b").cast("double"))
+          .as("oov_mass_b")): _*)
+  }
 }

@@ -7932,6 +7932,89 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Vocabulary overlap ([[graft.llm.TextAnalysis.vocabOverlap]]): how
+    * much of the odd-doc half's lexicon is new to the even-doc half, per
+    * language — type Jaccard AND token-level OOV mass (the coverage
+    * predictor) from ONE (lang, token) aggregate; exact long presence
+    * arithmetic, r4 rate tails.
+    */
+  val q216 = q(
+    "q216_vocab_overlap",
+    """WITH tok AS (SELECT lang AS g, (doc_id % 2 = 0) AS a,
+      |               unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |bt AS (SELECT g, tok,
+      |         CAST(max(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ina,
+      |         CAST(max(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS inb,
+      |         CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |m AS (SELECT g, CAST(sum(ina) AS BIGINT) AS v_a, CAST(sum(inb) AS BIGINT) AS v_b,
+      |        CAST(sum(ina * inb) AS BIGINT) AS v_shared,
+      |        CAST(count(*) AS BIGINT) AS un, CAST(sum(cb) AS BIGINT) AS tokens_b,
+      |        CAST(sum(CASE WHEN ina = 0 THEN cb ELSE 0 END) AS BIGINT) AS oovm
+      |      FROM bt GROUP BY 1)
+      |SELECT g AS lang, v_a, v_b, v_shared,
+      |  CASE WHEN un > 0 THEN
+      |    floor((CAST(v_shared AS DOUBLE) / CAST(un AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS jaccard4,
+      |  v_b - v_shared AS oov_types_b, tokens_b,
+      |  CASE WHEN tokens_b > 0 THEN
+      |    floor((CAST(oovm AS DOUBLE) / CAST(tokens_b AS DOUBLE)) * 10000 + 0.5) / 10000
+      |  END AS oov_mass4
+      |FROM m ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.llm.TextAnalysis
+      .vocabOverlap(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        Seq("lang"), textCol = col("text"),
+        inACol = pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("lang"), col("v_a"), col("v_b"), col("v_shared"),
+        r4(col("jaccard")).as("jaccard4"), col("oov_types_b"),
+        col("tokens_b"), r4(col("oov_mass_b")).as("oov_mass4"))
+      .transform(ordered("lang"))
+  }
+
+  /** Lexical rank correlation (composition: the q216 frequency table into
+    * [[graft.operators.Eval.spearman]]): do the two corpus halves rank
+    * their SHARED vocabulary the same way, per language? Near-1 = same
+    * register; a drop flags register/topic drift the q89 KL would need
+    * smoothing to see.
+    */
+  val q217 = q(
+    "q217_lexical_rank_corr",
+    """WITH tok AS (SELECT lang AS g, (doc_id % 2 = 0) AS a,
+      |               unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |f AS (SELECT g, tok,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS fb
+      |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |s AS (SELECT g, fa, fb FROM f WHERE fa > 0 AND fb > 0),
+      |r AS (SELECT g,
+      |        2 * rank() OVER (PARTITION BY g ORDER BY fa)
+      |          + count(*) OVER (PARTITION BY g, fa) - 1 AS rx,
+      |        2 * rank() OVER (PARTITION BY g ORDER BY fb)
+      |          + count(*) OVER (PARTITION BY g, fb) - 1 AS ry
+      |      FROM s)
+      |SELECT g AS lang, count(*) AS n,
+      |  CASE WHEN var_samp(rx) > 0 AND var_samp(ry) > 0 THEN
+      |    floor((covar_samp(rx, ry) / sqrt(var_samp(rx) * var_samp(ry))) * 10000 + 0.5) / 10000
+      |  END AS rho4
+      |FROM r GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("lang"), (pmod(col("doc_id"), lit(2L)) === 0).as("__a"),
+        explode(split(col("text"), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val freq = tok.groupBy(col("lang"), col("__tok"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("fa"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("fb"))
+      .filter(col("fa") > 0 && col("fb") > 0)
+    graft.operators.Eval
+      .spearman(freq, Seq("lang"), x = col("fa"), y = col("fb"))
+      .select(col("lang"), col("n"), r4(col("rho")).as("rho4"))
+      .transform(ordered("lang"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -7965,5 +8048,5 @@ object Catalog {
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
     q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215)
+    q214, q215, q216, q217)
 }

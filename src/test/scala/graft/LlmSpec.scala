@@ -1546,6 +1546,29 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p_unseen") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("vocabOverlap: type Jaccard and token-level OOV mass") {
+    // A = {a,b,c}; B tokens = b,c,c,d → shared {b,c}, union 4, J = 0.5;
+    // OOV mass = the one 'd' of B's 4 tokens = 0.25.
+    val df = Seq(("g", true, "a b c"), ("g", false, "b c c d")).toDF("g", "a", "text")
+    val Array(r) = TextAnalysis.vocabOverlap(df, Seq("g"), col("text"), col("a"))
+      .collect()
+    assert(r.getAs[Long]("v_a") == 3L && r.getAs[Long]("v_b") == 3L)
+    assert(r.getAs[Long]("v_shared") == 2L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+    assert(r.getAs[Long]("oov_types_b") == 1L)
+    assert(r.getAs[Long]("tokens_b") == 4L)
+    assert(r.getAs[Double]("oov_mass_b") == 0.25)
+  }
+
+  test("vocabOverlap: one-sided corpora — empty B gives NULL mass rate") {
+    val df = Seq(("g", true, "a b")).toDF("g", "a", "text")
+    val Array(r) = TextAnalysis.vocabOverlap(df, Seq("g"), col("text"), col("a"))
+      .collect()
+    assert(r.getAs[Long]("v_b") == 0L && r.getAs[Long]("tokens_b") == 0L)
+    assert(r.getAs[Double]("jaccard") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("oov_mass_b")))
+  }
+
   test("vocabRichness: all-singletons corpus — Chao1 grows, p_unseen = 1") {
     val df = Seq(("x", "p q r s")).toDF("lang", "text")
     val Array(r) = TextAnalysis.vocabRichness(df, Seq("lang"), col("text"))
