@@ -337,4 +337,75 @@ class PropertySpec extends SparkSpec {
       assert(run(n) == ref, s"continuation statistics drifted at $n partitions")
     }
   }
+
+  test("round-12 continuation statistics (q186-q217 family) are partitioning-invariant") {
+    // the agreement/rank/classification/time-series/lexicon additions all
+    // accumulate through exact LONG/DECIMAL fixed point (or single double
+    // tails of exact integers), so outputs must be BIT-identical across
+    // merge trees — same discipline as the two laws above
+    val rnd = new scala.util.Random(3333L)
+    val rows = Seq.fill(2000)((
+      "g" + rnd.nextInt(4),
+      rnd.nextInt(100000).toLong,
+      math.floor(rnd.nextDouble() * 10000 + 0.5) / 100.0,
+      math.floor(rnd.nextDouble() * 10000 + 0.5) / 100.0,
+      rnd.nextDouble() < 0.5,
+      "l" + rnd.nextInt(3),
+      1L + rnd.nextInt(200),
+      (0 until 5).map(_ => "w" + rnd.nextInt(60)).mkString(" ")
+    )).distinctBy(t => (t._1, t._2))
+    val base = rows.toDF("g", "id", "v", "v2", "flag", "lvl", "dur", "text")
+    val edgeRows = Seq.fill(600)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val commRows = (0L until 40L).map(n => (n, "c" + n % 5))
+    def run(parts: Int): Seq[Seq[Any]] = {
+      import graft.operators.{Eval, Profile, Smooth, Survival}
+      val d = base.repartition(parts)
+      val edges = edgeRows.toDF("src", "dst").repartition(parts)
+      val comms = commRows.toDF("node", "comm")
+      val outs = Seq(
+        Eval.fleissKappa(d, Seq("g"), pmod(col("id"), lit(7L)),
+          pmod(col("id"), lit(3L))).orderBy("g"),
+        Eval.kruskalWallis(d, Seq("g"), col("v"), col("lvl")).orderBy("g"),
+        Eval.wilcoxonSignedRank(d, Seq("g"), col("v"), col("v2")).orderBy("g"),
+        Eval.brownForsythe(d, Seq("g"), col("v"), col("lvl")).orderBy("g"),
+        Eval.kendallTauB(d, Seq("g"), floor(col("v") / 10).cast("long"),
+          floor(col("v2") / 10).cast("long")).orderBy("g"),
+        Eval.f1Scores(d, Seq("g"), col("lvl"),
+          concat(lit("l"), pmod(col("id"), lit(3L)))).orderBy("g"),
+        Eval.liftGains(d, Seq("g"), col("flag"), col("v"), col("id"),
+          buckets = 5).orderBy("g", "bucket"),
+        Eval.uncertaintyCoeff(d, Seq("g"), col("lvl"),
+          pmod(col("id"), lit(4L))).orderBy("g"),
+        Eval.oddsRatio(d, Seq("g"), col("flag"), col("v") >= 50).orderBy("g"),
+        Eval.cohensD(d, Seq("g"), col("v"), col("flag")).orderBy("g"),
+        Eval.cochranArmitage(d, Seq("g"), floor(col("v") / 25).cast("long"),
+          col("flag")).orderBy("g"),
+        Eval.twoProportionZ(d, Seq("g"), col("v") >= 50, col("flag"))
+          .orderBy("g"),
+        Smooth.ccf(d, Seq("g"), col("id"), col("v"), col("v2"),
+          tieCols = Seq("id"), maxLag = 2).orderBy("g"),
+        Smooth.durbinWatson(d, Seq("g"), col("id"), col("v"),
+          tieCols = Seq("id")).orderBy("g"),
+        Smooth.seasonalNaiveEval(d, Seq("g"), col("id"), col("v"),
+          tieCols = Seq("id"), season = 7).orderBy("g"),
+        Survival.nelsonAalen(d, Seq("g"), col("dur"), col("flag"))
+          .orderBy("g", "t"),
+        Profile.fdViolations(d, Seq("g"), pmod(col("id"), lit(17L)),
+          pmod(col("id"), lit(5L))).orderBy("g"),
+        Profile.abcClassification(d, Seq("g"), col("lvl"), col("v"))
+          .orderBy("g", "rnk"),
+        graft.llm.TextAnalysis.vocabOverlap(d, Seq("g"), col("text"),
+          col("flag")).orderBy("g"),
+        graft.llm.TextAnalysis.vocabRichness(d, Seq("g"), col("text"))
+          .orderBy("g"),
+        graft.llm.GraphRank.modularity(edges, "src", "dst", comms,
+          "node", "comm"),
+        graft.llm.GraphRank.degreeAssortativity(edges, "src", "dst"))
+      outs.flatMap(_.collect().toSeq).map(_.toSeq)
+    }
+    val ref = run(1)
+    Seq(3, 8, 17).foreach { n =>
+      assert(run(n) == ref, s"round-12 continuation statistics drifted at $n partitions")
+    }
+  }
 }
