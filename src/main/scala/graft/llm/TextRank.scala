@@ -30,17 +30,26 @@ object TextRank {
 
   /** Top-`k` keywords of `docs(textCol)` as `(rnk, node, pr12)` —
     * `node` is the word, `pr12` the exact scale-12 rank key.
+    *
+    * Tokenization is the corpus-wide single-space convention
+    * ([[TextAnalysis.words]]; the shingle kernel splits and joins on one
+    * space, so no separator knob is offered — it could not be honored).
+    * Empty tokens from doubled/leading/trailing spaces are excluded, the
+    * [[TextAnalysis.vocabRichness]] convention — without this an
+    * empty-string node accumulates co-occurrence weight corpus-wide and
+    * can fake its way into the top keywords.
     */
   def keywords(
       docs: DataFrame, textCol: String,
       minCount: Long = 3, rounds: Int = 2, k: Int = 20,
-      sep: String = " ", reuseFrames: Boolean = true): DataFrame = {
+      reuseFrames: Boolean = true): DataFrame = {
     val pairs = docs
       .select(explode(
         graft.functions.TextExprs.wordShingles(col(textCol), 2)).as("__w12"))
-      .select(substring_index(col("__w12"), sep, 1).as("__a"),
-        substring_index(col("__w12"), sep, -1).as("__b"))
-      .filter(col("__a") =!= col("__b"))
+      .select(substring_index(col("__w12"), " ", 1).as("__a"),
+        substring_index(col("__w12"), " ", -1).as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a") =!= "" && col("__b") =!= "")
       .select(least(col("__a"), col("__b")).as("u"),
         greatest(col("__a"), col("__b")).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))

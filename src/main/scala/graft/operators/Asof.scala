@@ -142,7 +142,9 @@ object Asof {
     * @param rightTieBreak column ordering right rows that share a
     *                      timestamp; the SMALLEST under this ordering
     *                      wins (required for a deterministic result when
-    *                      right timestamps can tie)
+    *                      right timestamps can tie). NULL-timestamp right
+    *                      rows are excluded; NULL-timestamp left rows are
+    *                      preserved with a NULL match
     * @return left columns + `nearest_ts` + `nearest_dt_us` (signed,
     *         right − left, negative = matched backward) + payloadCols
     */
@@ -162,7 +164,11 @@ object Asof {
           col(from).as(to)
         }): _*)
     val tieBreak = rightTieBreak.map(col).getOrElse(lit(0L))
+    // NULL-timestamp right rows can never be a nearest match but would
+    // sort nulls-first into the backward scan and surface as a phantom
+    // match (payload with NULL nearest_ts) — exclude them up front
     val rightU = right
+      .filter(col(rightTime).isNotNull)
       .select((keys.map(col) :+ unix_micros(col(rightTime)).as("__us") :+
         payload.as("__rv") :+ tieBreak.as("__tb")): _*)
       .withColumn("__side", lit(0))
@@ -192,7 +198,10 @@ object Asof {
       .filter(col("__side") === 1)
     val dPrev = col("__us") - unix_micros(col("__prev.__n_ts"))
     val dNext = unix_micros(col("__next.__n_ts")) - col("__us")
-    val chosen = when(col("__prev").isNotNull && col("__next").isNotNull,
+    // a NULL-timestamp LEFT row has no defined distance to anything: its
+    // match is NULL (the row itself is preserved — left rows always are)
+    val chosen = when(col("__us").isNull, lit(null))
+      .when(col("__prev").isNotNull && col("__next").isNotNull,
         when(dPrev <= dNext, col("__prev")).otherwise(col("__next")))
       .otherwise(coalesce(col("__prev"), col("__next")))
     val inTol = toleranceUs match {

@@ -42,7 +42,8 @@ object Cooccurrence {
       basketCol: String,
       itemCol: String,
       maxBasketSize: Int = 1000,
-      broadcastItemCounts: Boolean = true): DataFrame = {
+      broadcastItemCounts: Boolean = true,
+      hashSelfJoin: Boolean = true): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
     // ONE basket-keyed exchange serves the whole bk-clustered pipeline:
     // hashpartitioning(__bk) satisfies the (__bk, __it) dedupe's clustered
@@ -90,13 +91,20 @@ object Cooccurrence {
     val itemCounts0 = sized.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
       .crossJoin(broadcast(nFrame))
     val itemCounts = if (broadcastItemCounts) broadcast(itemCounts0) else itemCounts0
-    // self-join as SHUFFLE_HASH: both legs are the same reused __bk
-    // exchange, so sort-merge would pay two per-leg sorts for a join whose
-    // key is already co-located — a hash build on one leg is strictly less
-    // work (measured win at sf0.1; the build side is one basket-partition,
-    // bounded by the cap)
+    // self-join as SHUFFLE_HASH (default): both legs are the same reused
+    // __bk exchange, so sort-merge would pay two per-leg sorts for a join
+    // whose key is already co-located — a hash build on one leg is less
+    // work (measured win at sf0.1). MEMORY CONTRACT: the hash build side
+    // is the task's ENTIRE __bk shuffle partition (many baskets — the
+    // per-basket cap does NOT bound it), and Spark's shuffled-hash build
+    // does not spill; size `spark.sql.shuffle.partitions` so rows/partition
+    // fits executor memory, or set `hashSelfJoin = false` for the
+    // sort-merge path, which spills and is the safe shape at extreme
+    // row-per-partition scale.
+    val rightLeg = if (hashSelfJoin) sized.as("r").hint("shuffle_hash")
+      else sized.as("r")
     val pairs = sized.as("l")
-      .join(sized.as("r").hint("shuffle_hash"),
+      .join(rightLeg,
         col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
       .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
       .agg(count(lit(1)).as("n_ab"))

@@ -1167,6 +1167,7 @@ object Eval {
   def uncertaintyCoeff(
       df: DataFrame, groupCols: Seq[String],
       rowCat: Column, colCat: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     val g = groupCols.map(col)
     val withM = contingencyCells(df, groupCols, rowCat, colCat)
       .withColumn("__hy8",
@@ -1549,8 +1550,20 @@ object Eval {
           .as("__tp1"))
     val byPred = cells.groupBy(g :+ col("__p").as("__cls"): _*)
       .agg(sum(col("__c")).as("__np"))
-    val perClass = byLabel.join(byPred, groupCols :+ "__cls", "full_outer")
-      .na.fill(0L, Seq("__nl", "__tp1", "__np"))
+    // full-outer merge on NULL-SAFE keys (a NULL group key must not split
+    // each class into two half-rows — the oracle joins with IS NOT
+    // DISTINCT FROM, and a using-columns join here would diverge from it)
+    val byPredR = byPred.select(
+      (groupCols.map(c => col(c).as(s"__p_$c")) ++
+        Seq(col("__cls").as("__p_cls"), col("__np"))): _*)
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__p_$c")) :+
+      (col("__cls") <=> col("__p_cls"))).reduce(_ && _)
+    val perClass = byLabel.join(byPredR, joinCond, "full_outer")
+      .select((groupCols.map(c => coalesce(col(c), col(s"__p_$c")).as(c)) ++
+        Seq(coalesce(col("__cls"), col("__p_cls")).as("__cls"),
+          coalesce(col("__nl"), lit(0L)).as("__nl"),
+          coalesce(col("__tp1"), lit(0L)).as("__tp1"),
+          coalesce(col("__np"), lit(0L)).as("__np"))): _*)
       .withColumn("__f18",
         floor((lit(2.0) * col("__tp1").cast("double")) /
           (col("__nl") + col("__np")).cast("double") * 1e8 + 0.5)

@@ -3949,7 +3949,7 @@ object Catalog {
   val q123 = q(
     "q123_spearman",
     """WITH s AS (SELECT event_type, epoch_us(ts) AS x, value AS y
-      |           FROM events WHERE value IS NOT NULL),
+      |           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       |r AS (SELECT event_type,
       |        2 * rank() OVER (PARTITION BY event_type ORDER BY x)
       |          + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
@@ -6491,7 +6491,7 @@ object Catalog {
     "q182_mann_whitney",
     """WITH t AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
       |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
-      |           FROM events WHERE value IS NOT NULL),
+      |           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
       |r AS (SELECT g, a,
       |        2 * rank() OVER (PARTITION BY g ORDER BY v4)
       |          + count(*) OVER (PARTITION BY g, v4) - 1 AS r2,
@@ -6568,7 +6568,7 @@ object Catalog {
   val q184 = q(
     "q184_jsd_drift",
     """WITH t AS (SELECT isodow(ts) AS g, event_type AS cat, (user_id % 2 = 0) AS a
-      |           FROM events WHERE event_type IS NOT NULL),
+      |           FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
       |c AS (SELECT g, cat,
       |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
       |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -6829,7 +6829,8 @@ object Catalog {
       |         i -> w[i] || ' ' || w[i+1])) AS w12 FROM wl),
       |pp AS (SELECT string_split(w12, ' ')[1] AS a, string_split(w12, ' ')[2] AS b FROM bi),
       |und AS (SELECT least(a, b) AS u, greatest(a, b) AS v, CAST(count(*) AS BIGINT) AS w
-      |        FROM pp WHERE a <> b GROUP BY 1, 2 HAVING count(*) >= 3),
+      |        FROM pp WHERE a <> b AND a <> '' AND b <> ''
+      |        GROUP BY 1, 2 HAVING count(*) >= 3),
       |sym AS (SELECT u AS src, v AS dst, w FROM und UNION ALL SELECT v, u, w FROM und),
       |od AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ws FROM sym GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM od),
@@ -6962,7 +6963,7 @@ object Catalog {
     "q193_cliffs_delta",
     """WITH t AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
       |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
-      |           FROM events WHERE value IS NOT NULL),
+      |           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
       |r AS (SELECT g, a,
       |        2 * rank() OVER (PARTITION BY g ORDER BY v4)
       |          + count(*) OVER (PARTITION BY g, v4) - 1 AS r2

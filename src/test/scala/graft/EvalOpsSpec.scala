@@ -1397,6 +1397,20 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("miss") == ((2L, 2L, 0L, 0.0, 0.0)))
   }
 
+  test("f1Scores: NULL group keys stay one slice (null-safe class merge)") {
+    // one group whose key is NULL: the label/pred marginal frames must
+    // full-outer-merge per class WITHOUT splitting on the NULL key
+    val df = Seq[(String, String, String)](
+      (null, "a", "a"), (null, "a", "b"), (null, "b", "b")
+    ).toDF("g", "y", "p")
+    val rows = Eval.f1Scores(df, Seq("g"), col("y"), col("p")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // n = 3, k = 2, as non-null
+    assert(r.getLong(3) == 2L * 66666667L)           // both classes F1 = 2/3
+  }
+
   // --------------------------------------------------------- mcnemar
 
   test("mcnemar: discordant cells drive the statistic; concordant-only NULL") {

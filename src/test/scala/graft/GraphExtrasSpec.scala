@@ -290,6 +290,16 @@ class GraphExtrasSpec extends SparkSpec {
     assert(got(0).getLong(2) == math.floor(prHub * 1e12 + 0.5).toLong)
   }
 
+  test("TextRank.keywords: doubled spaces never mint an empty-string keyword") {
+    import graft.llm.TextRank
+    // every doc carries a doubled space: the "" artifact token would pass
+    // any minCount floor if it entered the graph
+    val docs = Seq.fill(6)("hub  spoke hub  other").toDF("text")
+    val words = TextRank.keywords(docs, "text", minCount = 2, rounds = 1, k = 10)
+      .collect().map(_.getString(1))
+    assert(words.nonEmpty && !words.contains(""))
+  }
+
   test("TextRank.keywords: repeated-word self-pairs dropped; empty graph → empty") {
     import graft.llm.TextRank
     val docs = Seq(("d1", "a a a a"), ("d2", "b c")).toDF("doc_id", "text")

@@ -153,6 +153,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4).isNullAt(1) && got(4).isNullAt(2))
   }
 
+  test("nearestJoin: NULL timestamps — right rows excluded, left rows null-matched") {
+    val left = Seq[(Long, String, String)](
+      (1L, "u", "2024-06-01 10:00:00"),
+      (2L, "u", null)) // NULL left ts → row preserved, match NULL
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val right = Seq[(String, String, Long)](
+      ("u", null, 99L), // NULL right ts must never surface as a match
+      ("u", "2024-06-01 10:01:00", 1L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp($"ts"))
+    val got = Asof.nearestJoin(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "m"), rightTieBreak = Some("rid"))
+      .orderBy("id").select("id", "m", "nearest_ts").collect()
+    assert(got(0).getLong(1) == 1L)                    // real match, not rid 99
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))   // NULL-ts left row kept
+  }
+
   test("nearestJoin law: with only-backward candidates it agrees with asof join") {
     val left = Seq((1L, "u", "2024-06-01 10:05:00"), (2L, "u", "2024-06-01 10:20:00"))
       .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
