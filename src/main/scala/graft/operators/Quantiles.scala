@@ -195,4 +195,68 @@ object Quantiles {
         abs(col("rank_le").cast("double") / col("n").cast("double") - col("p"))
           .as("rank_err")): _*)
   }
+
+  /** Distribution-free confidence interval for the MEDIAN per group, from
+    * binomial order statistics (the nonparametric companion to
+    * [[graft.operators.Bootstrap.meanCI]] — no resampling, no normality,
+    * just "which order statistics bracket the median with ≥95%
+    * probability"):
+    *
+    *   lo_rank = max(1, ⌊(n − z·√n)/2⌋),   hi_rank = n + 1 − lo_rank
+    *
+    * (the standard large-sample binomial bracket; for tiny n the bracket
+    * widens to the extremes and nominal coverage is conservative, not
+    * guaranteed — documented, not hidden).
+    *
+    * Exactness: ranks are single double expressions of the exact long n
+    * (identical IEEE both engines) floored to longs; bracket values are
+    * order-statistic picks over the distinct-value cumulative frame
+    * (min v with cum ≥ rank — never an interpolation); the median itself
+    * is the exact ×2 order statistic. NULL values are excluded.
+    *
+    * Plan: one (group, value) count aggregate, cumulative windows over
+    * the DISTINCT-value frame only, one group aggregate — the
+    * [[quantileCont]] shape.
+    *
+    * @param z normal quantile for the coverage level (1.96 → 95%)
+    * @return per group: (groupCols…, n, lo_rank, hi_rank, ci_lo, median,
+    *         ci_hi)
+    */
+  def medianCI(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column, z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(z > 0, s"z must be positive: $z")
+    val g = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .select(g :+ floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+        .as("__v4"): _*)
+      .groupBy(g :+ col("__v4"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val staged = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val nD = col("__n").cast("double")
+    val lo = greatest(lit(1L),
+      floor((nD - lit(z) * sqrt(nD)) / 2.0).cast("long"))
+    val hi = col("__n") + 1 - lo
+    val mLo = floor((nD + 1.0) / 2.0).cast("long")
+    val mHi = floor(nD / 2.0).cast("long") + 1L
+    def pick(rank: org.apache.spark.sql.Column) =
+      min(when(col("__cum") >= rank, col("__v4")))
+    staged.groupBy(g: _*).agg(
+        max(col("__n")).as("n"),
+        max(lo).as("lo_rank"),
+        max(hi).as("hi_rank"),
+        pick(lo).as("__lo4"),
+        pick(hi).as("__hi4"),
+        (pick(mLo) + pick(mHi)).as("__med2"))
+      .select(g ++ Seq(col("n"), col("lo_rank"), col("hi_rank"),
+        (col("__lo4").cast("double") / 10000.0).as("ci_lo"),
+        (col("__med2").cast("double") / 20000.0).as("median"),
+        (col("__hi4").cast("double") / 10000.0).as("ci_hi")): _*)
+  }
 }

@@ -115,4 +115,91 @@ object Trend {
           col("__cxy") * col("__cxy") / (col("__vx") * col("__vy")))
           .as("r2"))): _*)
   }
+
+  /** Mann–Kendall trend test + Sen's slope per group over a PRE-BINNED
+    * series — the nonparametric "is this metric trending, and by how much
+    * per bin?" that [[groupTrend]]'s OLS answers only under linear-Gauss
+    * assumptions (MK sees any monotone trend; Sen's slope is the
+    * outlier-robust rate estimate). The standard environmental-monitoring
+    * kit, here for metric dashboards.
+    *
+    * Input contract (the [[graft.operators.Eval.kendallTauB]] discipline):
+    * ONE row per (group, bin) — aggregate to the grid first (daily sums,
+    * [[Smooth.resampleFill]] output); the all-pairs comparison then runs
+    * over the BOUNDED bin frame (≤ bins²/2 pairs), never raw rows.
+    * Duplicate (group, bin) rows make the result undefined (not checked).
+    *
+    *   S = Σ_{i&lt;j} sign(v_j − v_i),
+    *   Var S = ( n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) ) / 18,
+    *   z = (S − sign(S)) / √Var S      (continuity-corrected)
+    *
+    * Sen's slope = the exact ×2-order-statistic MEDIAN of the pairwise
+    * slopes (v_j − v_i)/(bin_j − bin_i) — each slope is one double
+    * division of exact scale-4/bin longs (identical IEEE both engines),
+    * the median picks computed values, never interpolates.
+    *
+    * Exactness: S and the tie sum accumulate in DECIMAL(38,0); z is one
+    * mirrored double tail with degenerates (Var ≤ 0) decided on exact
+    * integers. NULL bins/values are excluded.
+    *
+    * @return per group: (groupCols…, n, s, z, sen_slope) — z NULL when
+    *         Var S ≤ 0; sen NULL when no pair has distinct bins
+    */
+  def mannKendallSen(
+      df: DataFrame, groupCols: Seq[String],
+      binCol: Column, valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = df.filter(binCol.isNotNull && valueCol.isNotNull)
+      .select(g ++ Seq(binCol.cast("long").as("__b"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+    val right = base.select(
+      groupCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col("__b").as("__b2"), col("__v4").as("__v42")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    val pairs = base.join(broadcast(right), cond && col("__b") < col("__b2"))
+      .withColumn("__sgn",
+        when(col("__v42") > col("__v4"), 1L)
+          .when(col("__v42") < col("__v4"), -1L).otherwise(0L))
+      .withColumn("__slope",
+        (col("__v42") - col("__v4")).cast("double") / 10000.0 /
+          (col("__b2") - col("__b")).cast("double"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__slope"))
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val mLo = floor((col("__m").cast("double") + 1.0) / 2.0).cast("long")
+    val mHi = floor(col("__m").cast("double") / 2.0).cast("long") + 1L
+    val sen = ranked.groupBy(g: _*).agg(
+      ((sum(when(col("__rn") === mLo, col("__slope")).otherwise(0.0)) +
+        sum(when(col("__rn") === mHi, col("__slope")).otherwise(0.0))) / 2.0)
+        .as("sen_slope"),
+      sum(dec(col("__sgn"))).as("__s"))
+    val ties = base.groupBy(g :+ col("__v4"): _*).agg(count(lit(1)).as("__t"))
+      .groupBy(g: _*).agg(
+        sum(col("__t")).as("n"),
+        sum(dec(col("__t")) * (dec(col("__t")) - 1) *
+          (dec(col("__t")) * 2 + 5)).as("__tsum"))
+    // ties is the spine (every group with data has a row; a single-bin
+    // group has NO pairs and must still surface with s = 0, z/sen NULL)
+    val senR = sen.select(
+      groupCols.map(c => col(c).as(s"__s_$c")) ++
+        Seq(col("sen_slope"), col("__s")): _*)
+    val condS = groupCols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _)
+    val joined = ties.join(senR, condS, "left")
+    val varNum = dec(col("n")) * (dec(col("n")) - 1) *
+      (dec(col("n")) * 2 + 5) - col("__tsum")
+    val varS = varNum.cast("double") / 18.0
+    val sD = coalesce(col("__s"), dec(lit(0))).cast("double")
+    joined.select(g ++ Seq(col("n"),
+      coalesce(col("__s"), dec(lit(0))).cast("long").as("s"),
+      when(varNum > 0,
+        (sD - signum(sD)) / sqrt(varS)).as("z"),
+      col("sen_slope")): _*)
+  }
 }

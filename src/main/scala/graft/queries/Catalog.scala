@@ -8016,6 +8016,106 @@ object Catalog {
       .transform(ordered("lang"))
   }
 
+  /** Median CI from order statistics ([[graft.operators.Quantiles
+    * .medianCI]]): the resampling-free binomial bracket per event type —
+    * ranks from one double expression of the exact n, bracket values as
+    * order-statistic picks over the distinct-value frame, exact ×2
+    * median. Raw scalar double tails (exact picks over constants).
+    */
+  val q218 = q(
+    "q218_median_ci",
+    """WITH t AS (SELECT event_type AS g, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT g, v4, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |s AS (SELECT g, v4, c,
+      |        CAST(sum(c) OVER (PARTITION BY g ORDER BY v4
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      |      FROM c),
+      |r AS (SELECT g, v4, cum, n,
+      |        greatest(1, CAST(floor((CAST(n AS DOUBLE)
+      |          - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS lo
+      |      FROM s),
+      |m AS (SELECT g, max(n) AS n, max(lo) AS lo_rank, max(n + 1 - lo) AS hi_rank,
+      |        min(CASE WHEN cum >= lo THEN v4 END) AS lo4,
+      |        min(CASE WHEN cum >= n + 1 - lo THEN v4 END) AS hi4,
+      |        min(CASE WHEN cum >= CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+      |              THEN v4 END)
+      |        + min(CASE WHEN cum >= CAST(floor(CAST(n AS DOUBLE) / 2.0) AS BIGINT) + 1
+      |              THEN v4 END) AS med2
+      |      FROM r GROUP BY 1)
+      |SELECT g AS event_type, n, lo_rank, hi_rank,
+      |  CAST(lo4 AS DOUBLE) / 10000.0 AS ci_lo,
+      |  CAST(med2 AS DOUBLE) / 20000.0 AS median,
+      |  CAST(hi4 AS DOUBLE) / 10000.0 AS ci_hi
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Quantiles
+      .medianCI(Tables.events(s, d), Seq("event_type"),
+        valueCol = col("value"), z = 1.96)
+      .select(col("event_type"), col("n"), col("lo_rank"), col("hi_rank"),
+        col("ci_lo"), col("median"), col("ci_hi"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Mann–Kendall + Sen's slope ([[graft.operators.Trend
+    * .mannKendallSen]]): is each event type's daily total monotonically
+    * trending, and at what robust rate per day — all-pairs over the
+    * BOUNDED daily-bin frame (never raw rows), DECIMAL S/tie sums,
+    * continuity-corrected z, exact ×2-order-statistic slope median.
+    */
+  val q219 = q(
+    "q219_mann_kendall",
+    """WITH s0 AS (SELECT event_type AS g,
+      |         (epoch_us(ts) // 1000000 // 86400) * 86400 AS bin,
+      |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS b4
+      |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT g, bin // 86400 AS b,
+      |        CAST(floor(CAST(b4 AS DOUBLE) / 10000.0 * 10000 + 0.5) AS BIGINT) AS v4
+      |      FROM s0),
+      |p AS (SELECT a.g,
+      |        CASE WHEN b.v4 > a.v4 THEN 1 WHEN b.v4 < a.v4 THEN -1 ELSE 0 END AS sgn,
+      |        CAST(b.v4 - a.v4 AS DOUBLE) / 10000.0 / CAST(b.b - a.b AS DOUBLE) AS slope
+      |      FROM t a JOIN t b ON a.g IS NOT DISTINCT FROM b.g AND a.b < b.b),
+      |r AS (SELECT g, sgn, slope,
+      |        CAST(row_number() OVER (PARTITION BY g ORDER BY slope) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS m
+      |      FROM p),
+      |sen AS (SELECT g,
+      |          (sum(CASE WHEN rn = CAST(floor((CAST(m AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+      |                THEN slope ELSE 0 END)
+      |           + sum(CASE WHEN rn = CAST(floor(CAST(m AS DOUBLE) / 2.0) AS BIGINT) + 1
+      |                THEN slope ELSE 0 END)) / 2.0 AS sen_slope,
+      |          sum(CAST(sgn AS HUGEINT)) AS s
+      |        FROM r GROUP BY 1),
+      |tt AS (SELECT g, CAST(sum(t2) AS BIGINT) AS n, sum(ts) AS tsum FROM (
+      |         SELECT g, v4, CAST(count(*) AS BIGINT) AS t2,
+      |           CAST(count(*) AS HUGEINT) * (CAST(count(*) AS HUGEINT) - 1)
+      |             * (CAST(count(*) AS HUGEINT) * 2 + 5) AS ts
+      |         FROM t GROUP BY 1, 2) GROUP BY 1)
+      |SELECT tt.g AS event_type, n, CAST(COALESCE(s, 0) AS BIGINT) AS s,
+      |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) * (CAST(n AS HUGEINT) * 2 + 5) - tsum > 0 THEN
+      |    floor(((CAST(COALESCE(s, 0) AS DOUBLE) - sign(CAST(COALESCE(s, 0) AS DOUBLE)))
+      |           / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (CAST(n AS HUGEINT) * 2 + 5)
+      |                       - tsum AS DOUBLE) / 18.0))
+      |          * 10000 + 0.5) / 10000
+      |  END AS z4,
+      |  floor(sen_slope * 10000 + 0.5) / 10000 AS sen4
+      |FROM tt LEFT JOIN sen ON tt.g IS NOT DISTINCT FROM sen.g
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        Macros.floorBinEpoch(col("ts"), 86400L).as("bin"))
+      .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("b4"))
+      .withColumn("b", (col("bin") / 86400).cast("long"))
+    graft.operators.Trend
+      .mannKendallSen(daily, Seq("event_type"),
+        binCol = col("b"), valueCol = col("b4").cast("double") / 10000.0)
+      .select(col("event_type"), col("n"), col("s"),
+        r4(col("z")).as("z4"), r4(col("sen_slope")).as("sen4"))
+      .transform(ordered("event_type"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -8049,5 +8149,5 @@ object Catalog {
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
     q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217)
+    q214, q215, q216, q217, q218, q219)
 }

@@ -510,6 +510,25 @@ class OperatorsSpec extends SparkSpec {
     assert(again("tail") == 4.0)
   }
 
+  // ------------------------------------------------------ Quantiles.medianCI
+
+  test("medianCI: binomial bracket ranks and order-statistic picks") {
+    // n = 100, v = 1..100: lo = ⌊(100 − 19.6)/2⌋ = 40, hi = 61 →
+    // CI [40, 61], median = (50 + 51)/2
+    val big = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val Array(r) = Quantiles.medianCI(big, Seq("g"), col("v")).collect()
+    assert(r.getAs[Long]("lo_rank") == 40L && r.getAs[Long]("hi_rank") == 61L)
+    assert(r.getAs[Double]("ci_lo") == 40.0 && r.getAs[Double]("ci_hi") == 61.0)
+    assert(r.getAs[Double]("median") == 50.5)
+
+    // tiny n clamps to the extremes (conservative bracket, documented)
+    val small = Seq(("s", 1.0), ("s", 2.0), ("s", 3.0)).toDF("g", "v")
+    val Array(t) = Quantiles.medianCI(small, Seq("g"), col("v")).collect()
+    assert(t.getAs[Long]("lo_rank") == 1L && t.getAs[Long]("hi_rank") == 3L)
+    assert(t.getAs[Double]("ci_lo") == 1.0 && t.getAs[Double]("ci_hi") == 3.0)
+    assert(t.getAs[Double]("median") == 2.0)
+  }
+
   // -------------------------------------------- Quantiles.sampleQuantileAudit
 
   test("sampleQuantileAudit: k >= n degenerates to exact order statistics") {

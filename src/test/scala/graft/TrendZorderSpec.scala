@@ -322,4 +322,31 @@ class TrendZorderSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(a.size == rows.size && a == b) // exact doubles: same longs, same divisions
   }
+
+  // ----------------------------------------------------- mannKendallSen
+
+  test("mannKendallSen: monotone ramps hit S = ±n(n−1)/2; Sen slope exact") {
+    // bins 1..5, v = 10·bin: S = 10, Var = 5·4·15/18, z = 9/√(50/3);
+    // every pairwise slope is exactly 10.
+    val up = (1 to 5).map(i => ("up", i.toLong, i * 10.0))
+    val down = (1 to 5).map(i => ("dn", i.toLong, 60.0 - i * 10.0))
+    val one = Seq(("one", 1L, 5.0))
+    val flat = (1 to 3).map(i => ("flat", i.toLong, 7.0))
+    val df = (up ++ down ++ one ++ flat).toDF("g", "b", "v")
+    val out = Trend.mannKendallSen(df, Seq("g"), col("b"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    val zExp = 9.0 / math.sqrt(50.0 / 3.0)
+    assert(out("up")._1 == 5L && out("up")._2 == 10L)
+    assert(math.abs(out("up")._3.get.asInstanceOf[Double] - zExp) < 1e-12)
+    assert(out("up")._4.get.asInstanceOf[Double] == 10.0)
+    assert(out("dn")._2 == -10L)
+    assert(math.abs(out("dn")._3.get.asInstanceOf[Double] + zExp) < 1e-12)
+    assert(out("dn")._4.get.asInstanceOf[Double] == -10.0)
+    // single bin: no pairs → s = 0, z and sen NULL
+    assert(out("one") == ((1L, 0L, None, None)))
+    // all-tied values: Var numerator exactly 0 → z NULL, sen = 0
+    assert(out("flat")._2 == 0L && out("flat")._3.isEmpty)
+    assert(out("flat")._4.get.asInstanceOf[Double] == 0.0)
+  }
 }
