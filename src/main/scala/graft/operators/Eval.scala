@@ -1190,6 +1190,62 @@ object Eval {
             col("hy8").cast("double")).as("u")): _*)
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit per group — [[calibrationError]]'s
+    * hypothesis-test sibling on EQUAL-FREQUENCY bins (ECE's fixed-width
+    * bins starve where scores cluster; HL deciles by rank so every bin
+    * carries the same evidence):
+    *
+    *   HL = Σ_b (O_b − E_b)² / ( E_b·(1 − E_b/n_b) )   ~ χ²(buckets−2)
+    *
+    * with O_b observed positives and E_b = Σp̂ the expected count in
+    * decile b of the (p̂ ASC, tieCol) ranking.
+    *
+    * Determinism: deciles are ntile over the caller-tie-broken total
+    * order (the [[liftGains]] convention); O and E accumulate as exact
+    * longs (p̂ at scale 4); each bucket's term is ONE double expression
+    * of exact ints floored at scale 8 into the order-independent hl8.
+    * Degenerate buckets (E = 0 or E = n_b — the term is undefined) are
+    * EXCLUDED and counted in `n_degen`; judge the statistic only when
+    * n_degen = 0. NULL prob/label rows are excluded.
+    *
+    * Plan: one rank window per group + two answer-sized aggregates.
+    *
+    * @return per group: (groupCols…, n, buckets_used, n_degen, hl8, hl)
+    */
+  def hosmerLemeshow(
+      df: DataFrame, groupCols: Seq[String],
+      probCol: Column, labelCol: Column, tieCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__p4").asc, col("__tb").asc)
+    val byBucket = df
+      .filter(probCol.isNotNull && labelCol.isNotNull)
+      .select(g ++ Seq(
+        floor(probCol.cast("double") * 10000 + 0.5).cast("long").as("__p4"),
+        labelCol.cast("boolean").as("__y"), tieCol.as("__tb")): _*)
+      .withColumn("__bkt", ntile(buckets).over(w).cast("long"))
+      .groupBy(g :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__o"),
+        sum(col("__p4")).as("__e4"))
+    val nbD = col("__nb").cast("double")
+    val e = col("__e4").cast("double") / 1e4
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / (e * (lit(1.0) - e / nbD))
+    val ok = col("__e4") > 0 && col("__e4") < col("__nb") * 10000L
+    byBucket
+      .withColumn("__t8",
+        when(ok, floor(term * lit(1e8) + 0.5).cast("long")).otherwise(0L))
+      .groupBy(g: _*)
+      .agg(sum(col("__nb")).as("n"),
+        count(lit(1)).as("buckets_used"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_degen"),
+        sum(col("__t8")).as("hl8"))
+      .withColumn("hl", col("hl8").cast("double") / lit(1e8))
+  }
+
   /** Kendall's τ-b per group over PRE-BINNED pairs — the rank-concordance
     * association for ordinal data ([[spearman]]'s pair-counting sibling;
     * τ reads as "probability a random pair agrees in direction, minus

@@ -521,6 +521,52 @@ object Smooth {
     }
   }
 
+  /** Seasonal index per (group, season slot) — the ratio-to-overall
+    * seasonality table (dow/hour-of-day multipliers: "Mondays run 1.18×
+    * the average") that [[seasonalNaiveEval]]'s baseline implicitly
+    * assumes and a capacity planner reads directly:
+    *
+    *   index_s = mean_s / mean = (S_s · n) / (n_s · S)
+    *
+    * Exactness: per-slot and overall sums are exact DECIMAL(38,0) over
+    * scale-4 longs; the index is ONE double division of two exact DECIMAL
+    * products — no intermediate means, no order dependence. NULL values
+    * are excluded; NULL season slots are first-class. Index is NULL when
+    * the overall sum is exactly 0 (decided in DECIMAL).
+    *
+    * Plan: one (group, season) aggregate + one answer-sized totals window
+    * over the slot frame.
+    *
+    * @return per (group, season): (groupCols…, season, n_s, mean_s,
+    *         index)
+    */
+  def seasonalIndex(
+      df: DataFrame, groupCols: Seq[String],
+      seasonCol: Column, valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DecimalType
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val slots = df.filter(valueCol.isNotNull)
+      .select(g ++ Seq(seasonCol.as("season"),
+        floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
+          .as("__v4")): _*)
+      .groupBy(g :+ col("season"): _*)
+      .agg(count(lit(1)).as("n_s"), sum(dec(col("__v4"))).as("__s4"))
+    val wAll = Window.partitionBy(g: _*)
+    // NB: the total must NOT be named "__S4" — Spark's default
+    // case-insensitive resolution makes withColumn REPLACE "__s4" with it
+    slots
+      .withColumn("__n", sum(col("n_s")).over(wAll))
+      .withColumn("__tot4", sum(col("__s4")).over(wAll))
+      .select(g ++ Seq(col("season"), col("n_s"),
+        (col("__s4").cast("double") / col("n_s").cast("double") / 1e4)
+          .as("mean_s"),
+        when(col("__tot4") =!= dec(lit(0)),
+          (col("__s4") * dec(col("__n"))).cast("double") /
+            (dec(col("n_s")) * col("__tot4")).cast("double")).as("index")): _*)
+  }
+
   /** Seasonal-naive forecast scorecard per group — before any model earns
     * a slot, it must beat "the value one season ago": this scores that
     * baseline (or, by extension, flags series where even it fails) with

@@ -8116,6 +8116,81 @@ object Catalog {
       .transform(ordered("event_type"))
   }
 
+  /** Hosmer–Lemeshow ([[graft.operators.Eval.hosmerLemeshow]]): q187's
+    * equal-frequency hypothesis-test sibling — a deterministic
+    * id-derived probability against the value ≥ 50 outcome per event
+    * type; decile terms floored at scale 8 into the exact hl8,
+    * degenerate buckets excluded and counted.
+    */
+  val q220 = q(
+    "q220_hosmer_lemeshow",
+    """WITH t AS (SELECT event_type AS g,
+      |             CAST(floor(((CAST(event_id % 100 AS DOUBLE) + 0.5) / 100.0)
+      |               * 10000 + 0.5) AS BIGINT) AS p4,
+      |             (value >= 50) AS y, event_id AS tb
+      |           FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |b AS (SELECT g, y, p4, ntile(10) OVER (PARTITION BY g ORDER BY p4, tb) AS bkt FROM t),
+      |a AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS nb,
+      |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS o,
+      |        CAST(sum(p4) AS BIGINT) AS e4
+      |      FROM b GROUP BY 1, 2),
+      |h AS (SELECT g, nb, o, e4,
+      |        CASE WHEN e4 > 0 AND e4 < nb * 10000 THEN
+      |          CAST(floor((CAST(o AS DOUBLE) - CAST(e4 AS DOUBLE) / 1e4)
+      |            * (CAST(o AS DOUBLE) - CAST(e4 AS DOUBLE) / 1e4)
+      |            / ((CAST(e4 AS DOUBLE) / 1e4)
+      |               * (1.0 - (CAST(e4 AS DOUBLE) / 1e4) / CAST(nb AS DOUBLE)))
+      |            * 1e8 + 0.5) AS BIGINT)
+      |        ELSE 0 END AS t8,
+      |        CASE WHEN e4 > 0 AND e4 < nb * 10000 THEN 0 ELSE 1 END AS degen
+      |      FROM a)
+      |SELECT g AS event_type, CAST(sum(nb) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS buckets_used,
+      |  CAST(sum(degen) AS BIGINT) AS n_degen,
+      |  CAST(sum(t8) AS BIGINT) AS hl8,
+      |  floor((CAST(sum(t8) AS DOUBLE) / 1e8) * 10000 + 0.5) / 10000 AS hl4
+      |FROM h GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Eval
+      .hosmerLemeshow(Tables.events(s, d), Seq("event_type"),
+        probCol = (pmod(col("event_id"), lit(100L)).cast("double") + 0.5) / 100.0,
+        labelCol = col("value") >= 50, tieCol = col("event_id"), buckets = 10)
+      .select(col("event_type"), col("n"), col("buckets_used"),
+        col("n_degen"), col("hl8"), r4(col("hl")).as("hl4"))
+      .transform(ordered("event_type"))
+  }
+
+  /** Seasonal index ([[graft.operators.Smooth.seasonalIndex]]): the
+    * day-of-week multiplier table per event type — index as ONE double
+    * division of two exact DECIMAL products (S_s·n)/(n_s·S), no
+    * intermediate means anywhere.
+    */
+  val q221 = q(
+    "q221_seasonal_index",
+    """WITH t AS (SELECT event_type AS g, isodow(ts) AS season,
+      |             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT g, season, CAST(count(*) AS BIGINT) AS n_s,
+      |        sum(CAST(v4 AS HUGEINT)) AS s4
+      |      FROM t GROUP BY 1, 2),
+      |w AS (SELECT g, season, n_s, s4,
+      |        CAST(sum(n_s) OVER (PARTITION BY g) AS BIGINT) AS n,
+      |        sum(s4) OVER (PARTITION BY g) AS st4
+      |      FROM s)
+      |SELECT g AS event_type, season, n_s,
+      |  CAST(s4 AS DOUBLE) / CAST(n_s AS DOUBLE) / 1e4 AS mean_s,
+      |  CASE WHEN st4 <> 0 THEN
+      |    floor((CAST(s4 * n AS DOUBLE) / CAST(CAST(n_s AS HUGEINT) * st4 AS DOUBLE))
+      |      * 10000 + 0.5) / 10000
+      |  END AS index4
+      |FROM w ORDER BY event_type, season""".stripMargin) { (s, d) =>
+    graft.operators.Smooth
+      .seasonalIndex(Tables.events(s, d), Seq("event_type"),
+        seasonCol = Macros.isoDow(col("ts")), valueCol = col("value"))
+      .select(col("event_type"), col("season"), col("n_s"), col("mean_s"),
+        r4(col("index")).as("index4"))
+      .transform(ordered("event_type", "season"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -8149,5 +8224,5 @@ object Catalog {
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
     q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219)
+    q214, q215, q216, q217, q218, q219, q220, q221)
 }

@@ -1208,6 +1208,29 @@ class EvalOpsSpec extends SparkSpec {
     assert(out("mix") == ((1L, 2L, 2L, 0.0)))
   }
 
+  // ------------------------------------------------- hosmerLemeshow
+
+  test("hosmerLemeshow: calibrated 0, miscalibrated hand terms, degenerate buckets") {
+    val rows =
+      // calibrated: low bucket E=2 O=2, high bucket E=8 O=8 → HL = 0
+      (1 to 10).map(i => ("cal", 0.2, i <= 2, i.toLong)) ++
+      (11 to 20).map(i => ("cal", 0.8, i <= 18, i.toLong)) ++
+      // uniform p=0.5, positives packed into the first tie-ordered bucket:
+      // each bucket term = 2²/(2·0.5) = 4 → HL = 8
+      (1 to 8).map(i => ("off", 0.5, i <= 4, i.toLong)) ++
+      // p = 0 and p = 1 buckets are degenerate (term undefined) → counted
+      (1 to 4).map(i => ("deg", 0.0, false, i.toLong)) ++
+      (5 to 8).map(i => ("deg", 1.0, true, i.toLong))
+    val df = rows.toDF("g", "p", "y", "id")
+    val out = Eval.hosmerLemeshow(df, Seq("g"), col("p"), col("y"), col("id"),
+        buckets = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out("cal") == ((2L, 0L, 0.0)))
+    assert(out("off")._2 == 0L && math.abs(out("off")._3 - 8.0) < 1e-7)
+    assert(out("deg") == ((2L, 2L, 0.0)))
+  }
+
   // -------------------------------------------------- cochranArmitage
 
   test("cochranArmitage: exact z = 2 on a perfect dose ramp; degenerates NULL") {

@@ -225,6 +225,24 @@ class TrendZorderSpec extends SparkSpec {
     assert(rows.map(_.getBoolean(3)).toSeq == Seq(false, true, false))
   }
 
+  // ------------------------------------------------------ seasonalIndex
+
+  test("seasonalIndex: exact rational multipliers; zero-total NULL") {
+    val df = Seq(
+      ("g", "a", 10.0), ("g", "a", 20.0), ("g", "b", 30.0),
+      ("z", "a", 5.0), ("z", "b", -5.0)
+    ).toDF("g", "season", "v")
+    val out = Smooth.seasonalIndex(df, Seq("g"), col("season"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), Option(r.get(4)))).toMap
+    // overall mean 20: a (mean 15) → 0.75, b (mean 30) → 1.5
+    assert(out(("g", "a"))._1 == 2L && out(("g", "a"))._2 == 15.0)
+    assert(out(("g", "a"))._3.get.asInstanceOf[Double] == 0.75)
+    assert(out(("g", "b"))._3.get.asInstanceOf[Double] == 1.5)
+    // Σv = 0 exactly → index NULL (decided in DECIMAL, not a double ≈0)
+    assert(out(("z", "a"))._3.isEmpty && out(("z", "b"))._3.isEmpty)
+  }
+
   // -------------------------------------------------- seasonalNaiveEval
 
   test("seasonalNaiveEval: ramp vs season-2 forecast — hand metrics") {
