@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   * r_{k+1}(v) = (1−d)/n + d · Σ_{u→v} r_k(u)/outdeg(u), r_0 = 1/n.
   *
   * Scale shape (the q61/q84 iterative idiom): outdegree is ONE hash
-  * aggregate, attached to the edge frame once (`se`) and reused by every
-  * round; each round is then one node-keyed equi-join (ranks × edges on
-  * src), one hash aggregate by dst, and a free union of the static
-  * in-degree-0 frame — no driver-side graph state, no collect; `n` is a
-  * 1-row broadcast. Rank frames are |V|-sized,
+  * aggregate, and the per-edge SHARE DIVISOR rides ON THE EDGE FRAME
+  * (`__sdeg`, attached once at build time — the classic
+  * edges-carry-1/outdeg PageRank layout), so the rank frame every round
+  * consumes and produces is a pure `(node, pr)` pair: no deg re-attach
+  * join after the aggregate, no per-round odd jobs. Each round is then
+  * exactly one node-keyed equi-join (ranks × edges on src), one hash
+  * aggregate by dst, and a free union of the static in-degree-0 frame —
+  * no driver-side graph state. `n` is a 1-row broadcast in the lazy
+  * form; under `reuseFrames` it is counted ONCE off the materialized
+  * outdegree frame and embedded as a literal (one bounded driver long —
+  * the q102 `|S|` convention), which deletes the per-round 1-row
+  * broadcast builds. Rank frames are |V|-sized,
   * edge frames |E|-sized; both stay distributed. For rounds ≫ a handful,
   * localCheckpoint the rank frame on a cadence (the q61 lineage
   * discipline) — at the 2–3 rounds a curation prior needs, plain lineage
@@ -88,9 +95,13 @@ object GraphRank {
     *         deterministic sort/compare key)
     */
   /** @param weightCol optional POSITIVE LONG edge-weight column (e.g.
-    *        click/order counts): contributions become `pr·w/outstrength`
-    *        with outstrength = Σw per source — the weighted PageRank of
-    *        link graphs with multiplicity. Non-positive weights fail
+    *        click/order counts): contributions become `pr·nw` with the
+    *        NORMALIZED weight `nw = w/outstrength` (outstrength = Σw per
+    *        source) computed ONCE on the edge frame — the weighted
+    *        PageRank of link graphs with multiplicity, with the
+    *        normalization folded out of the per-round loop (the SQL twins
+    *        mirror the same `nw` CTE, so the IEEE order `pr·(w/ws)` is
+    *        engine-identical). Non-positive weights fail
     *        loudly in-plan (a zero weight silently deletes an edge; a
     *        negative one corrupts mass). None (default) = every edge
     *        weighs 1, bit-identical to the unweighted form.
@@ -128,78 +139,85 @@ object GraphRank {
         s"dangling node '${dangling.headOption.map(_.get(0)).orNull}': every " +
           "destination must also appear as an edge source (symmetrize first)")
     }
-    val n = od.agg(count(lit(1)).as("n"))
+    // n: a 1-row broadcast in the lazy form; under reuseFrames, counted
+    // once off the materialized base and embedded as a LITERAL (one
+    // bounded driver long — the personalizedPageRank |S| convention),
+    // which deletes every per-round 1-row broadcast build + crossJoin.
+    // `oneMinusD / n` is one IEEE double division either way — identical
+    // bits to the SQL twins' `(1e0 - d) / n.n`.
+    val nFrame = od.agg(count(lit(1)).as("n"))
+    val nLit: Option[Long] = if (reuseFrames) Some(od.count()) else None
+    val oneMinusD = 1.0 - damping // IEEE once, embedded as a literal
+    def withBaseline(df: DataFrame, psumTerm: Column): DataFrame =
+      nLit match {
+        case Some(nv) => df.select(col("node"),
+          (lit(oneMinusD / nv.toDouble) + psumTerm).as("pr"))
+        case None => df.crossJoin(broadcast(nFrame)).select(col("node"),
+          (lit(oneMinusD) / col("n") + psumTerm).as("pr"))
+      }
     // the per-round rank side: broadcast when the node set is
     // dimension-sized, shuffle-hash otherwise
     def rankSide(r: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
-    // the edge frame is consumed RAW — outdegree rides in the |V|-sized
-    // rank frame instead (re-attached from `od` once per round), so the
-    // |E|-sized side never joins `od`. Under broadcastRanks it never
-    // shuffles either; otherwise it is pre-partitioned on the per-round
-    // join key (and checkpointed under reuseFrames), so each round's join
-    // shuffles only the rank frame.
-    val seCols = Seq(src.as("__s"), dst.as("__d")) ++
-      weightCol.map(_ => col("__w"))
-    val se =
-      if (broadcastRanks) base.select(seCols: _*)
-      else ck(base.select(seCols: _*).repartition(col("__s")))
+    // THE layout decision: the per-edge share divisor rides ON the edge
+    // frame — `__sdeg` = outdeg(src) unweighted, `__nw` = w/outstrength
+    // weighted (normalization folded once, not per round) — so the rank
+    // frame is a pure (node, pr) pair and NO round ever re-attaches deg.
+    // Built with one od join (broadcast when the node set is
+    // dimension-sized), checkpointed under reuseFrames; in the
+    // shuffle-join form it is additionally pre-partitioned on the
+    // per-round join key so each round only shuffles the rank frame.
+    val odSrc = od.select(col("node").as("__on"), col("deg"))
+    val seCols = weightCol.fold(
+      Seq(src.as("__s"), dst.as("__d"), col("deg").as("__sdeg")))(_ =>
+      Seq(src.as("__s"), dst.as("__d"),
+        (col("__w").cast("double") / col("deg")).as("__nw")))
+    val seRaw = base
+      .join(if (broadcastRanks) broadcast(odSrc) else odSrc,
+        src === col("__on"))
+      .select(seCols: _*)
+    val se = if (broadcastRanks) ck(seRaw)
+      else ck(seRaw.repartition(col("__s")))
     // per-edge mass share: pr/outdeg unweighted (kept verbatim for bit
-    // compatibility), pr·w/outstrength weighted — multiply THEN divide,
-    // the order the SQL twins mirror
-    def share: org.apache.spark.sql.Column =
-      weightCol.fold(col("pr") / col("deg"))(_ =>
-        col("pr") * col("__w") / col("deg"))
-    val oneMinusD = 1.0 - damping // IEEE once, embedded as a literal
+    // compatibility), pr·nw weighted (nw precomputed above — the order
+    // the SQL twins mirror)
+    def share: Column =
+      weightCol.fold(col("pr") / col("__sdeg"))(_ => col("pr") * col("__nw"))
     // in-degree-0 nodes are STATIC: nobody ever links to them, so their
     // rank is pinned at the (1−d)/n baseline every round — computed once
     // and re-unioned per round (cheaper than a per-round left join), which
-    // keeps them in the output and keeps their mass feeding out-neighbors
-    // noIn and od are |V|-sized single-aggregate derivations of the
-    // (possibly checkpointed) base — cheap to recompute per consumer, so
-    // they are NOT separately checkpointed: under reuseFrames the extra
-    // job-materialization barrier costs more than the re-derivation saves
-    // on a symmetric graph (dst set ≡ src set) this frame is EMPTY by
+    // keeps them in the output and keeps their mass feeding out-neighbors.
+    // On a symmetric graph (dst set ≡ src set) this frame is EMPTY by
     // construction — skip its |E|-sized dst-distinct and the per-round
     // unionAll entirely (the r11 job-count trim, cf. personalizedPageRank)
     val noIn: Option[DataFrame] = if (symmetric) None else {
       val dstNodes = base.select(dst.as("node")).distinct()
-      Some(od.select(col("node"))
+      Some(withBaseline(od.select(col("node"))
         .join(if (broadcastRanks) broadcast(dstNodes) else dstNodes,
-          Seq("node"), "left_anti")
-        .crossJoin(broadcast(n))
-        .select(col("node"), (lit(oneMinusD) / col("n")).as("pr")))
+          Seq("node"), "left_anti"), lit(0.0)))
     }
-    val odR = od
-    var r: DataFrame = odR.crossJoin(broadcast(n))
-      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+    var r: DataFrame = nLit match {
+      case Some(nv) => od.select(col("node"), lit(1.0 / nv.toDouble).as("pr"))
+      case None => od.crossJoin(broadcast(nFrame))
+        .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    }
     var ranks: DataFrame = null
     for (k <- 1 to rounds) {
       // one equi-join (edges × ranks on src) + one hash aggregate by dst;
       // under broadcastRanks the join is map-side and the only exchange is
       // the ≤|V|-sized partially-aggregated contribution frame
-      ranks = se
-        .join(rankSide(r.withColumnRenamed("node", "__r")),
-          col("__s") === col("__r"))
-        .groupBy(col("__d").as("node"))
-        .agg(sum(floor(share * lit(1e12) + 0.5)
-          .cast("long")).as("__psum"))
-        .crossJoin(broadcast(n))
-        .select(col("node"),
-          (lit(oneMinusD) / col("n") +
-            lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
+      ranks = withBaseline(
+        se.join(rankSide(r.withColumnRenamed("node", "__r")),
+            col("__s") === col("__r"))
+          .groupBy(col("__d").as("node"))
+          .agg(sum(floor(share * lit(1e12) + 0.5)
+            .cast("long")).as("__psum")),
+        lit(damping) * (col("__psum").cast("double") / lit(1e12)))
       ranks = noIn.fold(ranks)(ranks.unionAll)
-      // intermediate rounds only: re-attach deg for the next round's
-      // contribution division (a broadcast/small join on the |V|-sized
-      // frames) and checkpoint under reuseFrames so round k+1 (and its
-      // broadcast build) never re-executes round k's lineage — the final
-      // round is consumed once by the caller, so it stays lazy and skips
-      // the deg join entirely
-      if (k < rounds)
-        r = ck(ranks.join(
-            if (broadcastRanks) broadcast(odR) else odR.hint("shuffle_hash"),
-            Seq("node"))
-          .select(col("node"), col("deg"), col("pr")))
+      // checkpoint intermediate rounds under reuseFrames so round k+1
+      // (and its broadcast build) never re-executes round k's lineage —
+      // the final round is consumed once by the caller, so it stays lazy
+      if (k < rounds) r = ck(ranks)
     }
     ranks.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))
   }
@@ -214,7 +232,9 @@ object GraphRank {
     *
     * Same plan shape as [[pageRank]] per round (one edge×rank equi-join +
     * one aggregate; `broadcastRanks`/`reuseFrames` behave identically);
-    * the teleport column rides in the rank frame next to `deg`. Nodes
+    * the share divisor and the destination teleport ride ON THE EDGE
+    * FRAME (the [[pageRank]] layout), so rank frames are pure
+    * `(node, pr)` pairs with no per-round re-attach join. Nodes
     * unreachable from the seeds converge to rank 0 and are still emitted
     * (a complete frame, deterministic). Same contracts as [[pageRank]]:
     * node set = edge sources; dst ⊆ src guarded when `validate`; seeds
@@ -254,10 +274,6 @@ object GraphRank {
     }
     def rankSide(r: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
-    val se =
-      if (broadcastRanks) base.select(src.as("__s"), dst.as("__d"))
-      else ck(base.select(src.as("__s"), dst.as("__d"))
-        .repartition(col("__s")))
     val oneMinusD = 1.0 - damping
     // teleport rides next to deg in the node frame: 1/|S| on seeds, 0 off
     val odT = ck(od
@@ -265,6 +281,25 @@ object GraphRank {
       .select(col("node"), col("deg"),
         when(col("__isSeed").isNotNull, lit(1.0 / ns))
           .otherwise(lit(0.0)).as("tele")))
+    // the pageRank edge-frame layout: the share divisor (`__sdeg`,
+    // outdeg(src)) AND the destination's teleport (`__dtele`) ride ON the
+    // edge frame, attached once from the (checkpointed) node frame — so
+    // the per-round rank frame is a pure (node, pr) pair and no round
+    // ever re-attaches deg/tele (the r13 per-round job-count fold; both
+    // attach joins broadcast when the node set is dimension-sized)
+    val seRaw = base
+      .join(if (broadcastRanks)
+          broadcast(odT.select(col("node").as("__sn"), col("deg")))
+        else odT.select(col("node").as("__sn"), col("deg")),
+        src === col("__sn"))
+      .join(if (broadcastRanks)
+          broadcast(odT.select(col("node").as("__dn"), col("tele")))
+        else odT.select(col("node").as("__dn"), col("tele")),
+        dst === col("__dn"))
+      .select(src.as("__s"), dst.as("__d"),
+        col("deg").as("__sdeg"), col("tele").as("__dtele"))
+    val se = if (broadcastRanks) ck(seRaw)
+      else ck(seRaw.repartition(col("__s")))
     // loud unknown-seed check (always on: a dropped seed silently deletes
     // teleport mass, the PPR analog of a dangling sink). Counted off the
     // (checkpointed) node frame instead of a separate |E|-aggregating
@@ -297,25 +332,22 @@ object GraphRank {
         .join(if (broadcastRanks) broadcast(pprDst) else pprDst,
           Seq("node"), "left")
         .filter(col("__hasIn").isNull)
-        .select(col("node"), col("deg"), col("tele"),
-          (lit(oneMinusD) * col("tele")).as("pr"))))
+        .select(col("node"), (lit(oneMinusD) * col("tele")).as("pr"))))
     }
 
-    var r: DataFrame = odT
-      .select(col("node"), col("deg"), col("tele"), col("tele").as("pr"))
+    var r: DataFrame = odT.select(col("node"), col("tele").as("pr"))
     var ranks: DataFrame = null
     for (k <- 1 to rounds) {
+      // one map-side equi-join + one aggregate; the (1−d)·tele term reads
+      // the dst teleport carried on the edge frame (a group key — exact
+      // doubles, 1/|S| or 0), so no post-aggregate node-frame join remains
       ranks = se
         .join(rankSide(r.withColumnRenamed("node", "__r")),
           col("__s") === col("__r"))
-        .groupBy(col("__d").as("node"))
-        .agg(sum(floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+        .groupBy(col("__d").as("node"), col("__dtele").as("tele"))
+        .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
           .cast("long")).as("__psum"))
-        // tele/deg re-attach: tele feeds the (1−d)·tele term of THIS
-        // round, deg the next round's contribution division
-        .join(if (broadcastRanks) broadcast(odT) else odT.hint("shuffle_hash"),
-          Seq("node"))
-        .select(col("node"), col("deg"), col("tele"),
+        .select(col("node"),
           (lit(oneMinusD) * col("tele") +
             lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
       ranks = noInR.fold(ranks)(ranks.unionAll)

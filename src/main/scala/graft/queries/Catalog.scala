@@ -5024,19 +5024,20 @@ object Catalog {
       |           GROUP BY 1, 2),
       |sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
       |od AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ws FROM sym GROUP BY 1),
+      |syn AS (SELECT sym.src, sym.dst, CAST(sym.w AS DOUBLE) / od.ws AS nw
+      |        FROM sym JOIN od ON sym.src = od.node),
       |n AS (SELECT count(*) AS n FROM od),
-      |r0 AS (SELECT node, ws, 1e0 / n.n AS pr FROM od, n),
-      |r1 AS (SELECT sym.dst AS node,
+      |r0 AS (SELECT node, 1e0 / n.n AS pr FROM od, n),
+      |r1 AS (SELECT syn.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r0.pr * sym.w / r0.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN r0 ON sym.src = r0.node, n
-      |       GROUP BY sym.dst, n.n),
-      |r1d AS (SELECT r1.node, od.ws, r1.pr FROM r1 JOIN od ON r1.node = od.node),
-      |r2 AS (SELECT sym.dst AS node,
+      |           (CAST(sum(CAST(floor((r0.pr * syn.nw) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM syn JOIN r0 ON syn.src = r0.node, n
+      |       GROUP BY syn.dst, n.n),
+      |r2 AS (SELECT syn.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r1d.pr * sym.w / r1d.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN r1d ON sym.src = r1d.node, n
-      |       GROUP BY sym.dst, n.n),
+      |           (CAST(sum(CAST(floor((r1.pr * syn.nw) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM syn JOIN r1 ON syn.src = r1.node, n
+      |       GROUP BY syn.dst, n.n),
       |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
       |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
       |SELECT rnk, node, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
@@ -6833,19 +6834,20 @@ object Catalog {
       |        GROUP BY 1, 2 HAVING count(*) >= 3),
       |sym AS (SELECT u AS src, v AS dst, w FROM und UNION ALL SELECT v, u, w FROM und),
       |od AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ws FROM sym GROUP BY 1),
+      |syn AS (SELECT sym.src, sym.dst, CAST(sym.w AS DOUBLE) / od.ws AS nw
+      |        FROM sym JOIN od ON sym.src = od.node),
       |n AS (SELECT count(*) AS n FROM od),
-      |r0 AS (SELECT node, ws, 1e0 / n.n AS pr FROM od, n),
-      |r1 AS (SELECT sym.dst AS node,
+      |r0 AS (SELECT node, 1e0 / n.n AS pr FROM od, n),
+      |r1 AS (SELECT syn.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r0.pr * sym.w / r0.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN r0 ON sym.src = r0.node, n
-      |       GROUP BY sym.dst, n.n),
-      |r1d AS (SELECT r1.node, od.ws, r1.pr FROM r1 JOIN od ON r1.node = od.node),
-      |r2 AS (SELECT sym.dst AS node,
+      |           (CAST(sum(CAST(floor((r0.pr * syn.nw) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM syn JOIN r0 ON syn.src = r0.node, n
+      |       GROUP BY syn.dst, n.n),
+      |r2 AS (SELECT syn.dst AS node,
       |         (1e0 - 8.5e-1) / n.n + 8.5e-1 *
-      |           (CAST(sum(CAST(floor((r1d.pr * sym.w / r1d.ws) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
-      |       FROM sym JOIN r1d ON sym.src = r1d.node, n
-      |       GROUP BY sym.dst, n.n),
+      |           (CAST(sum(CAST(floor((r1.pr * syn.nw) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
+      |       FROM syn JOIN r1 ON syn.src = r1.node, n
+      |       GROUP BY syn.dst, n.n),
       |rk AS (SELECT node, CAST(floor(pr * 1e12 + 0.5) AS BIGINT) AS pr12 FROM r2),
       |rr AS (SELECT node, pr12, row_number() OVER (ORDER BY pr12 DESC, node) AS rnk FROM rk)
       |SELECT rnk, node AS word, pr12 FROM rr WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>

@@ -1462,15 +1462,17 @@ class LlmSpec extends SparkSpec {
     assert(ones == unw)
     // b splits mass 3:1 toward a: after round 1,
     //   a = 0.15/3 + 0.85·(⌊(1/3)·(3/4)·1e12+0.5⌋/1e12)  (b→a share)
-    //   c gets the 1/4 share — strictly less than a
+    //   c gets the 1/4 share — strictly less than a.
+    // IEEE order is pr·nw with nw = w/ws NORMALIZED ONCE on the edge
+    // frame (the folded layout the SQL twins mirror)
     val w = Seq(("a", "b", 1L), ("b", "a", 3L), ("b", "c", 1L),
       ("c", "b", 1L)).toDF("src", "dst", "w")
     val wr = m(GraphRank.pageRank(w, "src", "dst", rounds = 1,
       weightCol = Some("w")))
     val expA = 0.15 / 3 + 0.85 *
-      (math.floor((1.0 / 3) * 3 / 4 * 1e12 + 0.5) / 1e12)
+      (math.floor((1.0 / 3) * (3.0 / 4) * 1e12 + 0.5) / 1e12)
     val expC = 0.15 / 3 + 0.85 *
-      (math.floor((1.0 / 3) * 1 / 4 * 1e12 + 0.5) / 1e12)
+      (math.floor((1.0 / 3) * (1.0 / 4) * 1e12 + 0.5) / 1e12)
     assert(wr("a") == math.floor(expA * 1e12 + 0.5).toLong)
     assert(wr("c") == math.floor(expC * 1e12 + 0.5).toLong)
     assert(wr("a") > wr("c"))
