@@ -140,18 +140,37 @@ object Bench {
     //    reuse is the serving regime, and the warm pass trains them before
     //    any timing.
     val eager = graft.queries.Catalog.eagerBuildQueries
+    // Per-query warm barrier (the r12 driver-bench-vs-session drift fix):
+    // the global warm pass ran long before a given query's timed loop, with
+    // ~220 other plans in between — codegen/JIT state for THIS query's path
+    // is cold again by the time its loop starts, and EAGER queries (whose
+    // rebuild IS the computation) were measured to need several rebuilds to
+    // reach steady state (q97: 1.9 → 1.5 → 1.2 s over the first rebuilds of
+    // a session, settling ~0.9). So immediately before timing: one untimed
+    // settle execution for every query, plus SPARK_GRAFT_EAGER_WARM (default
+    // 2) extra untimed rebuilds for eager ones — the timed min-of-N then
+    // samples the same steady-state regime a resident session reports.
+    val eagerWarm = env("SPARK_GRAFT_EAGER_WARM", "2").toInt
     val results = selected.flatMap { case (name, fn) =>
       // untimed probe build: classifies build failures as "build" (and
       // skips the timed loop) so they can't masquerade as exec failures
       val probe = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
         fail(name, "build", e); None
       }
-      // settle before each query's timed loop: collect the previous
-      // query's garbage NOW so a deferred GC cannot land inside a timed
-      // run — ~100ms per query, bought back in timing stability
+      val warmed = probe.map { prebuilt =>
+        try {
+          prebuilt.write.format("noop").mode("overwrite").save()
+          if (eager.contains(name)) (1 to eagerWarm).foreach { _ =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+        } catch { case _: Throwable => () } // failures re-surface timed
+        prebuilt
+      }
+      // settle before each query's timed loop: collect the warm/previous
+      // garbage NOW so a deferred GC cannot land inside a timed run
       System.gc()
       Thread.sleep(100)
-      val times = probe.toSeq.flatMap { prebuilt =>
+      val times = warmed.toSeq.flatMap { prebuilt =>
         (1 to runsPer).flatMap { _ =>
           val t0 = System.nanoTime()
           try {

@@ -522,7 +522,10 @@ object Drift {
     * Zero-count sides contribute only through m (their p·ln(p/m) term is
     * 0 by continuity — the `when` guard, not a smoothing constant).
     * NULL categories and NULL flags are excluded (the family's null
-    * convention).
+    * convention). A group where ONE WHOLE SIDE has zero rows reports
+    * jsd8/jsd as NULL, not 0 — the family's degenerate-denominator
+    * convention, so an alerting consumer can tell "no baseline data"
+    * from "no drift".
     *
     * Plan: one (group, category) A/B count aggregate, group totals ride
     * a window over the category frame, one final aggregate.
@@ -563,8 +566,10 @@ object Drift {
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"),
         count(lit(1)).as("n_cats"),
-        sum(col("__t8")).as("jsd8"))
-      .select(g ++ Seq(col("n_a"), col("n_b"), col("n_cats"), col("jsd8"),
-        (col("jsd8").cast("double") / lit(1e8)).as("jsd")): _*)
+        sum(col("__t8")).as("__s8"))
+      .select(g ++ Seq(col("n_a"), col("n_b"), col("n_cats"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("__s8")).as("jsd8"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s8").cast("double") / lit(1e8)).as("jsd")): _*)
   }
 }

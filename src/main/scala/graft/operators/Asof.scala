@@ -166,9 +166,17 @@ object Asof {
     val tieBreak = rightTieBreak.map(col).getOrElse(lit(0L))
     // NULL-timestamp right rows can never be a nearest match but would
     // sort nulls-first into the backward scan and surface as a phantom
-    // match (payload with NULL nearest_ts) — exclude them up front
+    // match (payload with NULL nearest_ts) — exclude them up front.
+    // NULL-KEY right rows are excluded for the same reason: the key match
+    // is SQL equi-join semantics (NULL never matches NULL — mirroring the
+    // `p.user_id = v.user_id` oracle form), but the window partition
+    // groups NULL keys together, so without this filter a NULL-key left
+    // row would <=>-match a NULL-key right row. With right-side NULL keys
+    // gone, a NULL-key left row's partition holds no right rows at all
+    // and it surfaces with a NULL match — preserved, like every left row.
     val rightU = right
-      .filter(col(rightTime).isNotNull)
+      .filter(col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .select((keys.map(col) :+ unix_micros(col(rightTime)).as("__us") :+
         payload.as("__rv") :+ tieBreak.as("__tb")): _*)
       .withColumn("__side", lit(0))

@@ -103,24 +103,32 @@ object Profile {
     * synthesized, or unit-collapsed columns don't): per digit 1–9,
     * observed share vs the Benford expectation and their signed gap.
     *
-    * Determinism: the digit comes from INTEGER string rendering of the
-    * scale-4 fix-point (`substring(cast(v4 as string), 1, 1)` — long →
-    * string is engine-identical, no double-format divergence), so only
-    * strictly positive v4 rows participate; `expected` is
-    * log₁₀(1 + 1/d) computed in-engine on 9 literal digits (±1-ulp
-    * caveat, r4-rounded downstream like every ln-family statistic).
+    * Determinism AND full-magnitude coverage: the value is normalized
+    * into [1, 10¹¹) by a FOLD over exact powers of ten — `/10²²` while
+    * ≥ 10²² (14 steps cover DoubleMax), `×10²²` while < 1 (15 steps
+    * reach the smallest subnormal), one `/10¹¹` tail — so EVERY finite
+    * positive double participates with its true first significant digit.
+    * The fold uses ONLY IEEE multiply/divide by the exactly-representable
+    * constants 10²²/10¹¹ (no `pow`, no `log10` in the digit path — libm
+    * `pow(10, e)` differs between JVM and C at e = 23 and e = 210,
+    * measured on this host, which would flip boundary digits), so the
+    * normalized mantissa is BIT-IDENTICAL cross-engine by construction.
+    * The digit is then integer string rendering of `floor(m)` (long →
+    * string, no double-format divergence). `expected` is log₁₀(1 + 1/d)
+    * computed in-engine on 9 literal digits (±1-ulp caveat, r4-rounded
+    * downstream like every ln-family statistic).
     *
-    * Magnitude contract: the fix-point digit equals the TRUE first
-    * significant digit only for |v| ≳ 10⁻³ — below that the scale-4
-    * rounding truncates leading zeros into the digit (0.00006 → v4 = 1 →
-    * digit 1, true FSD 6) or drops the row entirely (v4 = 0 under
-    * ~5·10⁻⁵), and values just under a decade boundary can round across
-    * it (0.09999 → v4 = 1000 → digit 1). Pre-scale sub-milli columns
-    * (multiply by a power of ten — Benford shares are scale-invariant)
-    * before auditing them.
+    * Magnitude contract: any finite positive double. The ≤31 IEEE
+    * normalization steps each carry ≤½ ulp, so a value within a few ulp
+    * of a decade boundary can report the neighboring digit — identically
+    * in both engines (shared constants, shared op order); there is no
+    * engine-divergence caveat. NaN, ±Inf, zero and negatives are
+    * excluded (Benford is defined on positive magnitudes).
     *
     * Scale: one (group, digit) hash aggregate; the group total rides a
-    * window over the ≤9-rows-per-group digit frame. Answer-sized.
+    * window over the ≤9-rows-per-group digit frame. Answer-sized. The
+    * fold is a runtime loop (constant-size expression tree), not an
+    * unrolled CASE nest.
     *
     * @return per (group, digit): (groupCols…, digit, n, n_d, frac,
     *         expected, dev) — dev = frac − expected
@@ -132,12 +140,19 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val wG = Window.partitionBy(g: _*)
-    df.filter(valueCol.isNotNull)
-      .select(g :+ floor(valueCol.cast("double") * 10000 + 0.5).cast("long")
-        .as("__v4"): _*)
-      .filter(col("__v4") >= 1)
+    val v = valueCol.cast("double")
+    val down = aggregate(sequence(lit(1), lit(14)), v,
+      (acc, _) => when(acc >= lit(1e22), acc / lit(1e22)).otherwise(acc))
+    val up = aggregate(sequence(lit(1), lit(15)), down,
+      (acc, _) => when(acc < lit(1.0), acc * lit(1e22)).otherwise(acc))
+    df.filter(valueCol.isNotNull && v > 0 &&
+        v <= lit(java.lang.Double.MAX_VALUE))
+      .select(g :+ up.as("__m22"): _*)
+      .withColumn("__m", when(col("__m22") >= lit(1e11),
+        col("__m22") / lit(1e11)).otherwise(col("__m22")))
       .withColumn("digit",
-        substring(col("__v4").cast("string"), 1, 1).cast("int"))
+        substring(floor(col("__m")).cast("long").cast("string"), 1, 1)
+          .cast("int"))
       .groupBy(g :+ col("digit"): _*)
       .agg(count(lit(1)).as("n_d"))
       .withColumn("n", sum(col("n_d")).over(wG))

@@ -73,19 +73,12 @@ object Quantiles {
     *   Q_w(p) = min{ v : Σ_{x ≤ v} w(x) ≥ p·W },   W = Σ w
     *
     * (the lower weighted order statistic — exact, no interpolation).
-    * Weights fix-point at scale 4 so the cumulative compare
-    * `cumW·1 ≥ p·W` runs as `cumW4 ≥ ⌈p·W4⌉` in EXACT integer
-    * arithmetic — `⌈⌉` via the floorDiv identity on the rational p =
-    * num/den, no float threshold edge, engine-identical.
-    *
-    * Overflow/precision contract (the [[graft.llm.Drift.cusum]]
-    * discipline): the threshold's final `/ den` is Spark double division,
-    * exact ONLY because the numerator is first reduced to an exact
-    * multiple of `den` (the SetSimJoin exact-multiple caveat) — which
-    * holds while `num·W4 + den − 1 < 2^53`. Past ~9·10¹⁵ of scaled
-    * group weight (10¹¹ of raw weight at scale 4) the DuckDB twin's true
-    * integer `//` can disagree at a quantile boundary: pre-aggregate or
-    * rescale weights before that point.
+    * Weights fix-point at scale 4, and the cumulative compare
+    * `cumW ≥ ⌈p·W⌉` runs CROSS-MULTIPLIED — `cumW4·den ≥ num·W4`, the
+    * exact integer equivalence for positive integers — in DECIMAL(38,0)
+    * on both engines (HUGEINT in the twin), so there is no division
+    * anywhere, no float threshold edge, and no 2⁵³ headroom caveat:
+    * the products stay exact to ~10³⁸ of scaled group weight × den.
     *
     * Plan: one (group, value) weight-sum aggregate (map-side combined,
     * shuffle ∝ distinct values), a cumulative window over each group's
@@ -119,11 +112,13 @@ object Quantiles {
     val cum = counts
       .withColumn("__cum", sum(col("__cw")).over(wCum))
       .withColumn("__tot", sum(col("__cw")).over(wAll))
+    val dec38 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val aggs = ps.map { case (num, den, name) =>
-      // threshold ⌈num·W/den⌉ as exact integers: (num·W + den − 1) div den
-      val thr = (lit(num.toLong) * col("__tot") + lit(den - 1L) -
-        pmod(lit(num.toLong) * col("__tot") + lit(den - 1L), lit(den.toLong))) / den
-      min(when(col("__cum") >= thr, col("__v"))).as(name)
+      // cum ≥ ⌈num·W/den⌉  ⟺  cum·den ≥ num·W  (positive integers) —
+      // both products exact in DECIMAL(38, 0), no division at all
+      min(when(dec38(col("__cum")) * dec38(lit(den.toLong)) >=
+        dec38(lit(num.toLong)) * dec38(col("__tot")), col("__v"))).as(name)
     }
     cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -99,6 +99,160 @@ object Scratch {
       pprVariant("lazy ", bcastE = true, reuse = false)
       spark.stop(); return
     }
+    if (name == "debug_nb3") {
+      // memoized-model variant: cache() the (label, token, c) sufficient
+      // statistic so rebuilds hit the CacheManager by plan canonicalization
+      // (the IVF-quantizer serving convention) — with and without a
+      // broadcast model join.
+      import org.apache.spark.sql.functions._
+      def variant(label: String, memo: Boolean, bcast: Boolean): Unit = {
+        for (i <- 1 to 5) {
+          val docs = graft.Tables.documents(spark, sfDir)
+          val t0 = System.nanoTime()
+          val (model, stats) = graft.llm.NaiveBayes.train(docs, "lang", "text")
+          val model2 = if (memo) model.cache() else model
+          val stats2 = if (memo) stats.cache() else stats
+          graft.llm.NaiveBayes.predict(docs, "doc_id", "text", model2, stats2,
+              broadcastModel = bcast)
+            .select(col("doc_id"), col("label").as("pred_lang"), col("score4"))
+            .write.format("noop").mode("overwrite").save()
+          println(f"[nb3 $label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      variant("memo+bcast ", memo = true, bcast = true)
+      variant("memo+shuffl", memo = true, bcast = false)
+      variant("plain+bcast", memo = false, bcast = true)
+      variant("memo+bcast2", memo = true, bcast = true)
+      spark.stop(); return
+    }
+    if (name == "debug_nb2") {
+      // prototype: tokenize ONCE (ck), collect the C-row class stats as a
+      // model artifact, broadcast the token model — how few jobs can a
+      // self-train NB rebuild cost?
+      import org.apache.spark.sql.functions._
+      def log4(x: org.apache.spark.sql.Column) =
+        floor(log(x) * 10000 + 0.5).cast("long")
+      def build(): org.apache.spark.sql.DataFrame = {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val tok = docs.select(col("doc_id"), col("lang").as("label"),
+            explode(split(col("text"), " ")).as("token"))
+          .localCheckpoint()
+        val cnt = tok.groupBy(col("label"), col("token")).agg(count(lit(1)).as("c"))
+        // ONE action: C-row class stats (t, v, prior4, lp0) — k-bounded
+        val stats = cnt.groupBy(col("label")).agg(sum(col("c")).as("t"))
+          .crossJoin(broadcast(cnt.select(col("token")).distinct()
+            .agg(count(lit(1)).as("v"))))
+          .join(tok.groupBy(col("label")).agg(count_distinct(col("doc_id")).as("dl")), "label")
+          .crossJoin(broadcast(tok.agg(count_distinct(col("doc_id")).as("d"))))
+          .select(col("label"), col("t"), col("v"),
+            log4(col("dl").cast("double") / col("d")).as("prior4"),
+            log4(lit(1.0) / (col("t") + col("v"))).as("lp0"))
+          .collect()
+        val statsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(stats.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("prior4", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lp0", org.apache.spark.sql.types.LongType))))
+        val model = cnt.join(broadcast(statsDf.select("label", "t", "v")), "label")
+          .select(col("label"), col("token"),
+            log4((col("c") + lit(1.0)) / (col("t") + col("v"))).as("lp4"))
+        val docTok = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
+        val docM = docTok.groupBy(col("doc_id")).agg(sum(col("m")).as("mm"))
+        val matched = docTok.join(broadcast(model), "token")
+          .groupBy(col("doc_id"), col("label"))
+          .agg(sum(col("m") * col("lp4")).as("s"), sum(col("m")).as("cov"))
+        val scores = docM.crossJoin(broadcast(statsDf.select("label", "prior4", "lp0")))
+          .join(matched, Seq("doc_id", "label"), "left")
+          .select(col("doc_id"), col("label"),
+            (col("prior4") + coalesce(col("s"), lit(0L)) +
+              (col("mm") - coalesce(col("cov"), lit(0L))) * col("lp0")).as("score4"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score4").desc, col("label").asc)
+        scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("doc_id"), col("label").as("pred_lang"), col("score4"))
+      }
+      for (i <- 1 to 6) {
+        val t0 = System.nanoTime()
+        build().write.format("noop").mode("overwrite").save()
+        println(f"[nb2] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+    if (name == "debug_ck") {
+      // which frames to materialize for the 2-round bench shape? Inline
+      // pageRank replica with independent ck knobs on base / se / rounds.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def pr(ckBase: Boolean, ckSe: Boolean, ckRounds: Boolean): DataFrame = {
+        val ord = graft.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e = graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+            (col("o_custkey") * 2).cast("long").as("dst"))
+          .distinct()
+        val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        val base = if (ckBase) sym.localCheckpoint() else sym
+        val od = base.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val nv = od.count().toDouble
+        val seRaw = base.join(broadcast(od.select(col("node").as("__on"), col("deg"))),
+            col("src") === col("__on"))
+          .select(col("src").as("__s"), col("dst").as("__d"), col("deg").as("__sdeg"))
+        val se = if (ckSe) seRaw.localCheckpoint() else seRaw
+        var r: DataFrame = od.select(col("node"), lit(1.0 / nv).as("pr"))
+        var ranks: DataFrame = null
+        for (k <- 1 to 2) {
+          ranks = se.join(broadcast(r.withColumnRenamed("node", "__r")),
+              col("__s") === col("__r"))
+            .groupBy(col("__d").as("node"))
+            .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
+              .cast("long")).as("__psum"))
+            .select(col("node"), (lit(0.15 / nv) +
+              lit(0.85) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
+          if (k < 2) r = if (ckRounds) ranks.localCheckpoint() else ranks
+        }
+        graft.llm.GraphRank.topK(
+          ranks.withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long")), 20)
+      }
+      def run(label: String, b: Boolean, s: Boolean, rr: Boolean): Unit = {
+        for (i <- 1 to 5) {
+          val t0 = System.nanoTime()
+          pr(b, s, rr).write.format("noop").mode("overwrite").save()
+          println(f"[ck $label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      run("base+se+rounds", b = true, s = true, rr = true)
+      run("base only     ", b = true, s = false, rr = false)
+      run("base+rounds   ", b = true, s = false, rr = true)
+      run("none          ", b = false, s = false, rr = false)
+      run("base+se       ", b = true, s = true, rr = false)
+      run("base+se+rounds", b = true, s = true, rr = true)
+      run("base only     ", b = true, s = false, rr = false)
+      spark.stop(); return
+    }
+    if (name == "debug_gc") {
+      // hypothesis probe: does the bench's per-query System.gc() trigger a
+      // ContextCleaner storm that lands INSIDE the timed loop? A/B the q97
+      // eager rebuild with and without a gc before each run.
+      def runs(label: String, gcBefore: Boolean, n: Int): Unit = {
+        for (i <- 1 to n) {
+          if (gcBefore) { System.gc(); Thread.sleep(100) }
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries("q97_pagerank")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[gc=$gcBefore $label] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      runs("warm", gcBefore = false, 6)
+      runs("with-gc", gcBefore = true, 6)
+      runs("no-gc", gcBefore = false, 6)
+      runs("with-gc2", gcBefore = true, 6)
+      spark.stop(); return
+    }
     if (name == "debug_nb") {
       import org.apache.spark.sql.functions._
       def variant(label: String, reuse: Boolean): Unit = {

@@ -43,6 +43,25 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("pairStats: reuseFrames/hashSelfJoin/broadcast paths agree with lazy form") {
+    // includes an oversized basket so the reuseFrames gated-collect path
+    // (meta action + isInCollection filter) is exercised, not just N
+    val big = (1 to 10).map(i => (99L, s"i$i"))
+    val df = (Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a")) ++ big)
+      .toDF("bk", "itm")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+         r.getDouble(6), r.getDouble(7))).toMap
+    val base = norm(Cooccurrence.pairStats(df, "bk", "itm", maxBasketSize = 5))
+    for (reuse <- Seq(true, false); hash <- Seq(true, false);
+         bcast <- Seq(true, false)) {
+      val v = norm(Cooccurrence.pairStats(df, "bk", "itm", maxBasketSize = 5,
+        broadcastItemCounts = bcast, hashSelfJoin = hash, reuseFrames = reuse))
+      assert(v == base, s"reuse=$reuse hash=$hash bcast=$bcast")
+    }
+  }
+
   test("transitions: hand-computed chain with tie-break and last-event drop") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(

@@ -169,6 +169,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))   // NULL-ts left row kept
   }
 
+  test("nearestJoin: NULL keys never match (SQL equi-join semantics)") {
+    val left = Seq[(Long, String, String)](
+      (1L, null, "2024-06-01 10:00:00"), // NULL-key left: preserved, NULL match
+      (2L, "u", "2024-06-01 10:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val right = Seq[(String, String, Long)](
+      (null, "2024-06-01 10:00:00", 99L), // NULL-key right: never a match
+      ("u", "2024-06-01 10:01:00", 1L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp($"ts"))
+    val got = Asof.nearestJoin(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "m"), rightTieBreak = Some("rid"))
+      .orderBy("id").select("id", "m").collect()
+    assert(got(0).isNullAt(1)) // NOT rid 99 — NULL keys group but never match
+    assert(got(1).getLong(1) == 1L)
+  }
+
   test("nearestJoin law: with only-backward candidates it agrees with asof join") {
     val left = Seq((1L, "u", "2024-06-01 10:05:00"), (2L, "u", "2024-06-01 10:20:00"))
       .toDF("id", "k", "ts").withColumn("ts", to_timestamp($"ts"))

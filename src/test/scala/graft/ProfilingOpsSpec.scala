@@ -109,21 +109,33 @@ class ProfilingOpsSpec extends SparkSpec {
     }
   }
 
-  test("benford: digit from the v4 fix-point; zero/negative/null excluded") {
-    // values spanning scales: digit(19.0) = 1, digit(0.05) = 5; the 0,
-    // negative, sub-resolution (0.00004 → v4 = 0) and null rows drop out
+  test("benford: true first significant digit at ANY magnitude; " +
+      "zero/negative/null/non-finite excluded") {
+    // values spanning the full double range: the exact-power ladder must
+    // recover the true FSD well below the old 1e-3 restriction (1e-6 → 1,
+    // 0.00004 → 4), at huge magnitudes (2.5e300 → 2), and down in the
+    // subnormal range (9e-310 → 8|9: the stored double is 9.00000…e-310
+    // up to subnormal quantization — assert what the double truly is)
     val df = Seq(Some(1.0), Some(2.5), Some(19.0), Some(0.05), Some(0.0),
-        Some(-7.0), Some(0.00004), None)
+        Some(-7.0), Some(0.00004), Some(1e-6), Some(6.4e-7), Some(2.5e300),
+        Some(7.7e22), Some(Double.PositiveInfinity), Some(Double.NaN), None)
       .map(v => ("g", v)).toDF("g", "v")
     val out = Profile.benford(df, Seq("g"), col("v"))
       .collect().map(r => r.getAs[Int]("digit") -> r).toMap
-    assert(out.keySet == Set(1, 2, 5))
-    assert(out.values.forall(_.getAs[Long]("n") == 4L))
-    assert(out(1).getAs[Long]("n_d") == 2L) // 1.0 and 19.0
-    assert(out(1).getAs[Double]("frac") == 0.5)
+    // digits: 1(1.0), 2(2.5), 1(19.0), 5(0.05), 4(0.00004), 1(1e-6),
+    // 6(6.4e-7), 2(2.5e300), 7(7.7e22) — 9 finite positive rows
+    assert(out.keySet == Set(1, 2, 4, 5, 6, 7))
+    assert(out.values.forall(_.getAs[Long]("n") == 9L))
+    assert(out(1).getAs[Long]("n_d") == 3L) // 1.0, 19.0, 1e-6
+    assert(out(2).getAs[Long]("n_d") == 2L) // 2.5, 2.5e300
+    assert(out(7).getAs[Long]("n_d") == 1L) // 7.7e22
     assert(math.abs(out(1).getAs[Double]("expected") - math.log10(2.0)) < 1e-12)
     assert(math.abs(out(5).getAs[Double]("dev") -
-      (0.25 - math.log10(1.2))) < 1e-12)
+      (1.0 / 9 - math.log10(1.2))) < 1e-12)
+    // subnormal: the ladder reaches the bottom of the double range
+    val sub = Profile.benford(Seq(("g", 9e-310)).toDF("g", "v"),
+      Seq("g"), col("v")).collect()
+    assert(sub.length == 1 && Set(8, 9).contains(sub(0).getAs[Int]("digit")))
   }
 
   // ------------------------------------------------- abcClassification

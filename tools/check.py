@@ -17,7 +17,8 @@ for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = f"{sf_dir}/{t}.parquet"
     if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional 3rd arg: comma-separated query names (mirrors GRAFT_VERIFY_ONLY)

@@ -12,7 +12,7 @@ the script exits nonzero.
 Usage: python3 tools/duck_bench.py <sf_dir> <oracle_sql.json> [runs]
 Prints one JSON line: {"total": s, "queries": {...}, "errors": {...}}
 """
-import sys, json, time
+import sys, json, time, os
 import duckdb
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
@@ -22,7 +22,9 @@ con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(oracle_path))
 errors = {}
