@@ -1388,7 +1388,11 @@ object Catalog {
       |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
       |       wu AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val wv = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    // asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's (ANSI)
+    // is NULLS LAST — latent until a dataset with NULL `value` rows hit
+    // this window (found by the r13 synthetic-data gate; the driver
+    // harness data happens to have none)
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("value").asc_nulls_last)
     val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wuFull = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.events(s, d)
