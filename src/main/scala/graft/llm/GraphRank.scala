@@ -338,19 +338,47 @@ object GraphRank {
     var r: DataFrame = odT.select(col("node"), col("tele").as("pr"))
     var ranks: DataFrame = null
     for (k <- 1 to rounds) {
-      // one map-side equi-join + one aggregate; the (1−d)·tele term reads
-      // the dst teleport carried on the edge frame (a group key — exact
-      // doubles, 1/|S| or 0), so no post-aggregate node-frame join remains
-      ranks = se
-        .join(rankSide(r.withColumnRenamed("node", "__r")),
-          col("__s") === col("__r"))
-        .groupBy(col("__d").as("node"), col("__dtele").as("tele"))
-        .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
-          .cast("long")).as("__psum"))
-        .select(col("node"),
-          (lit(oneMinusD) * col("tele") +
-            lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
-      ranks = noInR.fold(ranks)(ranks.unionAll)
+      if (broadcastRanks) {
+        // SPARSE round (the PPR-specific win): teleport-seeded rank frames
+        // are mostly EXACT zeros (tele = 0 off-seed, and a zero rank
+        // contributes floor(0·1e12/deg + 0.5) = 0 to every psum), so the
+        // join side filters to pr ≠ 0 — round 1 broadcasts |S| rows, not
+        // |V| — and a left-join COMPLETION against the checkpointed node
+        // frame restores the all-nodes output with psum = 0, which is
+        // bit-identical to aggregating the zero contributions (x + d·0 =
+        // x). The completion join also subsumes the in-degree-0 re-union:
+        // those nodes simply have no aggregate row. Both joins are
+        // map-side (the node set is dimension-sized by the broadcastRanks
+        // contract, so the ≤|V|-sized aggregate broadcasts too).
+        val contrib = se
+          .join(broadcast(r.filter(col("pr") =!= 0.0)
+            .select(col("node").as("__r"), col("pr"))),
+            col("__s") === col("__r"))
+          .groupBy(col("__d").as("__an"))
+          .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
+            .cast("long")).as("__psum"))
+        ranks = odT
+          .join(broadcast(contrib), col("node") === col("__an"), "left")
+          .select(col("node"),
+            (lit(oneMinusD) * col("tele") + lit(damping) *
+              (coalesce(col("__psum"), lit(0L)).cast("double") / lit(1e12)))
+              .as("pr"))
+      } else {
+        // shuffle form: one equi-join + one aggregate; the (1−d)·tele term
+        // reads the dst teleport carried on the edge frame (a group key —
+        // exact doubles, 1/|S| or 0) so no post-aggregate node join runs,
+        // and the static in-degree-0 frame re-unions per round
+        ranks = se
+          .join(rankSide(r.withColumnRenamed("node", "__r")),
+            col("__s") === col("__r"))
+          .groupBy(col("__d").as("node"), col("__dtele").as("tele"))
+          .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
+            .cast("long")).as("__psum"))
+          .select(col("node"),
+            (lit(oneMinusD) * col("tele") +
+              lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
+        ranks = noInR.fold(ranks)(ranks.unionAll)
+      }
       r = if (k < rounds) ck(ranks) else ranks
     }
     ranks.select(col("node"), col("pr"))
