@@ -526,6 +526,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again("tail") == 4.0)
   }
 
+  test("weightedQuantile: exact past the old 2^53 FP-division headroom") {
+    // Scaled group weight just under 2^53, so num·W4 for num ≥ 2 exceeds
+    // double precision — the zone where the pre-r13 threshold (an
+    // exact-multiple FP division) could land one distinct value off at a
+    // BOUNDARY-EXACT threshold. The cross-multiplied DECIMAL compare
+    // (`cum·den ≥ num·W4`) is exact at any magnitude. Per-row weight
+    // chosen so its double and scale-4 fix-point are both exact:
+    // w = 300239975158.0 → w4 = 3002399751580000; W4 = 3·w4 =
+    // 9007199254740000 (2^53 − 992); 2·W4 = 1.8·10¹⁶ > 2^53.
+    val w = 300239975158.0
+    val third = 3002399751580000L
+    val df = Seq((1.0, w), (2.0, w), (3.0, w)).toDF("v", "w")
+      .withColumn("g", lit("g"))
+    val out = Quantiles.weightedQuantile(df, Seq("g"), col("v"), col("w"),
+      ps = Seq((1, 2, "wmed"), (2, 3, "wp66"), (1, 1, "wmax"))).collect()
+    assert(out.length == 1)
+    // ⌈W/2⌉ = 3·third/2 (exact) — strictly inside the second third
+    assert(out(0).getAs[Double]("wmed") == 2.0)
+    // ⌈2W/3⌉ = 2·third = cum(v = 2) EXACTLY — the boundary case where a
+    // ±1 FP threshold error would flip the answer to 3.0
+    assert(out(0).getAs[Double]("wp66") == 2.0)
+    // p = 1: threshold is the full W4 = cum(v = 3), again boundary-exact
+    assert(out(0).getAs[Double]("wmax") == 3.0)
+    assert(third * 3 == 9007199254740000L) // construction sanity
+  }
+
   // ------------------------------------------------------ Quantiles.medianCI
 
   test("medianCI: binomial bracket ranks and order-statistic picks") {
