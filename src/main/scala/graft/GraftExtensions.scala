@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash32", "simhash32(text) - 32-bit SimHash fingerprint as a '0'/'1' string"),
       (exprs: Seq[Expression]) => SimHash32(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical form (UAX #15)"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0), nfkc = false)))
+    ext.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      info("nfkc_normalize", "nfkc_normalize(text) - Unicode NFKC compatibility-folded form"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0), nfkc = true)))
+    ext.injectFunction((
       FunctionIdentifier("marker_counts"),
       info("marker_counts", "marker_counts(text, markers) - per-marker occurrence counts (NUL-joined markers)"),
       (exprs: Seq[Expression]) => MarkerCounts(exprs(0), litStr(exprs(1)).split('\u0000').toSeq)))

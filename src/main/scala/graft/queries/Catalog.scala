@@ -8227,6 +8227,55 @@ object Catalog {
       .transform(ordered("event_type", "season"))
   }
 
+  /** Unicode normalization audit ([[graft.functions.UnicodeNormalize]] —
+    * native codegen NFC/NFKC, UAX #15): per lang, how many docs change
+    * under NFC canonicalization and how much NFKC compatibility folding
+    * shrinks them — the pre-dedup canonicalization report (mixed
+    * precomposed/combining forms hash apart in every exact/MinHash dedupe
+    * until normalized). The harness text is ASCII, so non-NFC content is
+    * INJECTED deterministically per doc_id (combining acute vs precomposed
+    * é; ﬁ ligature vs "fi") — both engines build the identical bytes
+    * (Scala \\u escapes ≡ DuckDB chr()). The NFC leg oracles against
+    * DuckDB's own `nfc_normalize`; DuckDB ships no NFKC, so the NFKC leg
+    * oracles against replace-after-NFC, exact FOR THIS CONSTRUCTION
+    * (the only compatibility character present is the ﬁ ligature).
+    */
+  val q222 = q(
+    "q222_unicode_nfc",
+    """WITH m AS (SELECT doc_id, lang,
+      |    substr(text, 1, 10)
+      |      || CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+      |      || CASE WHEN doc_id % 3 = 0 THEN chr(64257) ELSE 'fi' END AS messy
+      |  FROM documents),
+      |n AS (SELECT doc_id, lang, messy, nfc_normalize(messy) AS nfc,
+      |        replace(nfc_normalize(messy), chr(64257), 'fi') AS nfkc
+      |      FROM m)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN nfc <> messy THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_nfc,
+      |  CAST(sum(CASE WHEN nfkc <> nfc THEN 1 ELSE 0 END) AS BIGINT) AS n_folded_nfkc,
+      |  CAST(sum(length(messy)) AS BIGINT) AS chars_raw,
+      |  CAST(sum(length(nfc)) AS BIGINT) AS chars_nfc,
+      |  CAST(sum(length(nfkc)) AS BIGINT) AS chars_nfkc
+      |FROM n GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.functions.UnicodeNormExprs
+    val m = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      concat(substring(col("text"), 1, 10),
+        when(col("doc_id") % 2 === 0, lit("e\u0301")).otherwise(lit("\u00e9")),
+        when(col("doc_id") % 3 === 0, lit("\uFB01")).otherwise(lit("fi")))
+        .as("messy"))
+    m.select(col("lang"), col("messy"),
+        UnicodeNormExprs.nfc(col("messy")).as("nfc"),
+        UnicodeNormExprs.nfkc(col("messy")).as("nfkc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("messy"), 1L).otherwise(0L)).as("n_changed_nfc"),
+        sum(when(col("nfkc") =!= col("nfc"), 1L).otherwise(0L)).as("n_folded_nfkc"),
+        sum(length(col("messy"))).cast("long").as("chars_raw"),
+        sum(length(col("nfc"))).cast("long").as("chars_nfc"),
+        sum(length(col("nfkc"))).cast("long").as("chars_nfkc"))
+      .transform(ordered("lang"))
+  }
+
   /** All registered queries, in catalog order.
     *
     * Deliberately NOT here: a catalog entry for the seeded-XXH64 MinHash
@@ -8260,5 +8309,5 @@ object Catalog {
     q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
     q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219, q220, q221)
+    q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }

@@ -45,6 +45,22 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row2.getAs[String]("sh").length == 32)
       assert(row2.getAs[String]("sh").forall(c => c == '0' || c == '1'))
       assert(row2.getSeq[Long](1) == Seq(2L, 0L))
+      // Unicode normalization (every non-ASCII codepoint as a \u escape so
+      // no tool can silently NFC-normalize the test source): combining
+      // acute composes under NFC; the fi ligature folds only under NFKC;
+      // idempotent; null passthrough
+      val un = spark.sql(
+        "SELECT nfc_normalize('Gene\u0301ve') AS nfc, " +
+          "nfkc_normalize('\uFB01n de sie\u0300cle') AS nfkc, " +
+          "nfc_normalize('\uFB01sh') AS keepLig, " +
+          "nfc_normalize(nfc_normalize('\u00e9')) AS idem, " +
+          "nfc_normalize(CAST(NULL AS STRING)) AS nul").collect()(0)
+      assert(un.getAs[String]("nfc") == "Gen\u00e9ve")
+      assert(un.getAs[String]("nfc").length == 6) // composed: one char fewer
+      assert(un.getAs[String]("nfkc") == "fin de si\u00e8cle")
+      assert(un.getAs[String]("keepLig") == "\uFB01sh") // NFC keeps compat chars
+      assert(un.getAs[String]("idem") == "\u00e9")
+      assert(un.isNullAt(4))
       val agg = spark.sql(
         """SELECT g, percentile_array(v, '0.5,1.0') AS p FROM VALUES
           |  ('a', 1.0d), ('a', 2.0d), ('a', 3.0d), ('b', 10.0d) t(g, v)
