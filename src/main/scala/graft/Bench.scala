@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. The noop sink forces full materialization of every result
   * row (unlike `count()`, which lets Catalyst prune aggregates), so timings
@@ -118,6 +120,13 @@ object Bench {
     // `errors` instead of the results map, and the bench exits nonzero,
     // so a broken query can never masquerade as a fast one.
     val runsPer = env("SPARK_GRAFT_RUNS", "5").toInt
+    // Eager-rebuild queries re-pay artifact construction inside every timed
+    // iteration by design, so a single host-noise stall (GC, scheduler,
+    // frequency steal) inflates a far larger per-sample cost — measured
+    // r13 swing on q116 was 0.54–1.01 s across driver invocations while a
+    // quiet session sat at 0.55 s. More samples tighten the min estimator
+    // exactly where the per-sample variance is largest.
+    val runsEager = env("SPARK_GRAFT_RUNS_EAGER", "9").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def fail(name: String, stage: String, e: Throwable): Unit = {
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')
@@ -163,7 +172,9 @@ object Bench {
           if (eager.contains(name)) (1 to eagerWarm).foreach { _ =>
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
-        } catch { case _: Throwable => () } // failures re-surface timed
+        } catch { case NonFatal(_) => () } // failures re-surface timed;
+        // fatal JVM errors (OOM, interrupt) propagate — after an
+        // executor-poisoning OOM the timed loop's numbers would be lies
         prebuilt
       }
       // settle before each query's timed loop: collect the warm/previous
@@ -171,7 +182,8 @@ object Bench {
       System.gc()
       Thread.sleep(100)
       val times = warmed.toSeq.flatMap { prebuilt =>
-        (1 to runsPer).flatMap { _ =>
+        val n = if (eager.contains(name)) runsEager else runsPer
+        (1 to n).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             val d = if (eager.contains(name)) fn(spark, sfDir) else prebuilt

@@ -176,7 +176,7 @@ object Asof {
     // and it surfaces with a NULL match — preserved, like every left row.
     val rightU = right
       .filter(col(rightTime).isNotNull &&
-        keys.map(col(_).isNotNull).reduce(_ && _))
+        keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .select((keys.map(col) :+ unix_micros(col(rightTime)).as("__us") :+
         payload.as("__rv") :+ tieBreak.as("__tb")): _*)
       .withColumn("__side", lit(0))

@@ -111,7 +111,13 @@ object Cooccurrence {
             "or pre-filter the input")
         val bad = basketSizes.filter(col("__bsz") > maxBasketSize)
           .select(col("__bk")).collect().map(_.get(0)).toSeq
-        items.filter(!col("__bk").isInCollection(bad))
+        // coalesce(..., false): a NULL __bk makes isInCollection NULL, and
+        // bare negation would DROP that row — the lazy regime's left_anti
+        // join keeps NULL-key rows (NULL never equi-matches an offender
+        // key), so the eager path must keep them too or n_a/n_b/N diverge
+        // between regimes when oversized baskets and NULL basket ids
+        // coexist.
+        items.filter(!coalesce(col("__bk").isInCollection(bad), lit(false)))
       }
       (sz, sz.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
         .withColumn("__n", lit(n)))

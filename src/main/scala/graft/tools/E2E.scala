@@ -38,7 +38,22 @@ object E2E {
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_e2e")
     val rowsPerDayK = args.lift(1).map(_.toInt).getOrElse(20)
-    val days = 30
+    val (_, tGen) = generate(work, days = 30, rowsPerDay = rowsPerDayK * 1000)
+    val spark = graft.tpg.Jobs.session("e2e")
+    val (rows, nServe, total) = pipeline(spark, work)
+    println(f"[e2e] raw-input generation  $tGen%7.2f s (untimed, driver-side)")
+    println(f"[e2e] TOTAL pipeline        $total%7.2f s  " +
+      rows.map { case (t, n) => s"$t=$n" }.mkString(" ") + s" serve_rows=$nServe")
+    spark.stop()
+  }
+
+  /** Generate the three raw-format inputs (GTFS ZIP, per-day semicolon
+    * IstDaten CSVs, '-'-as-NA weather CSVs) under `work`. Driver-side by
+    * necessity: these are the RAW text formats the ingests must parse,
+    * which Spark cannot emit. Returns the generated input paths and the
+    * generation wall time.
+    */
+  def generate(work: String, days: Int, rowsPerDay: Int): (RawInputs, Double) = {
     new File(work).mkdirs()
 
     // ---------------------------------------------------------- raw inputs
@@ -85,7 +100,7 @@ object E2E {
       val date = f"2024-06-$d%02d"
       val dmy = f"$d%02d.06.2024"
       val sb = new StringBuilder(istHeader).append('\n')
-      (1 to rowsPerDayK * 1000).foreach { i =>
+      (1 to rowsPerDay).foreach { i =>
         val s = d * 1000000L + i
         val line = pick(s, lines)
         val (stopName, bpuic) = stops(pct(s + 1, 400))
@@ -124,9 +139,31 @@ object E2E {
       Files.writeString(Paths.get(p), sb.toString); p
     }
     val tGen = (System.nanoTime() - t0) / 1e9
+    (RawInputs(gtfsZip, istPaths, wPaths), tGen)
+  }
 
-    // ------------------------------------------------------------- pipeline
-    val spark = graft.tpg.Jobs.session("e2e")
+  /** The generated raw-format input paths under a work dir. */
+  case class RawInputs(
+      gtfsZip: String, istPaths: Seq[String], weatherPaths: Seq[String])
+
+  /** Run the full raw-formats → training-rows chain over inputs previously
+    * written by [[generate]] into `work`, timing each stage. Returns the
+    * gold-table row counts, the serving-query row total, and the summed
+    * pipeline wall time. Testable entry: the capstone spec drives this on
+    * a 1-day × 1k-row corpus with the shared test session.
+    */
+  def pipeline(spark: org.apache.spark.sql.SparkSession, work: String)
+      : (Seq[(String, Long)], Long, Double) = {
+    val gtfsZip = s"$work/gtfs.zip"
+    def listed(dir: String): Seq[String] = {
+      val fs = Option(new File(dir).listFiles())
+        .getOrElse(Array.empty[File])
+      fs.map(_.getAbsolutePath).toSeq.sorted
+    }
+    val istPaths = listed(s"$work/istdaten")
+    val wPaths = listed(s"$work/weather")
+    require(istPaths.nonEmpty && wPaths.nonEmpty,
+      s"pipeline: no generated inputs under $work — run generate() first")
     def stage[A](name: String)(f: => A): (A, Double) = {
       val s0 = System.nanoTime(); val a = f
       val dt = (System.nanoTime() - s0) / 1e9
@@ -177,9 +214,6 @@ object E2E {
     val rows = Seq("ist_events", "features", "by_stop_line", "training_rows")
       .map(t => t -> spark.read.parquet(s"$work/gold/$t").count())
     val total = tG + tI + tW + tF + tB + tT + tS
-    println(f"[e2e] raw-input generation  $tGen%7.2f s (untimed, driver-side)")
-    println(f"[e2e] TOTAL pipeline        $total%7.2f s  " +
-      rows.map { case (t, n) => s"$t=$n" }.mkString(" ") + s" serve_rows=$nServe")
-    spark.stop()
+    (rows, nServe, total)
   }
 }

@@ -62,6 +62,31 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("pairStats: NULL basket keys survive BOTH regimes when offenders coexist") {
+    // The eager (reuseFrames) offender filter once used a bare
+    // !isInCollection, which is NULL for a NULL __bk row and silently
+    // DROPPED the whole NULL basket — while the lazy left_anti kept it
+    // (NULL never equi-matches an offender key). Pin regime parity on the
+    // exact shape that diverged: oversized offender + NULL basket id.
+    def jl(x: Long) = java.lang.Long.valueOf(x)
+    val big = (1 to 10).map(i => (jl(99L), s"i$i"))
+    val df = (Seq((jl(1L), "a"), (jl(1L), "b"),
+      (null.asInstanceOf[java.lang.Long], "a"),
+      (null.asInstanceOf[java.lang.Long], "b")) ++ big).toDF("bk", "itm")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val lazyGot = norm(Cooccurrence.pairStats(df, "bk", "itm", maxBasketSize = 5))
+    val eagerGot = norm(Cooccurrence.pairStats(df, "bk", "itm",
+      maxBasketSize = 5, reuseFrames = true))
+    assert(lazyGot == eagerGot)
+    // the NULL basket can never PAIR (its __bk fails the equi self-join, as
+    // in SQL) but its rows DO count in the per-item totals — so n_ab=1
+    // (basket 1 only) while n_a=n_b=2 (baskets {1, NULL}); the old eager
+    // filter reported n_a=n_b=1 here, diverging from the lazy regime
+    assert(lazyGot(("a", "b")) == ((1L, 2L, 2L)))
+  }
+
   test("transitions: hand-computed chain with tie-break and last-event drop") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(

@@ -1046,6 +1046,21 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(out("hand")._4 - expect) < 1e-7)
   }
 
+  test("jsdCategorical: one whole side empty → jsd/jsd8 NULL, not 0") {
+    // The family's degenerate-denominator convention: an alerting consumer
+    // must be able to tell "no baseline data" (NULL) from "no drift" (0).
+    import graft.llm.Drift
+    val df = Seq(
+      ("only_a", "x", true), ("only_a", "y", true), // B side has zero rows
+      ("both", "x", true), ("both", "x", false)     // identical mix → jsd 0
+    ).toDF("g", "cat", "a")
+    val out = Drift.jsdCategorical(df, Seq("g"), col("cat"), col("a"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("only_a").getLong(1) == 2L && out("only_a").getLong(2) == 0L)
+    assert(out("only_a").isNullAt(4) && out("only_a").isNullAt(5)) // jsd8, jsd
+    assert(out("both").getDouble(5) == 0.0) // real zero stays 0, not NULL
+  }
+
   test("jsdCategorical: bounded by ln 2, symmetric in sides, nulls excluded") {
     import graft.llm.Drift
     val df = Seq[(String, String, java.lang.Boolean)](

@@ -58,6 +58,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pairStats: self-join defaults to the spillable sort-merge; SHUFFLE_HASH is opt-in") {
+    // hashSelfJoin's build side is the task's entire __bk shuffle partition
+    // and Spark's shuffled-hash build does not spill — safe only where
+    // partition sizing is known, so the DEFAULT plan must never carry a
+    // ShuffledHashJoin node without the explicit opt-in
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("bk", "itm")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // tiny local
+    // relations would otherwise broadcast and hide the self-join choice
+    try {
+      def plan(hash: Boolean) = operators.Cooccurrence
+        .pairStats(df, "bk", "itm", hashSelfJoin = hash)
+        .queryExecution.executedPlan.toString
+      val d = plan(hash = false)
+      assert(!d.contains("ShuffledHashJoin"), d)
+      assert(d.contains("SortMergeJoin"), d)
+      assert(plan(hash = true).contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q63: redaction is scan-speed — no exchange except final presentation") {
     // the PII scrub must stay a pure projection over the scan; a shuffle
     // here would mean the regex pass stopped being free at 100 TB

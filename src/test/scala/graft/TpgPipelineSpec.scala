@@ -163,6 +163,32 @@ class TpgPipelineSpec extends SparkSpec {
     assert(routes.collect()(0).getAs[String]("feed_version") == "2024-06")
   }
 
+  test("E2E capstone: generated raw formats (GTFS zip + IstDaten + weather CSVs) " +
+    "through the full chain to training rows") {
+    // The tools/E2E CLI chain at tiny SF (1 day × 1k events): the same
+    // generate() + pipeline() entries the 600k-row smoke run uses, so the
+    // raw-formats→training-rows path cannot silently break between the
+    // hand-run smokes. Every gold table must land non-empty and the
+    // training rows must carry the label and the ASOF weather features.
+    val work = java.nio.file.Files.createTempDirectory("graft_e2e_").toString
+    val (inputs, _) = tools.E2E.generate(work, days = 1, rowsPerDay = 1000)
+    assert(inputs.istPaths.size == 1 && inputs.weatherPaths.size == 2)
+    val (rows, nServe, _) = tools.E2E.pipeline(spark, work)
+    val counts = rows.toMap
+    assert(counts("ist_events") == 1000L, counts.toString)
+    assert(counts("features") == 1000L)
+    assert(counts("by_stop_line") > 0L && counts("training_rows") > 0L)
+    assert(nServe > 0L)
+    val tr = spark.read.parquet(s"$work/gold/training_rows")
+    val cols = tr.columns.toSet
+    for (c <- Seq("delay_sec", "temp_c", "rain_mm", "med_delay_7d_sec",
+        "rain_mm_lag10", "target_late_ge2"))
+      assert(cols.contains(c), s"training_rows missing $c: $cols")
+    // ASOF join actually attached weather: at least one row carries a value
+    assert(tr.filter(org.apache.spark.sql.functions.col("temp_c").isNotNull)
+      .limit(1).count() == 1L)
+  }
+
   test("Logging: rotating file handler rotates, format matches, setup is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_logs_").toString
     // tiny rotation budget so a few records span generations
