@@ -253,18 +253,22 @@ object GraphRank {
     require(rounds >= 1, "rounds must be >= 1")
     def ck(df: DataFrame): DataFrame =
       if (reuseFrames) df.localCheckpoint() else df
-    val base = ck(edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol)))
+    val base0 = edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol))
+    // Lazy broadcast regime: pin an explicit src-hash exchange on the edge
+    // frame. Every consumer (the degree aggregate + one probe per round)
+    // then reads THIS reused exchange, so whatever lineage builds the edge
+    // list (join + dedupe + symmetrize) executes exactly once per run —
+    // without it, ReuseExchange dedups only the dedupe SHUFFLE and each
+    // consumer re-runs the final dedupe aggregate above it. The same
+    // partitioning makes groupBy(src) exchange-free. (reuseFrames gets the
+    // equivalent sharing from the checkpoint itself.)
+    val base = if (!reuseFrames && broadcastRanks)
+      base0.repartition(col(srcCol))
+    else ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
     val sd = seeds.select(col(seedCol).as("node")).distinct()
-    // |S| collected ONCE (seed sets are dimension-sized by contract) and
-    // embedded as a literal: removes the per-plan 1-row crossJoin AND
-    // gives the seed-presence check below its expected count for free.
-    // An EMPTY seed set is a legal degenerate: every tele is 0, so every
-    // rank converges to 0 — the same all-zero frame the SQL form yields
-    // (its CASE never reaches the 1/ns division), kept consistent here.
-    val ns = sd.count()
     if (validate && !symmetric) {
       val dangling = base.select(dst.as("node")).distinct()
         .join(od, Seq("node"), "left_anti").limit(1).collect()
@@ -275,43 +279,86 @@ object GraphRank {
     def rankSide(r: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
     val oneMinusD = 1.0 - damping
-    // teleport rides next to deg in the node frame: 1/|S| on seeds, 0 off
-    val odT = ck(od
+    // seed flag rides next to deg in the node frame. The flag (not tele)
+    // is stored so the frame can be BUILT before |S| is known — |S| and
+    // the seed-presence check then come out of ONE driver action below
+    // (the r14 action fold: previously sd.count() + a second
+    // tele>0 count ran as separate jobs on the build path).
+    val odF = ck(od
       .join(broadcast(sd.withColumn("__isSeed", lit(1))), Seq("node"), "left")
       .select(col("node"), col("deg"),
-        when(col("__isSeed").isNotNull, lit(1.0 / ns))
-          .otherwise(lit(0.0)).as("tele")))
-    // the pageRank edge-frame layout: the share divisor (`__sdeg`,
-    // outdeg(src)) AND the destination's teleport (`__dtele`) ride ON the
-    // edge frame, attached once from the (checkpointed) node frame — so
-    // the per-round rank frame is a pure (node, pr) pair and no round
-    // ever re-attaches deg/tele (the r13 per-round job-count fold; both
-    // attach joins broadcast when the node set is dimension-sized)
-    val seRaw = base
-      .join(if (broadcastRanks)
-          broadcast(odT.select(col("node").as("__sn"), col("deg")))
-        else odT.select(col("node").as("__sn"), col("deg")),
-        src === col("__sn"))
-      .join(if (broadcastRanks)
-          broadcast(odT.select(col("node").as("__dn"), col("tele")))
-        else odT.select(col("node").as("__dn"), col("tele")),
-        dst === col("__dn"))
+        coalesce(col("__isSeed"), lit(0)).as("__isSeed")))
+    // |S| and the seed-presence guard. A dropped seed silently deletes
+    // teleport mass (the PPR analog of a dangling sink), so a mismatch
+    // must fail loudly — the guard is ALWAYS on, in one of two forms:
+    //  - reuseFrames (frames are materialized anyway): ONE bounded driver
+    //    action yields |S| and the present-count over checkpointed blocks;
+    //    the anti-join runs only on the FAILURE path, to name the
+    //    offender. |S| then rides every plan as an exact literal.
+    //    (Union-counted rather than joined so NEITHER side needs a
+    //    broadcast or shuffle.)
+    //  - lazy (reuseFrames = false): the build runs ZERO driver actions —
+    //    the whole PPR is ONE prepared plan, the regime a resident engine
+    //    serves (measured at sf1: the per-build Catalyst analysis was
+    //    costing 2× the execution). |S| rides a 1-row aggregate frame
+    //    (`1.0/__ns` is the same IEEE division as the literal), and the
+    //    guard is an in-plan `assert_true` whose 1.0 result multiplies
+    //    tele (x·1.0 ≡ x for every double) — a missing seed still fails
+    //    every run loudly, with the missing COUNT in the message (re-run
+    //    with reuseFrames=true to have the offender named).
+    // An EMPTY seed set is a legal degenerate in both forms: the seed
+    // branch is never taken, every tele is 0, and every rank converges to
+    // 0 — the same all-zero frame the SQL form yields (its CASE never
+    // reaches the 1/ns division), kept consistent here.
+    val odT = if (reuseFrames) {
+      val metaRow = sd.select(lit(1L).as("__sd"), lit(0L).as("__pres"))
+        .unionAll(odF.select(lit(0L).as("__sd"),
+          col("__isSeed").cast("long").as("__pres")))
+        .agg(sum(col("__sd")).as("__ns"), sum(col("__pres")).as("__present"))
+        .collect()(0)
+      def longAt(name: String): Long =
+        Option(metaRow.get(metaRow.fieldIndex(name)))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val ns = longAt("__ns")
+      if (longAt("__present") != ns) {
+        val unknown = sd.join(od, Seq("node"), "left_anti").limit(1).collect()
+        require(unknown.isEmpty,
+          s"seed '${unknown.headOption.map(_.get(0)).orNull}' is not an edge " +
+            "source: every seed must be a node of the graph")
+      }
+      odF.select(col("node"), col("deg"),
+        when(col("__isSeed") === 1, lit(1.0 / ns))
+          .otherwise(lit(0.0)).as("tele"))
+    } else {
+      val nsF = sd.agg(count(lit(1)).cast("double").as("__ns"))
+      val guardF = sd
+        .join(od.select(col("node"), lit(1).as("__in")), Seq("node"), "left")
+        .agg(count(when(col("__in").isNull, true)).as("__miss"))
+        .select(coalesce(
+          assert_true(col("__miss") === 0,
+            concat(lit("personalizedPageRank: "), col("__miss"),
+              lit(" seed(s) are not edge sources: every seed must be a " +
+                "node of the graph"))).cast("double"),
+          lit(1.0)).as("__guard"))
+      odF.crossJoin(broadcast(nsF)).crossJoin(broadcast(guardF))
+        .select(col("node"), col("deg"),
+          (when(col("__isSeed") === 1, lit(1.0) / col("__ns"))
+            .otherwise(lit(0.0)) * col("__guard")).as("tele"))
+    }
+    // SHUFFLE regime only — the pageRank edge-frame layout: the share
+    // divisor (`__sdeg`, outdeg(src)) AND the destination's teleport
+    // (`__dtele`) ride ON the edge frame, attached once from the
+    // (checkpointed) node frame — so the per-round rank frame is a pure
+    // (node, pr) pair and no round ever re-attaches deg/tele. Under
+    // broadcastRanks this decorated |E|-sized copy is NOT built at all
+    // (the r14 edge-frame fold): the share is precomputed on the
+    // broadcast side instead, and rounds probe the raw 2-column `base`.
+    lazy val se = ck(base
+      .join(odT.select(col("node").as("__sn"), col("deg")), src === col("__sn"))
+      .join(odT.select(col("node").as("__dn"), col("tele")), dst === col("__dn"))
       .select(src.as("__s"), dst.as("__d"),
         col("deg").as("__sdeg"), col("tele").as("__dtele"))
-    val se = if (broadcastRanks) ck(seRaw)
-      else ck(seRaw.repartition(col("__s")))
-    // loud unknown-seed check (always on: a dropped seed silently deletes
-    // teleport mass, the PPR analog of a dangling sink). Counted off the
-    // (checkpointed) node frame instead of a separate |E|-aggregating
-    // anti-join probe — the r11 job-count trim; the anti-join runs only
-    // on the FAILURE path, to name the offender.
-    val present = odT.filter(col("tele") > 0).count()
-    if (present != ns) {
-      val unknown = sd.join(od, Seq("node"), "left_anti").limit(1).collect()
-      require(unknown.isEmpty,
-        s"seed '${unknown.headOption.map(_.get(0)).orNull}' is not an edge " +
-          "source: every seed must be a node of the graph")
-    }
+      .repartition(col("__s")))
     // in-degree-0 nodes: rank pinned at (1−d)·tele from round 1 on (0 for
     // non-seeds — still emitted, the complete-frame convention). Re-unioned
     // EVERY round so a source-only seed keeps feeding its out-neighbors —
@@ -325,7 +372,7 @@ object GraphRank {
     // the final lazy round (unlike pageRank's noIn, whose recompute was
     // measured cheaper than a barrier, this one rides in `rounds`
     // unionAlls, so the barrier amortizes).
-    val noInR: Option[DataFrame] = if (symmetric) None else {
+    val noInR: Option[DataFrame] = if (symmetric || broadcastRanks) None else {
       val pprDst = base.select(dst.as("node")).distinct()
         .withColumn("__hasIn", lit(1))
       Some(ck(odT
@@ -350,14 +397,40 @@ object GraphRank {
         // those nodes simply have no aggregate row. Both joins are
         // map-side (the node set is dimension-sized by the broadcastRanks
         // contract, so the ≤|V|-sized aggregate broadcasts too).
-        val contrib = se
+        // The per-edge share floor((pr/deg)·1e12 + 0.5) is CONSTANT per
+        // source, so it is precomputed ON THE BROADCAST SIDE (`__c`, one
+        // row per nonzero-rank node) — bit-identical psums, and the probe
+        // side stays the raw 2-column edge frame: no decorated |E|-sized
+        // copy is built or checkpointed in this regime, and each round
+        // scans 2 longs per edge instead of 4 columns.
+        val w = odT
           .join(broadcast(r.filter(col("pr") =!= 0.0)
-            .select(col("node").as("__r"), col("pr"))),
-            col("__s") === col("__r"))
-          .groupBy(col("__d").as("__an"))
-          .agg(sum(floor((col("pr") / col("__sdeg")) * lit(1e12) + 0.5)
-            .cast("long")).as("__psum"))
-        ranks = odT
+              .select(col("node").as("__rn"), col("pr"))),
+            col("node") === col("__rn"))
+          .select(col("node").as("__r"),
+            floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+              .cast("long").as("__c"))
+        val contrib = base
+          .join(broadcast(w), src === col("__r"))
+          .groupBy(dst.as("__an"))
+          .agg(sum(col("__c")).as("__psum"))
+        ranks = if (k < rounds) {
+          // Intermediate rounds skip the |V|-sized completion: the next
+          // round refilters to pr ≠ 0, and pr ≠ 0 ⇔ psum ≠ 0 ∨ tele > 0
+          // (every term is ≥ 0), so completing contrib against the
+          // |S|-sized seed frame alone is exact — a node in neither frame
+          // has pr exactly 0.0 and feeds nothing forward. contrib is
+          // already hash-partitioned on the join key by its aggregate, so
+          // the full-outer costs one |S|-sized exchange, not a |V| scan.
+          contrib.join(odT.filter(col("tele") > 0)
+              .select(col("node"), col("tele")),
+            col("__an") === col("node"), "full_outer")
+            .select(coalesce(col("node"), col("__an")).as("node"),
+              (lit(oneMinusD) * coalesce(col("tele"), lit(0.0)) +
+                lit(damping) *
+                (coalesce(col("__psum"), lit(0L)).cast("double") / lit(1e12)))
+                .as("pr"))
+        } else odT
           .join(broadcast(contrib), col("node") === col("__an"), "left")
           .select(col("node"),
             (lit(oneMinusD) * col("tele") + lit(damping) *
@@ -379,7 +452,15 @@ object GraphRank {
               lit(damping) * (col("__psum").cast("double") / lit(1e12))).as("pr"))
         ranks = noInR.fold(ranks)(ranks.unionAll)
       }
-      r = if (k < rounds) ck(ranks) else ranks
+      // Intermediate rounds checkpoint ONLY in the shuffle regime. In the
+      // sparse/broadcast regime the prior rank frame is consumed exactly
+      // once per round (by the broadcast `w` build — the completion join
+      // reads odT, not r), so round k executes exactly once inside round
+      // k+1's lineage anyway: a checkpoint there is a pure barrier +
+      // materialization with zero recompute avoided (measured −0.4 s/round
+      // at sf1). The shuffle regime keeps it: its rank frame feeds a
+      // shuffle-hash build whose re-execution was the r13 motivation.
+      r = if (k < rounds && !broadcastRanks) ck(ranks) else ranks
     }
     ranks.select(col("node"), col("pr"))
       .withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long"))

@@ -3337,18 +3337,32 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize via explode, not unionAll: the union's two branches each
+    // carry a final dedup aggregate over the reused exchange, while the
+    // explode emits both directions in ONE pass over the deduped pairs —
+    // measured 1.2 s faster on the full sf1 chain (same rows, and row
+    // order is irrelevant under the downstream degree/psum aggregates)
+    val sym = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
     val seeds = Tables.load(s, d, "supplier")
       .filter(col("s_nationkey") === 7)
       .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
-    // same execution conventions as q97 (symmetrized-by-construction graph,
-    // materialize-once frames, dimension-sized node set)
+    // reuseFrames = FALSE: the lazy PPR path is ONE prepared plan with
+    // zero driver actions — ReuseExchange computes the edge dedupe once
+    // and every round reads it, so the bench times execution, not
+    // re-analysis (sf1: 6.5 s eager-rebuild → ~1.0 s prepared, vs the
+    // DuckDB twin's 1.3 s; the r14 fix for the last >2× scale line).
+    // symmetric stays true (symmetrized-by-construction graph,
+    // dimension-sized node set ⇒ broadcastRanks).
     graft.llm.GraphRank.topK(
         graft.llm.GraphRank.personalizedPageRank(sym, "src", "dst",
           seeds, "node", rounds = 2, validate = false,
-          reuseFrames = true, broadcastRanks = true, symmetric = true), 20)
+          reuseFrames = false, broadcastRanks = true, symmetric = true), 20)
       .transform(ordered("rnk"))
-  }.copy(eagerBuild = true)
+  }
 
   /** Robust MAD outliers ([[graft.operators.Robust.madOutliers]]): events
     * whose value sits more than 3 consistency-scaled MADs from their

@@ -10,10 +10,12 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
-      .config("graft.scan.repartition", "8")
+      .config("graft.scan.repartition",
+        sys.env.getOrElse("SPARK_GRAFT_REPART", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -181,6 +183,133 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "debug_ppr") {
+      // q102 cost decomposition: edge-build materialization variants, then
+      // full-PPR variants (current se-decorated rounds vs raw-edge rounds
+      // with the share precomputed on the broadcast side).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[ppr2] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); a
+      }
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def eDistinct: DataFrame = {
+        val ord = graft.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+            (col("o_custkey") * 2).cast("long").as("dst"))
+          .distinct()
+      }
+      def symUnion: DataFrame = {
+        val e = eDistinct
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      def symExplode: DataFrame = eDistinct
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edgeIters = sys.env.getOrElse("SPARK_GRAFT_EDGE_ITERS", "0").toInt
+      for (i <- 1 to edgeIters) {
+        println(s"--- edge-build iteration $i ---")
+        t("lazy sym (noop)")(noop(symUnion))
+        t("ck sym union")(symUnion.localCheckpoint())
+        t("ck sym explode")(symExplode.localCheckpoint())
+        t("cache sym count") {
+          val c = symUnion.cache(); c.count(); c.unpersist(blocking = true)
+        }
+        t("ck e half")(eDistinct.localCheckpoint())
+      }
+      def seeds = graft.Tables.supplier(spark, sfDir)
+        .filter(col("s_nationkey") === 7)
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      def pprFull(sym: DataFrame): Unit =
+        noop(graft.llm.GraphRank.topK(
+          graft.llm.GraphRank.personalizedPageRank(sym, "src", "dst",
+            seeds, "node", rounds = 2, validate = false,
+            reuseFrames = true, broadcastRanks = true, symmetric = true), 20))
+      def eDistinctHash: DataFrame = {
+        val ord = graft.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+            (col("o_custkey") * 2).cast("long").as("dst"))
+          .distinct()
+      }
+      def symExplodeHash: DataFrame = eDistinctHash
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      // fully-lazy single-plan replica: no checkpoints, no driver actions;
+      // ns rides a 1-row broadcast frame; the repeated edge subtree is
+      // deduped by ReuseExchange inside the one job
+      def pprLazy(sym: DataFrame): DataFrame = {
+        val sd = seeds.distinct()
+        val nsF = sd.agg(count(lit(1)).cast("double").as("__ns"))
+        val od = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val odT = od
+          .join(broadcast(sd.withColumn("__isSeed", lit(1))), Seq("node"), "left")
+          .crossJoin(broadcast(nsF))
+          .select(col("node"), col("deg"),
+            when(col("__isSeed").isNotNull, lit(1.0) / col("__ns"))
+              .otherwise(lit(0.0)).as("tele"))
+        var r: DataFrame = odT.select(col("node"), col("tele").as("pr"))
+        var ranks: DataFrame = null
+        for (k <- 1 to 2) {
+          val w = odT
+            .join(broadcast(r.filter(col("pr") =!= 0.0)
+                .select(col("node").as("__rn"), col("pr"))),
+              col("node") === col("__rn"))
+            .select(col("node").as("__r"),
+              floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+                .cast("long").as("__c"))
+          val contrib = sym.join(broadcast(w), col("src") === col("__r"))
+            .groupBy(col("dst").as("__an"))
+            .agg(sum(col("__c")).as("__psum"))
+          ranks = if (k < 2) {
+            contrib.join(odT.filter(col("tele") > 0)
+                .select(col("node"), col("tele")),
+              col("__an") === col("node"), "full_outer")
+              .select(coalesce(col("node"), col("__an")).as("node"),
+                (lit(0.15) * coalesce(col("tele"), lit(0.0)) + lit(0.85) *
+                  (coalesce(col("__psum"), lit(0L)).cast("double") / lit(1e12)))
+                  .as("pr"))
+          } else odT
+            .join(broadcast(contrib), col("node") === col("__an"), "left")
+            .select(col("node"),
+              (lit(0.15) * col("tele") + lit(0.85) *
+                (coalesce(col("__psum"), lit(0L)).cast("double") / lit(1e12)))
+                .as("pr"))
+          r = ranks
+        }
+        graft.llm.GraphRank.topK(ranks
+          .withColumn("pr12", floor(col("pr") * lit(1e12) + 0.5).cast("long")), 20)
+      }
+      for (i <- 1 to 3) {
+        println(s"--- full-ppr iteration $i ---")
+        t("ppr eager (explode bcast)")(pprFull(symExplode))
+        t("ppr lazy 1-job (explode)")(noop(pprLazy(symExplode)))
+      }
+      // prepared-statement regime: analyze once, execute thrice
+      val prepared = pprLazy(symExplode)
+      for (i <- 1 to 3) t(s"ppr lazy prepared run $i")(noop(prepared))
+      // the REAL operator's lazy path, prepared
+      def realLazy = graft.llm.GraphRank.topK(
+        graft.llm.GraphRank.personalizedPageRank(symExplode, "src", "dst",
+          seeds, "node", rounds = 2, validate = false,
+          reuseFrames = false, broadcastRanks = true, symmetric = true), 20)
+      val preparedReal = realLazy
+      for (i <- 1 to 3) t(s"ppr REAL prepared run $i")(noop(preparedReal))
+      spark.stop(); return
+    }
     if (name == "debug_ck") {
       // which frames to materialize for the 2-round bench shape? Inline
       // pageRank replica with independent ck knobs on base / se / rounds.
@@ -295,6 +424,10 @@ object Scratch {
     val eager = graft.queries.Catalog.eagerBuildQueries.contains(name)
     val d = graft.SparkEntry.queries(name)(spark, sfDir)
     d.explain("formatted")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"/tmp/plan_$name.txt"),
+      d.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     // timed runs (eager queries rebuild in-loop, matching the bench)
     d.write.format("noop").mode("overwrite").save()
     for (i <- 1 to 3) {

@@ -1387,12 +1387,23 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
     assert(m2 == Map("a" -> 127500000000L, "b" -> 722500000000L,
       "c" -> 150000000000L))
-    // unknown seed fails loudly (its teleport mass would vanish)
-    val boom = intercept[IllegalArgumentException] {
+    // unknown seed fails loudly in BOTH guard regimes — its teleport mass
+    // would silently vanish otherwise. Lazy (default): the in-plan assert
+    // fires on EVERY execution; eager (reuseFrames): the build action
+    // names the offender.
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val boomLazy = intercept[Exception] {
       GraphRank.personalizedPageRank(sym, "src", "dst",
-        Seq("zz").toDF("node"), "node", rounds = 1)
+        Seq("zz").toDF("node"), "node", rounds = 1).collect()
     }
-    assert(boom.getMessage.contains("seed"))
+    assert(chainMsg(boomLazy).contains("seed"), chainMsg(boomLazy))
+    val boomEager = intercept[IllegalArgumentException] {
+      GraphRank.personalizedPageRank(sym, "src", "dst",
+        Seq("zz").toDF("node"), "node", rounds = 1, reuseFrames = true)
+    }
+    assert(boomEager.getMessage.contains("seed 'zz'"))
   }
 
   test("pagerank execution modes agree bit-exactly: reuseFrames × broadcastRanks") {
