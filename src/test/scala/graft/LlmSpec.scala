@@ -358,6 +358,34 @@ class LlmSpec extends SparkSpec {
     assert(meta(0).sha == env(0).getAs[String]("content_sha")) // expr and mapPartitions agree
   }
 
+  test("multimodal: REAL pixel decode + resample via JvmDecoder (PNG through the Dataset API)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // a real 4×2 solid-red PNG, encoded by the JVM's own writer
+    val src = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) src.setRGB(x, y, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(src, "png", bos)
+    val pngBytes = bos.toByteArray
+    // unit: decode returns the true raster; corrupt bytes degrade to None
+    val img = Multimodal.JvmDecoder.decodeImage(pngBytes).get
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    assert(Multimodal.JvmDecoder.decodeImage("not an image".getBytes).isEmpty)
+    // through the Dataset resize pass: output is a REAL 8×4 PNG, still red
+    val media = spark.createDataFrame(Seq((1L, "image", pngBytes)))
+      .toDF("media_id", "kind", "content")
+    val out = Multimodal.resizeImages(spark, media, 8, 4).collect()
+    assert(out.length == 1 && out(0).width == 8 && out(0).height == 4)
+    val decoded = Multimodal.JvmDecoder.decodeImage(out(0).content).get
+    assert(decoded.getWidth == 8 && decoded.getHeight == 4)
+    assert((decoded.getRGB(3, 2) & 0xFFFFFF) == 0xFF0000) // bilinear of solid = solid
+    // non-image payloads still take the deterministic fallback, same schema
+    val fake = Multimodal.resizeImages(spark,
+      spark.createDataFrame(Seq((2L, "image", "plain text".getBytes)))
+        .toDF("media_id", "kind", "content"), 8, 4).collect()
+    assert(fake(0).content.length == math.max(1, 8 * 4 / 64)) // = 1
+  }
+
   test("multimodal: real PNG/JPEG header decode, stub fallback for the rest") {
     // a REAL 1×1 transparent PNG (the canonical smallest encoder output)
     val png = java.util.Base64.getDecoder.decode(

@@ -204,15 +204,32 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q97/q102: pagerank rounds broadcast the rank frame; no nested loop beyond the 1-row stats cross") {
-    // BNLJ is legal here ONLY as the broadcast 1-row `n`/`ns` crossJoin
-    // (IdentityBroadcastMode on an aggregate) — never between data-sized
-    // frames; the edge×rank joins must be hash joins
+    // BNLJ is legal here ONLY as the broadcast 1-row `n`/`ns`/guard
+    // crossJoin (IdentityBroadcastMode on an aggregate) — never between
+    // data-sized frames; the edge×rank joins must be hash joins
     for (name <- Seq("q97_pagerank", "q102_ppr")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), name)
       assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, name)
-      assert(!p.contains("SortMergeJoin"), name)
     }
+    // q97 (reuseFrames): rank/edge joins all broadcast — zero sort-merge
+    assert(!planOf("q97_pagerank").contains("SortMergeJoin"))
+    // q102 (the LAZY single-plan PPR): the only sort-merge joins are
+    // sub-|V| — the seed-guard probe (|S| × node frame) and the
+    // intermediate round's contrib-vs-seed full outer (full outer cannot
+    // broadcast). NEITHER touches the |E| edge frame; both edge probes
+    // stay BroadcastHashJoin, and the edge lineage is computed once (the
+    // pinned src repartition is REUSED, not re-run). Asserted under the
+    // bench regime (AQE off): with AQE on, exchange reuse happens at
+    // runtime, so the pre-execution plan string double-prints the shared
+    // guard subtree and hides ReusedExchange.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p102 = planOf("q102_ppr")
+      assert("SortMergeJoin".r.findAllIn(p102).length <= 2, p102)
+      assert(p102.contains("ReusedExchange"), p102)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q121: sessionize lag/run-sum/rollup ride ONE entity exchange") {
