@@ -779,17 +779,25 @@ object Eval {
       .agg(count(lit(1)).as("__nl"),
         sum(dec(col("__v4"))).as("__s1"),
         sum(dec(col("__v4")) * dec(col("__v4"))).as("__s2"))
+      // EXACT half-up division, no doubles: floor(s1²/nl + ½) =
+      // (2·s1² + nl) intdiv (2·nl) — s1² ≥ 0 so truncation ≡ floor. The
+      // former double path diverged cross-engine once s1² passed 2^53:
+      // DuckDB's HUGEINT→DOUBLE converts in two steps (upper·2⁶⁴ + lower,
+      // two roundings) while Spark's BigDecimal→double is correctly
+      // rounded — caught by the generated sf0.1 oracle gate (r14), the
+      // same class the weightedQuantile DECIMAL cross-multiply closed.
       .withColumn("__q8",
-        floor((col("__s1") * col("__s1")).cast("double") /
-          col("__nl").cast("double") + 0.5).cast("long"))
+        expr("CAST((2 * __s1 * __s1 + CAST(__nl AS DECIMAL(38,0))) div " +
+          "(2 * CAST(__nl AS DECIMAL(38,0))) AS BIGINT)"))
     val m = lvl.groupBy(g: _*).agg(
       count(lit(1)).as("k"),
       sum(col("__nl")).as("n"),
       sum(col("__s1")).as("__S1"),
       sum(col("__s2")).as("__S2"),
       sum(col("__q8")).as("__Q8"))
-    val grand8 = floor((col("__S1") * col("__S1")).cast("double") /
-      col("n").cast("double") + 0.5).cast("long")
+    val grand8 =
+      expr("CAST((2 * __S1 * __S1 + CAST(n AS DECIMAL(38,0))) div " +
+        "(2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
     val ssb8 = col("__Q8") - grand8
     val ssw8 = (col("__S2") - dec(col("__Q8"))).cast("double")
     m.select(g ++ Seq(col("n"), col("k"),
@@ -951,10 +959,12 @@ object Eval {
     * [[rocAuc]]/[[mannWhitneyU]] machinery); per-level rank sums and the
     * tie sum Σ(t³−t) (accumulated per ROW as Σ(t²−1), which telescopes to
     * the per-value t³−t) ride DECIMAL(38,0); each level's R_l²/n_l =
-    * rs2²/(4n_l) rounds through ONE double division of exact inputs into a
-    * LONG (the [[anovaF]] q8 convention — exact while rs2² < 2⁵³, ~n ≤ 5·10⁴
-    * per group; beyond that both engines round the same IEEE way), so `rq`
-    * is engine-identical under the hash; H and C are fixed double tails.
+    * rs2²/(4n_l) is an EXACT half-up integral division in DECIMAL(38,0)
+    * (the [[anovaF]] q8 convention, division-free since r14 — the former
+    * double path had a 2⁵³ caveat AND a real cross-engine hazard:
+    * DuckDB's HUGEINT→DOUBLE two-step conversion is not correctly
+    * rounded), so `rq` is engine-identical at any scale; H and C are
+    * fixed double tails.
     * The all-tied degenerate (C = 0) is decided by the EXACT integer
     * compare Σ(t³−t) = n³−n, never a double ≈0. NULL values are excluded;
     * NULL factor levels are first-class (the [[anovaF]] convention).
@@ -985,9 +995,11 @@ object Eval {
       .agg(count(lit(1)).as("__nl"),
         sum(dec38(col("__r2"))).as("__rs2"),
         sum(dec38(col("__t")) * dec38(col("__t")) - 1).as("__ts"))
+      // EXACT half-up division (the r14 anovaF fix, same rationale):
+      // floor(rs2²/(4·nl) + ½) = (2·rs2² + 4·nl) intdiv (8·nl), rs2² ≥ 0
       .withColumn("__rq",
-        floor((col("__rs2") * col("__rs2")).cast("double") /
-          (lit(4.0) * col("__nl").cast("double")) + 0.5).cast("long"))
+        expr("CAST((2 * __rs2 * __rs2 + 4 * CAST(__nl AS DECIMAL(38,0))) " +
+          "div (8 * CAST(__nl AS DECIMAL(38,0))) AS BIGINT)"))
     val m = lvl.groupBy(g: _*).agg(
       count(lit(1)).as("k"),
       sum(col("__nl")).as("n"),

@@ -55,6 +55,20 @@ object Catalog {
     */
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Cross-engine 128-bit→double hazard (found by the generated-sf0.1
+    * oracle gate, round 14): DuckDB converts HUGEINT→DOUBLE in two steps
+    * (upper·2⁶⁴ + lower, two roundings) while Spark's Decimal→double is
+    * correctly rounded, so the two engines can disagree by 1 ulp whenever
+    * a >2⁵³ 128-bit value is cast to double. Harmless where the double
+    * feeds an r4/r8-rounded TAIL (1 ulp almost never moves the 4th/8th
+    * decimal, and every such query passes the driver + generated gates at
+    * three SFs); a REAL wrong-answer class where the double feeds an
+    * exact-compared integer column — q185/q191/q194's half-up divisions
+    * did, and are now division-free integral arithmetic on both sides:
+    * floor(a/b + ½) = (2a + b) intdiv (2b) for a ≥ 0 (DECIMAL(38,0) `div`
+    * on the Spark side, HUGEINT `//` on the DuckDB side).
+    */
+
   /** Order-independent mean of a money-like (≤2-decimal-intended) double
     * column, r4-rounded. A plain double `avg` is associativity-dependent:
     * different partitionings sum in different orders, and when the group's
@@ -6674,13 +6688,13 @@ object Catalog {
       |        sum(CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT)) AS s2
       |      FROM t GROUP BY 1, 2),
       |qq AS (SELECT g, nl, s1, s2,
-      |        CAST(floor(CAST(s1 * s1 AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5) AS BIGINT) AS q8
+      |        CAST((2*s1*s1 + CAST(nl AS HUGEINT)) // (2*CAST(nl AS HUGEINT)) AS BIGINT) AS q8
       |      FROM l),
       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS k, CAST(sum(nl) AS BIGINT) AS n,
       |        sum(s1) AS gs1, sum(s2) AS gs2, CAST(sum(q8) AS BIGINT) AS gq8
       |      FROM qq GROUP BY 1),
       |f AS (SELECT g, n, k,
-      |        gq8 - CAST(floor(CAST(gs1 * gs1 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ssb8,
+      |        gq8 - CAST((2*gs1*gs1 + CAST(n AS HUGEINT)) // (2*CAST(n AS HUGEINT)) AS BIGINT) AS ssb8,
       |        CAST(gs2 - gq8 AS DOUBLE) AS sswd
       |      FROM m)
       |SELECT g AS dow, n, k, ssb8,
@@ -6932,8 +6946,8 @@ object Catalog {
       |        sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT) - 1) AS ts
       |      FROM r GROUP BY 1, 2),
       |qq AS (SELECT g, nl, ts,
-      |        CAST(floor(CAST(rs2 * rs2 AS DOUBLE)
-      |          / (4.0 * CAST(nl AS DOUBLE)) + 0.5) AS BIGINT) AS rq
+      |        CAST((2*rs2*rs2 + 4*CAST(nl AS HUGEINT))
+      |          // (8*CAST(nl AS HUGEINT)) AS BIGINT) AS rq
       |      FROM l),
       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
       |        CAST(sum(nl) AS BIGINT) AS n,
@@ -7075,13 +7089,13 @@ object Catalog {
       |        sum(CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT)) AS s2
       |      FROM t2 GROUP BY 1, 2),
       |qq AS (SELECT g, nl, s1, s2,
-      |        CAST(floor(CAST(s1 * s1 AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5) AS BIGINT) AS q8
+      |        CAST((2*s1*s1 + CAST(nl AS HUGEINT)) // (2*CAST(nl AS HUGEINT)) AS BIGINT) AS q8
       |      FROM l),
       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS k, CAST(sum(nl) AS BIGINT) AS n,
       |        sum(s1) AS gs1, sum(s2) AS gs2, CAST(sum(q8) AS BIGINT) AS gq8
       |      FROM qq GROUP BY 1),
       |f AS (SELECT g, n, k,
-      |        gq8 - CAST(floor(CAST(gs1 * gs1 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ssb8,
+      |        gq8 - CAST((2*gs1*gs1 + CAST(n AS HUGEINT)) // (2*CAST(n AS HUGEINT)) AS BIGINT) AS ssb8,
       |        CAST(gs2 - gq8 AS DOUBLE) AS sswd
       |      FROM m)
       |SELECT g AS dow, n, k, ssb8,

@@ -998,6 +998,33 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 13.5) < 1e-9)
   }
 
+  test("anovaF: q8 half-up division stays EXACT past the 2^53 double window") {
+    // s1 = Σv4 large enough that s1² > 2⁵³ (where the old double path
+    // could disagree with DuckDB's two-step HUGEINT→DOUBLE by 1 ulp —
+    // caught by the generated-sf0.1 gate, r14) while q8 = s1²/nl still
+    // fits the output LONG: values ≈ 4000 give v4 = 4·10⁷, s1 = 1.2·10⁸,
+    // s1² = 1.44·10¹⁶ > 2⁵³ ≈ 9·10¹⁵, q8 ≈ 4.8·10¹⁵. The integral form
+    // must equal BigInt arithmetic exactly.
+    val big = 4000.0
+    val df = Seq(
+      ("g", "x", big), ("g", "x", big - 1.0), ("g", "x", big - 2.0),
+      ("g", "y", 1.0), ("g", "y", 2.0)
+    ).toDF("g", "lvl", "v")
+    val Array(r) = Eval.anovaF(df, Seq("g"), col("v"), col("lvl")).collect()
+    def v4(x: Double): BigInt = BigInt(math.floor(x * 10000 + 0.5).toLong)
+    def q8(vs: Seq[Double]): BigInt = {
+      val s1 = vs.map(v4).sum
+      (2 * s1 * s1 + vs.size) / (2 * vs.size) // exact half-up
+    }
+    val xs = Seq(big, big - 1.0, big - 2.0); val ys = Seq(1.0, 2.0)
+    assert(xs.map(v4).sum.pow(2) > BigInt(2).pow(53)) // really past 2^53
+    val grand = {
+      val s = (xs ++ ys).map(v4).sum; val n = 5
+      (2 * s * s + n) / (2 * n)
+    }
+    assert(BigInt(r.getLong(3)) == q8(xs) + q8(ys) - grand) // ssb8 exact
+  }
+
   test("anovaF: single level or zero within-variance → F NULL; NULL level is a level") {
     val df = Seq[(String, String, java.lang.Double)](
       ("onelvl", "x", 1.0), ("onelvl", "x", 2.0),

@@ -86,7 +86,7 @@ PY
 python3 tools/duck_bench.py "$SF_DIR" "$OUT/oracle_gate.json" "$DUCK_RUNS" \
   > "$OUT/duck_sf$SF.json"
 
-python3 - "$OUT/bench_sf$SF.json" "$OUT/duck_sf$SF.json" "$BAR" "$OUT/RESULT.json" <<'PY'
+python3 - "$OUT/bench_sf$SF.json" "$OUT/duck_sf$SF.json" "$BAR" "$OUT/RESULT_sf$SF.json" <<'PY'
 import json, sys, os, time
 bench = json.load(open(sys.argv[1]))["queries"]
 duck = json.load(open(sys.argv[2]))["queries"]
