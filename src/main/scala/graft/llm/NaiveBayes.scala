@@ -111,6 +111,12 @@ object NaiveBayes {
       tokenModel: DataFrame, classStats: DataFrame,
       tokenSep: String = " ",
       broadcastModel: Boolean = false): DataFrame = {
+    // NOT pinned on a doc-id exchange (A/B'd r14, the GraphRank idiom
+    // measured 1.35 → 2.28 s at sf1 HERE and was reverted): the term
+    // frame's downstream exchanges are all partial-aggregation-compressed
+    // to answer-ish size, so one full-width id repartition costs more
+    // than every exchange it would replace. The (id, token) dedup
+    // exchange below is still shared by both consumers via ReuseExchange.
     val docTok = docs
       .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
