@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: targets are fixed-pointed to integer units (`scale`, the
   * catalog's cents-as-long convention), and the smoothed mean is
-  * computed as ONE rational:
+  * computed as ONE rational with the nested prior division cleared:
   *
   *   ((S − y)·n_g + m·S_g) / ((n − 1 + m)·n_g·scale)
   *
-  * — numerator and denominator are exact LONG arithmetic (the nested
-  * prior division is algebraically cleared), so the single long→double
-  * conversion + division is IEEE-identical cross-engine. No float
-  * accumulates anywhere.
+  * Each PART (S, y, n, S_g, n_g) is an exact long < 2⁵³ (the money-cents
+  * headroom contract), so its double conversion is exact on both
+  * engines; the products/sums above are then IEEE doubles evaluated in
+  * the same order cross-engine. (The products are deliberately NOT long
+  * arithmetic: (S − y)·n_g overflowed long at generated sf1, and routing
+  * the exact 128-bit value through DuckDB's two-step HUGEINT→DOUBLE
+  * conversion is the r14 divergence hazard — doubles-from-exact-parts
+  * avoids both. No float ACCUMULATES anywhere: sums stay long.)
   *
   * Plan shape: one category aggregate (answer-sized → broadcast join
   * back) + one 1-row global aggregate (broadcast cross) + scalar row
@@ -64,12 +68,24 @@ object TargetEncode {
     val cat = if (broadcastStats) broadcast(cat0) else cat0
     val g = t.filter(col("__y").isNotNull)
       .agg(sum(col("__y")).as("__sg"), count(lit(1)).as("__ng"))
-    val denom = (col("__n") - 1 + m) * col("__ng") * lit(scale.toLong)
+    // The rational's PRODUCTS are computed in IEEE double from the exact
+    // integer parts, not in long: (S−y)·n_g overflowed long at generated
+    // sf1 (~6.8·10¹⁸ — the r14 scale-gate find). Every PART (S, y, n, sg,
+    // ng — sums of fixed-point targets and counts) is < 2⁵³ by the money-
+    // cents contract, so each long→double conversion is exact on both
+    // engines, and identical IEEE ops in identical order stay
+    // engine-identical — without the long-overflow cliff and without
+    // routing a >2⁵³ 128-bit value through DuckDB's two-step
+    // HUGEINT→DOUBLE conversion (see the Catalog header hazard note).
+    val denom = (col("__n") - 1 + m).cast("double") *
+      col("__ng").cast("double") * lit(scale.toDouble)
     t.join(cat, catCols, "left")
       .crossJoin(broadcast(g))
       .withColumn("te",
         when(col("__y").isNotNull && denom > 0,
-          ((col("__s") - col("__y")) * col("__ng") + lit(m.toLong) * col("__sg"))
+          ((col("__s") - col("__y")).cast("double") *
+            col("__ng").cast("double") +
+            lit(m.toDouble) * col("__sg").cast("double"))
             / denom))
       .drop("__y", "__s", "__n", "__sg", "__ng")
   }
@@ -118,8 +134,10 @@ object TargetEncode {
     val g = nn.agg(sum(col("__y")).as("__sg"), count(lit(1)).as("__ng"))
     val ngc = col("__ng") - col("__ngf") // complement global count
     val sgc = col("__sg") - col("__sgf")
-    val denom = (col("__nc") - coalesce(col("__ncf"), lit(0L)) + m) * ngc *
-      lit(scale.toLong)
+    // double products over exact sub-2⁵³ parts — the [[loo]] overflow fix,
+    // fold-subtracted (each difference of in-range longs is in range)
+    val denom = (col("__nc") - coalesce(col("__ncf"), lit(0L)) + m)
+      .cast("double") * ngc.cast("double") * lit(scale.toDouble)
     // rename the (cat, fold) frame's keys to avoid post-join ambiguity;
     // NULL categories get NULL stats (equi-join), hence a NULL encoding —
     // same convention as [[loo]]
@@ -136,8 +154,9 @@ object TargetEncode {
       .crossJoin(broadcast(g))
       .withColumn("te_oof",
         when(col("__y").isNotNull && ngc > 0 && denom > 0,
-          ((col("__sc") - coalesce(col("__scf"), lit(0L))) * ngc +
-            lit(m.toLong) * sgc) / denom))
+          ((col("__sc") - coalesce(col("__scf"), lit(0L))).cast("double") *
+            ngc.cast("double") +
+            lit(m.toDouble) * sgc.cast("double")) / denom))
       .drop((Seq("__y", "__f", "__scf", "__ncf", "__sc", "__nc",
         "__sgf", "__ngf", "__sg", "__ng", "__gf", "__cff") ++
         catCols.map(c => s"__cf_$c")): _*)

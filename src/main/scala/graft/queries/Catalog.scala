@@ -4331,8 +4331,9 @@ object Catalog {
       |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM t),
       |c AS (SELECT o_orderpriority, sum(y) AS s, count(*) AS n FROM t GROUP BY 1)
       |SELECT t.o_orderkey, t.o_orderpriority,
-      |       CAST((c.s - t.y) * g.ng + 10 * g.sg AS DOUBLE)
-      |         / CAST((c.n - 1 + 10) * g.ng * 100 AS DOUBLE) AS te
+      |       (CAST(c.s - t.y AS DOUBLE) * CAST(g.ng AS DOUBLE)
+      |          + 10e0 * CAST(g.sg AS DOUBLE))
+      |         / (CAST(c.n - 1 + 10 AS DOUBLE) * CAST(g.ng AS DOUBLE) * 100e0) AS te
       |FROM t JOIN c USING (o_orderpriority) CROSS JOIN g
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     graft.operators.TargetEncode
@@ -4523,8 +4524,10 @@ object Catalog {
       |gf AS (SELECT fold, sum(y) AS sgf, count(*) AS ngf FROM t GROUP BY 1),
       |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM t)
       |SELECT t.o_orderkey, t.o_orderpriority, t.fold,
-      |       CAST((c.sc - cf.scf) * (g.ng - gf.ngf) + 10 * (g.sg - gf.sgf) AS DOUBLE)
-      |         / CAST((c.nc - cf.ncf + 10) * (g.ng - gf.ngf) * 100 AS DOUBLE) AS te_oof
+      |       (CAST(c.sc - cf.scf AS DOUBLE) * CAST(g.ng - gf.ngf AS DOUBLE)
+      |          + 10e0 * CAST(g.sg - gf.sgf AS DOUBLE))
+      |         / (CAST(c.nc - cf.ncf + 10 AS DOUBLE)
+      |            * CAST(g.ng - gf.ngf AS DOUBLE) * 100e0) AS te_oof
       |FROM t JOIN c USING (o_orderpriority)
       |       JOIN cf ON cf.o_orderpriority = t.o_orderpriority AND cf.fold = t.fold
       |       JOIN gf ON gf.fold = t.fold
