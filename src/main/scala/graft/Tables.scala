@@ -34,10 +34,30 @@ object Tables {
   // identity, so a restarted session can never see another's plans; a
   // directory whose FILES are rewritten mid-session would serve a stale
   // file index — the harness never rewrites inputs inside a session.
+  //
+  // Lifetime: entries for a stopped engine are EVICTED — the first load on
+  // a given SparkContext registers an onApplicationEnd listener that drops
+  // every entry whose session rides that context (SparkSession.stop stops
+  // the context, and all sessions of a stopped context are dead). A JVM
+  // that repeatedly builds and stops engines therefore holds plans only
+  // for live contexts: the cache is bounded by #live sessions × #dirs ×
+  // #tables × #repart-settings, not by JVM lifetime.
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Int), DataFrame]()
+  private val evictionHooked = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sc = spark.sparkContext
+    evictionHooked.synchronized {
+      if (evictionHooked.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            planCache.keySet.removeIf(k => k._1.sparkContext eq sc)
+        })
+      }
+    }
     val repart = spark.conf.getOption("graft.scan.repartition")
       .map(_.toInt).filter(_ > 0).getOrElse(0)
     planCache.computeIfAbsent(

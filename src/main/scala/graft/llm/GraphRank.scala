@@ -119,6 +119,16 @@ object GraphRank {
     // below (outdegree, the attached edge frame, the in-degree-0 probe)
     // derives from this one materialized |E|-sized base, not from
     // re-executions of however expensive the caller's edge build was
+    // NULL endpoints are dropped EXPLICITLY (r15). Two reasons: (1) the
+    // contract — a NULL node id was never coherent (the probe joins
+    // dropped it while the degree aggregate counted it); (2) plan reuse —
+    // every branch now carries the SAME not-null filters, so Catalyst's
+    // per-branch constraint inference (which adds isnotnull(src) above a
+    // probe branch but isnotnull(src) AND isnotnull(dst) above a branch
+    // whose aggregate output feeds a join) can no longer make the shared
+    // |E|-sized subtrees canonically UNEQUAL — the r15 profile showed that
+    // asymmetry defeating ReuseExchange and re-executing the
+    // dedupe+explode edge build once per consumer at sf1.
     val base0 = edges.select(
       Seq(col(srcCol).as(srcCol), col(dstCol).as(dstCol)) ++
         weightCol.map(w =>
@@ -126,13 +136,20 @@ object GraphRank {
             .otherwise(raise_error(concat(
               lit("pageRank: edge weight must be a positive long, got "),
               col(w).cast("string")))).as("__w")): _*)
-    // Lazy broadcast regime: pin an explicit src-hash exchange instead —
-    // every consumer (degree aggregate + one probe per round) reads the
-    // REUSED exchange, so the caller's edge build executes once per run
-    // and groupBy(src) is exchange-free (cf. personalizedPageRank).
-    val base = if (!reuseFrames && broadcastRanks)
-      base0.repartition(col(srcCol))
-    else ck(base0)
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    // Lazy broadcast regime (r15): NO pinned |E|-sized exchange. The
+    // per-round probes are broadcast joins — they require no particular
+    // partitioning — so cross-consumer reuse rides the caller's LAST
+    // exchange (the edge-dedupe shuffle in every catalog caller); each
+    // consumer re-runs only the narrow post-exchange tail (dedupe-final +
+    // explode) inline, which the r15 sf1 profile measured cheaper than
+    // writing + reading the extra full-|E| src-hash exchange the pin
+    // cost. Unpinned, groupBy(src) also gains a partial-aggregate
+    // ENSURE_REQUIREMENTS exchange of its own — a |V|·partitions-sized
+    // boundary all degree consumers (w builds, rank init, n) reuse. A
+    // caller whose edge build has NO exchange at all should pass
+    // reuseFrames = true instead.
+    val base = ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node"))
@@ -287,18 +304,17 @@ object GraphRank {
     require(rounds >= 1, "rounds must be >= 1")
     def ck(df: DataFrame): DataFrame =
       if (reuseFrames) df.localCheckpoint() else df
+    // explicit not-null endpoint filter: contract + ReuseExchange
+    // canonical equality across branches — see [[pageRank]] (r15)
     val base0 = edges.select(col(srcCol).as(srcCol), col(dstCol).as(dstCol))
-    // Lazy broadcast regime: pin an explicit src-hash exchange on the edge
-    // frame. Every consumer (the degree aggregate + one probe per round)
-    // then reads THIS reused exchange, so whatever lineage builds the edge
-    // list (join + dedupe + symmetrize) executes exactly once per run —
-    // without it, ReuseExchange dedups only the dedupe SHUFFLE and each
-    // consumer re-runs the final dedupe aggregate above it. The same
-    // partitioning makes groupBy(src) exchange-free. (reuseFrames gets the
-    // equivalent sharing from the checkpoint itself.)
-    val base = if (!reuseFrames && broadcastRanks)
-      base0.repartition(col(srcCol))
-    else ck(base0)
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    // Lazy broadcast regime (r15): NO pinned |E|-sized exchange — the
+    // probes are broadcast joins with no partitioning requirement, so
+    // reuse rides the caller's edge-dedupe exchange and groupBy(src)
+    // gains its own reusable partial-aggregate boundary (see [[pageRank]];
+    // the r15 sf1 profile measured the pin's extra full-|E| exchange
+    // write + reads costlier than the inline dedupe-final re-runs).
+    val base = ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
     val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
@@ -344,6 +360,31 @@ object GraphRank {
     // branch is never taken, every tele is 0, and every rank converges to
     // 0 — the same all-zero frame the SQL form yields (its CASE never
     // reaches the 1/ns division), kept consistent here.
+    // Lazy regime's 1-row metadata frame: |S| AND the loud missing-seed
+    // guard in ONE aggregate over one sd-side probe (r15 — previously two
+    // separate frames cost an extra broadcast-build job and an extra
+    // od-keys pass per execution). guard ≡ 1.0 via the assert_true/
+    // coalesce identity; tele multiplies by it so a dropped seed still
+    // fails every run loudly.
+    lazy val metaF = sd
+      .join(od.select(col("node"), lit(1).as("__in")), Seq("node"), "left")
+      .agg(count(lit(1)).cast("double").as("__ns"),
+        count(when(col("__in").isNull, true)).as("__miss"))
+      .select(col("__ns"), coalesce(
+        assert_true(col("__miss") === 0,
+          concat(lit("personalizedPageRank: "), col("__miss"),
+            lit(" seed(s) are not edge sources: every seed must be a " +
+              "node of the graph"))).cast("double"),
+        lit(1.0)).as("__guard"))
+    // Seeds-only teleport frame (lazy-broadcast regime): tele over JUST
+    // the |S| seed rows, built from `sd` directly — bit-identical to
+    // odT.filter(tele > 0) (tele > 0 ⇔ seed; same (1.0/ns)·guard IEEE
+    // ops) but its lineage never touches the |E|-sized degree aggregate,
+    // deleting one od pass (round-1 w build) and one more (intermediate
+    // completion) per execution — the r15 sf1 trim.
+    lazy val seedTeleF = sd.crossJoin(broadcast(metaF))
+      .select(col("node"),
+        (lit(1.0) / col("__ns") * col("__guard")).as("tele"))
     val odT = if (reuseFrames) {
       val metaRow = sd.select(lit(1L).as("__sd"), lit(0L).as("__pres"))
         .unionAll(odF.select(lit(0L).as("__sd"),
@@ -364,17 +405,7 @@ object GraphRank {
         when(col("__isSeed") === 1, lit(1.0 / ns))
           .otherwise(lit(0.0)).as("tele"))
     } else {
-      val nsF = sd.agg(count(lit(1)).cast("double").as("__ns"))
-      val guardF = sd
-        .join(od.select(col("node"), lit(1).as("__in")), Seq("node"), "left")
-        .agg(count(when(col("__in").isNull, true)).as("__miss"))
-        .select(coalesce(
-          assert_true(col("__miss") === 0,
-            concat(lit("personalizedPageRank: "), col("__miss"),
-              lit(" seed(s) are not edge sources: every seed must be a " +
-                "node of the graph"))).cast("double"),
-          lit(1.0)).as("__guard"))
-      odF.crossJoin(broadcast(nsF)).crossJoin(broadcast(guardF))
+      odF.crossJoin(broadcast(metaF))
         .select(col("node"), col("deg"),
           (when(col("__isSeed") === 1, lit(1.0) / col("__ns"))
             .otherwise(lit(0.0)) * col("__guard")).as("tele"))
@@ -416,7 +447,13 @@ object GraphRank {
         .select(col("node"), (lit(oneMinusD) * col("tele")).as("pr"))))
     }
 
-    var r: DataFrame = odT.select(col("node"), col("tele").as("pr"))
+    // Lazy-broadcast init rides the |S|-sized seed frame: round 1's w
+    // filters to pr ≠ 0 anyway, so seeding with the nonzero rows alone is
+    // the same frame with the |E|-sized odT lineage cut out of its plan.
+    var r: DataFrame =
+      if (!reuseFrames && broadcastRanks)
+        seedTeleF.select(col("node"), col("tele").as("pr"))
+      else odT.select(col("node"), col("tele").as("pr"))
     var ranks: DataFrame = null
     for (k <- 1 to rounds) {
       if (broadcastRanks) {
@@ -437,7 +474,12 @@ object GraphRank {
         // side stays the raw 2-column edge frame: no decorated |E|-sized
         // copy is built or checkpointed in this regime, and each round
         // scans 2 longs per edge instead of 4 columns.
-        val w = odT
+        // the share divisor comes from the BARE degree frame in the lazy
+        // regime (w never reads tele, and joining odT instead was pulling
+        // the whole seed-decoration lineage into every round's broadcast
+        // build — r15); under reuseFrames odT is the checkpointed frame,
+        // so reading it is the free path there
+        val w = (if (reuseFrames) odT else od)
           .join(broadcast(r.filter(col("pr") =!= 0.0)
               .select(col("node").as("__rn"), col("pr"))),
             col("node") === col("__rn"))
@@ -456,8 +498,10 @@ object GraphRank {
           // has pr exactly 0.0 and feeds nothing forward. contrib is
           // already hash-partitioned on the join key by its aggregate, so
           // the full-outer costs one |S|-sized exchange, not a |V| scan.
-          contrib.join(odT.filter(col("tele") > 0)
-              .select(col("node"), col("tele")),
+          contrib.join(
+            if (reuseFrames) odT.filter(col("tele") > 0)
+              .select(col("node"), col("tele"))
+            else seedTeleF, // same frame, |E|-free lineage (r15)
             col("__an") === col("node"), "full_outer")
             .select(coalesce(col("node"), col("__an")).as("node"),
               (lit(oneMinusD) * coalesce(col("tele"), lit(0.0)) +

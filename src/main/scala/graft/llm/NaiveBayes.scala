@@ -111,26 +111,90 @@ object NaiveBayes {
       tokenModel: DataFrame, classStats: DataFrame,
       tokenSep: String = " ",
       broadcastModel: Boolean = false): DataFrame = {
-    // NOT pinned on a doc-id exchange (A/B'd r14, the GraphRank idiom
-    // measured 1.35 → 2.28 s at sf1 HERE and was reverted): the term
-    // frame's downstream exchanges are all partial-aggregation-compressed
-    // to answer-ish size, so one full-width id repartition costs more
-    // than every exchange it would replace. The (id, token) dedup
-    // exchange below is still shared by both consumers via ReuseExchange.
-    val docTok = docs
-      .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
-    val docM = docTok.groupBy(col(idCol)).agg(sum(col("m")).as("mm"))
-    val matched = docTok.join(
-        if (broadcastModel) broadcast(tokenModel) else tokenModel, "token")
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("m") * col("lp4")).as("s"), sum(col("m")).as("cov"))
-    docM.crossJoin(broadcast(classStats))
-      .join(matched, Seq(idCol, "label"), "left")
-      .select(
-        col(idCol), col("label"),
-        (col("prior4") + coalesce(col("s"), lit(0L)) +
-          (col("mm") - coalesce(col("cov"), lit(0L))) * col("lp0")).as("score4"))
+    // CLASS-WIDE single-pass scoring (r15, broadcastModel only): the
+    // model pivots ONCE at plan-build into one row per token with C lp4
+    // columns (NULL = token unseen for that class), and the probe runs
+    // over RAW token occurrences LEFT-joined to that broadcast — no
+    // (id, token) dedup exchange, no docM pass, no C-way join fanout.
+    // Everything folds into ONE id-keyed aggregate:
+    //   s_c  = Σ lp4_c  over occurrences  (≡ Σ m·lp4_c over terms),
+    //   cov_c = #non-NULL occurrences     (≡ Σ m over matched terms),
+    //   mm   = count(*)                   (≡ Σ m),
+    // all exact long sums in a different association order — order-free,
+    // so scores hash-match the long form bit for bit. The left join keeps
+    // zero-match docs in the frame (they score prior4 + mm·lp0, the
+    // closed-form unseen mass); a NULL-text doc explodes to no rows and
+    // stays absent (the long form's contract). The class list costs a
+    // C-row collect over classStats AT PLAN BUILD (dimension-sized by the
+    // same contract that lets classStats broadcast; already materialized
+    // for a memoized model).
+    //
+    // Fallbacks to the long doc-term join (dedup + C-way fanout —
+    // the right shape when the model itself must stay distributed):
+    // broadcastModel = false (a raw-occurrence shuffle join would move
+    // |tokens|-sized data; the dedup halves it), C > 64 (the wide row
+    // stops being a sane schema), an empty model, or a NULL class label
+    // (a lit(NULL) never equi-joins, so the wide path would silently drop
+    // that class's rows).
+    val rawLabels = classStats.select(col("label"))
+      .distinct().collect().map(_.getString(0))
+    val labels: Seq[String] =
+      if (rawLabels.contains(null)) Nil else rawLabels.sorted.toSeq
+    if (broadcastModel && labels.nonEmpty && labels.size <= 64) {
+      def lpc(i: Int) = s"__lp_$i"
+      val aggs = labels.zipWithIndex.map { case (l, i) =>
+        max(when(col("label") === l, col("lp4"))).as(lpc(i)) }
+      val wide = tokenModel.groupBy(col("token"))
+        .agg(aggs.head, aggs.tail: _*)
+      val sums = count(lit(1)).as("mm") +:
+        labels.indices.flatMap { i => Seq(
+          sum(col(lpc(i))).as(s"__s_$i"),
+          count(col(lpc(i))).as(s"__cov_$i")) }
+      val perDoc = docs
+        .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
+        .join(broadcast(wide), Seq("token"), "left")
+        .groupBy(col(idCol))
+        .agg(sums.head, sums.tail: _*)
+      // unpivot the C columns back to (id, label, s, cov) — answer-sized
+      // (count() never yields NULL; sum() does, for zero-match classes)
+      val stacked = perDoc
+        .select(col(idCol), col("mm"), explode(array(
+          labels.zipWithIndex.map { case (l, i) =>
+            struct(lit(l).as("label"),
+              coalesce(col(s"__s_$i"), lit(0L)).as("s"),
+              col(s"__cov_$i").as("cov")) }: _*)).as("__e"))
+        .select(col(idCol), col("mm"), col("__e.label").as("label"),
+          col("__e.s").as("s"), col("__e.cov").as("cov"))
+      stacked.join(broadcast(classStats), Seq("label"))
+        .select(
+          col(idCol), col("label"),
+          (col("prior4") + col("s") +
+            (col("mm") - col("cov")) * col("lp0")).as("score4"))
+    } else {
+      // the long shape: dedup to distinct doc-terms (the model join then
+      // carries |terms|, not |occurrences|), mm off the raw scan
+      val docTok = docs
+        .select(col(idCol), explode(split(col(textCol), tokenSep)).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
+      val tokCount: Column =
+        if (tokenSep == " ")
+          (length(col(textCol)) -
+            length(translate(col(textCol), " ", "")) + 1).cast("long")
+        else size(split(col(textCol), tokenSep)).cast("long")
+      val docM = docs.filter(col(textCol).isNotNull)
+        .groupBy(col(idCol))
+        .agg(sum(tokCount).as("mm"))
+      val matched = docTok.join(tokenModel, "token")
+        .groupBy(col(idCol), col("label"))
+        .agg(sum(col("m") * col("lp4")).as("s"), sum(col("m")).as("cov"))
+      docM.crossJoin(broadcast(classStats))
+        .join(matched, Seq(idCol, "label"), "left")
+        .select(
+          col(idCol), col("label"),
+          (col("prior4") + coalesce(col("s"), lit(0L)) +
+            (col("mm") - coalesce(col("cov"), lit(0L))) * col("lp0"))
+            .as("score4"))
+    }
   }
 
   /** Argmax class per doc: (idCol, label, score4), ties → label asc.

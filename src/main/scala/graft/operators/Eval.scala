@@ -750,11 +750,15 @@ object Eval {
     *
     * Exactness: per-level moments (n_l, S1_l, S2_l) are exact DECIMAL
     * over scale-4 longs; each level's S1_l²/n_l rounds to a scale-8 LONG
-    * through ONE double division of exact inputs (identical IEEE op both
-    * engines), so the level sum Q8 is order-independent; SSB/SSW and F
-    * are fixed double tails. Headroom: S1_l² must stay within double's
-    * 2⁵³ integer range for the division to be exact-input — |Σv4| per
-    * level ≲ 9·10⁷ (pre-scale wider metrics; the [[welchT]] contract
+    * through an EXACT half-up integral division in DECIMAL(38,0) —
+    * floor(S1_l²/n_l + ½) = (2·S1_l² + n_l) intdiv (2·n_l), division-free
+    * since r14, no 2⁵³ caveat — so the level sum Q8 is engine-identical
+    * at any scale; SSB/SSW and F are fixed double tails. Headroom: the
+    * 2·S1_l² intermediate must fit DECIMAL(38,0), i.e. |S1_l| = |Σv4| per
+    * level ≲ 7.07·10¹⁸ (√(10³⁸/2)); past that Spark raises an ANSI
+    * DECIMAL-overflow error (never a silent wrong answer) — the DuckDB
+    * HUGEINT twin's cliff sits slightly higher (≈9.2·10¹⁸, √(2¹²⁶)), so
+    * Spark errors first. Pre-scale wider metrics (the [[welchT]] contract
     * family). NULL factor levels are first-class (their rows form a
     * level); NULL values are excluded.
     *
@@ -964,7 +968,11 @@ object Eval {
     * double path had a 2⁵³ caveat AND a real cross-engine hazard:
     * DuckDB's HUGEINT→DOUBLE two-step conversion is not correctly
     * rounded), so `rq` is engine-identical at any scale; H and C are
-    * fixed double tails.
+    * fixed double tails. Headroom: the 2·rs2² intermediate must fit
+    * DECIMAL(38,0) — |rs2| ≤ 2n per level, so n ≲ 3.5·10¹⁸ rows per
+    * group before Spark raises an ANSI DECIMAL-overflow error (never a
+    * silent wrong answer; the DuckDB HUGEINT cliff is slightly higher,
+    * so Spark errors first).
     * The all-tied degenerate (C = 0) is decided by the EXACT integer
     * compare Σ(t³−t) = n³−n, never a double ≈0. NULL values are excluded;
     * NULL factor levels are first-class (the [[anovaF]] convention).

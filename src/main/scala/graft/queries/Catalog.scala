@@ -3136,6 +3136,13 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
+      // r15: pin the PRE-explode deduped pair frame behind its own
+      // exchange — every GraphRank consumer (degree aggregate, n, one
+      // probe per round) then reads this half-|E|-sized reused exchange
+      // and re-runs only the explode inline, instead of re-running the
+      // 6M-row dedupe FINAL per consumer (the sf1 stage profile measured
+      // that re-run at ~0.25 s wall × 5 consumers vs ~0.4 s once here)
+      .repartition(col("src"))
     // symmetrize via explode (the q102 convention): one pass over the
     // deduped pairs instead of a union of two final aggregates
     val sym = e
@@ -3356,6 +3363,10 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
+      // r15: pin the pre-explode deduped pairs behind a reused exchange
+      // (the q97 rationale — consumers re-run only the explode inline,
+      // not the 6M-row dedupe final)
+      .repartition(col("src"))
     // symmetrize via explode, not unionAll: the union's two branches each
     // carry a final dedup aggregate over the reused exchange, while the
     // explode emits both directions in ONE pass over the deduped pairs —

@@ -36,6 +36,34 @@ QUERIES="${QUERIES:-q97_pagerank,q102_ppr,q146_weighted_pagerank,q80_naive_bayes
 OUT="gendata/scale_gate"
 mkdir -p "$OUT"
 
+# Quiet-window discipline (round 15): Spark local[32] timings swing with
+# VM steal, so a gate run only counts as adjudication evidence if the host
+# is quiet. Refuse to start until load1 < QUIET_LOAD1 (default 5), polling
+# every 30 s up to QUIET_WAIT_S (default 1800 s); on timeout either abort
+# (default) or, with QUIET_STRICT=0, proceed with the run annotated
+# quiet=false in RESULT_sf$SF.json. load1 is recorded before AND after.
+QUIET_LOAD1="${QUIET_LOAD1:-5}"
+QUIET_WAIT_S="${QUIET_WAIT_S:-1800}"
+QUIET_STRICT="${QUIET_STRICT:-1}"
+load1() { cut -d' ' -f1 /proc/loadavg; }
+QUIET=true
+waited=0
+while awk -v l="$(load1)" -v c="$QUIET_LOAD1" 'BEGIN{exit !(l>=c)}'; do
+  if [ "$waited" -ge "$QUIET_WAIT_S" ]; then
+    if [ "$QUIET_STRICT" = "1" ]; then
+      echo "[scale_gate] ABORT: load1=$(load1) >= $QUIET_LOAD1 after ${waited}s; re-run in a quiet window (or QUIET_STRICT=0 to annotate instead)." >&2
+      exit 2
+    fi
+    QUIET=false
+    echo "[scale_gate] WARNING: proceeding NON-QUIET (load1=$(load1)); result will carry quiet=false." >&2
+    break
+  fi
+  echo "[scale_gate] waiting for quiet window: load1=$(load1) >= $QUIET_LOAD1 (${waited}s/${QUIET_WAIT_S}s)" >&2
+  sleep 30; waited=$((waited + 30))
+done
+LOAD1_START="$(load1)"
+echo "[scale_gate] quiet-window check passed: load1=$LOAD1_START (ceiling $QUIET_LOAD1)" >&2
+
 # JDK 17 module opens Spark needs outside spark-submit (same list as
 # build.sbt); running the compiled classes directly avoids fighting a
 # resident sbt server for the project lock.
@@ -86,6 +114,7 @@ PY
 python3 tools/duck_bench.py "$SF_DIR" "$OUT/oracle_gate.json" "$DUCK_RUNS" \
   > "$OUT/duck_sf$SF.json"
 
+GATE_QUIET="$QUIET" GATE_LOAD1_START="$LOAD1_START" GATE_QUIET_CEIL="$QUIET_LOAD1" \
 python3 - "$OUT/bench_sf$SF.json" "$OUT/duck_sf$SF.json" "$BAR" "$OUT/RESULT_sf$SF.json" <<'PY'
 import json, sys, os, time
 bench = json.load(open(sys.argv[1]))["queries"]
@@ -101,11 +130,16 @@ for q in sorted(bench):
                  "ratio": round(ratio, 2) if ratio else None, "pass": ok})
     print(f"{'PASS' if ok else 'FAIL'} {q:28s} spark={s:7.3f}s duck={d or 0:7.3f}s ratio={ratio or 0:5.2f}x (bar {bar}x)")
 load1 = os.getloadavg()[0]
+quiet = os.environ.get("GATE_QUIET", "true") == "true"
 result = {"bar": bar, "worst_ratio": round(worst, 2), "load1": load1,
+          "load1_start": float(os.environ.get("GATE_LOAD1_START", "-1")),
+          "quiet": quiet,
+          "quiet_ceiling": float(os.environ.get("GATE_QUIET_CEIL", "5")),
           "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), "rows": rows}
 json.dump(result, open(sys.argv[4], "w"), indent=1)
 fails = [r["query"] for r in rows if not r["pass"]]
 print(f"\n[scale_gate] {len(rows)-len(fails)}/{len(rows)} rows within {bar}x; "
-      f"worst {worst:.2f}x; load1={load1:.1f}; fails: {fails}")
+      f"worst {worst:.2f}x; load1={load1:.1f} (start {result['load1_start']:.1f}, "
+      f"quiet={quiet}); fails: {fails}")
 sys.exit(1 if fails else 0)
 PY
