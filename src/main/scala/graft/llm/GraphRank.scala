@@ -382,9 +382,18 @@ object GraphRank {
     // ops) but its lineage never touches the |E|-sized degree aggregate,
     // deleting one od pass (round-1 w build) and one more (intermediate
     // completion) per execution — the r15 sf1 trim.
+    // The division is guarded by `__ns > 0`: with a NON-empty seed set the
+    // branch is the identical (1.0/ns)·guard IEEE ops (CaseWhen evaluates
+    // the taken branch only — bit-identical), and with an EMPTY seed set the
+    // frame has zero rows anyway — but Catalyst pushes round-1's
+    // `pr =!= 0.0` filter through the crossJoin onto the 1-row metaF side,
+    // where an unguarded 1.0/0.0 is an ANSI DIVIDE_BY_ZERO even though no
+    // seed row ever materializes (found by the sf0.001 oracle gate: nation-7
+    // has zero suppliers there, r15).
     lazy val seedTeleF = sd.crossJoin(broadcast(metaF))
       .select(col("node"),
-        (lit(1.0) / col("__ns") * col("__guard")).as("tele"))
+        when(col("__ns") > 0.0, lit(1.0) / col("__ns") * col("__guard"))
+          .otherwise(lit(0.0)).as("tele"))
     val odT = if (reuseFrames) {
       val metaRow = sd.select(lit(1L).as("__sd"), lit(0L).as("__pres"))
         .unionAll(odF.select(lit(0L).as("__sd"),

@@ -1434,6 +1434,29 @@ class LlmSpec extends SparkSpec {
     assert(boomEager.getMessage.contains("seed 'zz'"))
   }
 
+  test("personalized pagerank: EMPTY seed set is the all-zero degenerate in every regime") {
+    import spark.implicits._
+    // the SQL twin's CASE never reaches its 1/ns division when no seed
+    // matches, so every tele is 0 and every rank converges to 0 — and the
+    // engine must not trip ANSI DIVIDE_BY_ZERO computing it (the sf0.001
+    // q102 regression: a pushed-down pr≠0 filter evaluated 1.0/__ns on the
+    // 1-row metadata frame even though the seed frame itself was empty)
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val noSeeds = Seq.empty[String].toDF("node")
+    for {
+      reuse <- Seq(false, true); bcast <- Seq(false, true)
+      symm <- Seq(false, true)
+    } {
+      val got = GraphRank.personalizedPageRank(sym, "src", "dst",
+          noSeeds, "node", rounds = 2, reuseFrames = reuse,
+          broadcastRanks = bcast, symmetric = symm)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("pr12")).toMap
+      assert(got == Map("a" -> 0L, "b" -> 0L, "c" -> 0L),
+        s"(reuse=$reuse, bcast=$bcast, symm=$symm): $got")
+    }
+  }
+
   test("pagerank execution modes agree bit-exactly: reuseFrames × broadcastRanks") {
     import spark.implicits._
     val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
