@@ -11,7 +11,14 @@ object Plans {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      // mirror the bench regime (Bench.scala) so dumped plans show the
+      // shapes the bench actually executes: AQE off at this data scale
+      // (ReuseExchange then appears at PLAN time, not as a runtime AQE
+      // artifact), shuffle partitions 8
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

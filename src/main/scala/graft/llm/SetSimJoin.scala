@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT Jaccard similarity self-join under a threshold, via prefix
@@ -56,53 +55,74 @@ object SetSimJoin {
     * @param num/den similarity threshold as a rational in (0, 1]
     * @return (id_a, id_b, inter, union_n, sim) — sim = inter/union_n
     */
-  /** The shared front half of both joins: distinct non-empty tokens per
-    * doc (`tok`) and each doc's df-ascending prefix of length
-    * `n − ⌈num·n/den⌉ + 1` (`pre`, all-integer) — the lossless-prefix
-    * invariant lives HERE, once, for both the symmetric and the
-    * containment gate.
+  /** The shared front half of both joins, as ONE id-keyed index frame:
+    * per doc, the distinct non-empty tokens SORTED by the global
+    * (df asc, token asc) order (`__arr`), the set size (`__n`), and the
+    * df-ascending prefix of length `n − ⌈num·n/den⌉ + 1` (`__pre`,
+    * all-integer) — the lossless-prefix invariant lives HERE, once, for
+    * both the symmetric and the containment gate.
+    *
+    * r15 shape (was: row_number + count windows per doc, then candidate
+    * verification by fanning each candidate out over its token rows and
+    * counting matches): the per-doc order/size/prefix now come out of one
+    * `collect_list` + `array_sort` aggregate — same (df, token) total
+    * order, same prefix SET — and verification intersects the two docs'
+    * sorted arrays directly. One hash aggregate replaces two window
+    * passes, and every downstream consumer (prefix explode a/b,
+    * verification a/b) hangs off the aggregate's single id-keyed
+    * exchange (ReuseExchange shares it; measured at sf0.1 the corpus
+    * tokenize+explode ran 4× in the window form, 2× now — the df count
+    * build and the index probe). Per-doc arrays are bounded by document
+    * size (the same bound the SQL twin's list_transform carries), never
+    * corpus-sized.
     */
-  private def prefixIndex(
+  private def docIndex(
       docs: DataFrame, idCol: String, tokens: Column,
-      num: Int, den: Int): (DataFrame, DataFrame) = {
+      num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold num/den must be in (0, 1], got $num/$den")
     val tok = docs
       .select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("token"))
       .filter(col("token") =!= "")
     val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val wPos = Window.partitionBy(col("__id"))
-      .orderBy(col("__df").asc, col("token").asc)
-    val wN = Window.partitionBy(col("__id"))
-    val td = tok.join(dfc, "token")
-      .select(col("__id"), col("token"),
-        row_number().over(wPos).cast("long").as("__pos"),
-        count(lit(1)).over(wN).as("__n"))
+    val sorted = tok.join(dfc, "token")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
+        .as("__st"))
+    val n = size(col("__st")).cast("long")
     val prefLen =
-      col("__n") - floorDiv(lit(num.toLong) * col("__n") + lit(den - 1L), den) + 1
-    (tok, td.filter(col("__pos") <= prefLen)
-      .select(col("__id"), col("token"), col("__n")))
+      n - floorDiv(lit(num.toLong) * n + lit(den - 1L), den) + 1
+    sorted.select(col("__id"),
+      transform(col("__st"), x => x.getField("token")).as("__arr"),
+      n.as("__n"),
+      prefLen.cast("int").as("__plen"))
+      .select(col("__id"), col("__arr"), col("__n"),
+        slice(col("__arr"), lit(1), col("__plen")).as("__pre"))
   }
 
   def jaccardJoin(
       docs: DataFrame, idCol: String, tokens: Column,
       num: Int, den: Int): DataFrame = {
-    val (tok, pre) = prefixIndex(docs, idCol, tokens, num, den)
+    val idx = docIndex(docs, idCol, tokens, num, den)
 
-    val cand = pre.as("a")
-      .join(pre.as("b"),
-        col("a.token") === col("b.token") && col("a.__id") < col("b.__id"))
-      .select(
-        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+    val pa = idx.select(col("__id").as("id_a"), col("__n").as("__na"),
+      explode(col("__pre")).as("token"))
+    val pb = idx.select(col("__id").as("id_b"), col("__n").as("__nb"),
+      explode(col("__pre")).as("token"))
+    val cand = pa
+      .join(pb, pa("token") === pb("token") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .distinct()
 
+    // verification: two id-keyed joins attach the full sorted token
+    // arrays; |A∩B| is one exact merge of two distinct sets — identical
+    // integer to the former fan-out-and-count, with no candidate × token
+    // row expansion
     val inter = cand
-      .join(tok.as("ta"), col("ta.__id") === col("id_a"))
-      .join(tok.as("tb"),
-        col("tb.__id") === col("id_b") && col("tb.token") === col("ta.token"))
-      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(idx.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
+      .join(idx.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long").as("inter"))
 
     val unionN = col("__na") + col("__nb") - col("inter")
     inter
@@ -135,22 +155,24 @@ object SetSimJoin {
   def containmentJoin(
       docs: DataFrame, idCol: String, tokens: Column,
       num: Int, den: Int): DataFrame = {
-    val (tok, pre) = prefixIndex(docs, idCol, tokens, num, den)
+    val idx = docIndex(docs, idCol, tokens, num, den)
 
-    val cand = pre.as("a")
-      .join(tok.as("b"),
-        col("a.token") === col("b.token") && col("a.__id") =!= col("b.__id"))
-      .select(
-        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__n").as("__na"))
+    val pa = idx.select(col("__id").as("id_a"), col("__n").as("__na_"),
+      explode(col("__pre")).as("token"))
+    // containing side indexes ALL its tokens (one-sided prefix filter) —
+    // exploded off the same index frame, so it shares the aggregate's
+    // exchange instead of re-tokenizing the corpus
+    val tb = idx.select(col("__id").as("id_b"), explode(col("__arr")).as("token"))
+    val cand = pa
+      .join(tb, pa("token") === tb("token") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na_").as("__na"))
       .distinct()
 
     val inter = cand
-      .join(tok.as("ta"), col("ta.__id") === col("id_a"))
-      .join(tok.as("tb"),
-        col("tb.__id") === col("id_b") && col("tb.token") === col("ta.token"))
-      .groupBy(col("id_a"), col("id_b"), col("__na"))
-      .agg(count(lit(1)).as("inter"))
+      .join(idx.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
+      .join(idx.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
+      .select(col("id_a"), col("id_b"), col("__na"),
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long").as("inter"))
 
     inter
       .filter(col("inter") * den >= lit(num.toLong) * col("__na"))

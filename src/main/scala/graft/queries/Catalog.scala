@@ -4078,7 +4078,7 @@ object Catalog {
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.llm.SetSimJoin
       .jaccardJoin(Tables.documents(s, d), "doc_id",
-        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 3, den = 5)
+        graft.functions.TextExprs.wordShingles(col("text"), 3), num = 3, den = 5)
       .transform(ordered("id_a", "id_b"))
   }
 
@@ -4256,16 +4256,25 @@ object Catalog {
     val docs = Tables.documents(s, d)
     val exact = graft.llm.SetSimJoin
       .jaccardJoin(docs, "doc_id",
-        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 3, den = 5)
+        graft.functions.TextExprs.wordShingles(col("text"), 3), num = 3, den = 5)
       .select(col("id_a"), col("id_b"))
     val cand = graft.llm.MinHashLsh
       .nearDupPairs(docs, "doc_id", "text")
       .select(col("a"), col("b"))
-    val hit = exact.join(cand,
-      exact("id_a") === cand("a") && exact("id_b") === cand("b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // ONE execution per leg (r15): the former three crossJoined aggregates
+    // (n_exact, n_cand, and the semi-join for n_hit) each re-executed the
+    // exact and/or LSH pipelines — the exact prefix-filter leg, the
+    // dominant cost, ran twice and the LSH leg twice. A full-outer pair
+    // join + one aggregate computes all three counts with each leg
+    // executed exactly once (pairs are unique on both sides, so the join
+    // is 1:1 and the counts are unchanged).
+    val j = exact.withColumn("__e", lit(1))
+      .join(cand.withColumn("__c", lit(1)),
+        col("id_a") === col("a") && col("id_b") === col("b"), "full_outer")
+    j.agg(
+        count(col("__e")).as("n_exact"),
+        count(col("__c")).as("n_cand"),
+        count(when(col("__e") === 1 && col("__c") === 1, lit(1))).as("n_hit"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         when(col("n_exact") > 0, col("n_hit") / col("n_exact")).as("recall"))
   }
@@ -5480,7 +5489,7 @@ object Catalog {
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.llm.SetSimJoin
       .containmentJoin(Tables.documents(s, d), "doc_id",
-        graft.llm.TextAnalysis.wordShingles(col("text"), 3), num = 4, den = 5)
+        graft.functions.TextExprs.wordShingles(col("text"), 3), num = 4, den = 5)
       .transform(ordered("id_a", "id_b"))
   }
 
