@@ -48,20 +48,41 @@ object Bootstrap {
       .map(p => math.floor(p * 4294967296.0).toLong)
   }
 
+  /** The integer CASE ladder over a 32-bit uniform draw `h`. Callers on a
+    * hot path must pass an ATTRIBUTE (a projected column), not an
+    * expression tree: the nested CaseWhen references `h` once per rung
+    * (up to `maxW` times, ~2 expected under Poisson(1) exit probabilities)
+    * and conditional branches are outside codegen subexpression
+    * elimination, so a non-trivial `h` is re-evaluated per rung — the
+    * q152 md5 chain was measured running ~2× per row this way (r15).
+    */
+  private[graft] def weightLadder(h: Column, maxW: Int = 8): Column =
+    cutoffs(maxW).zipWithIndex.foldRight(lit(maxW): Column) {
+      case ((c, k), tail) => when(h < c, k).otherwise(tail)
+    }.cast("int")
+
+  /** The 32-bit uniform draw for (key, replicate): first 8 hex digits of
+    * `md5(salt|key#rep)` as a long.
+    */
+  private[graft] def uniformDraw(key: Column, rep: Column,
+      salt: String = "boot"): Column =
+    conv(substring(
+      md5(concat(lit(s"$salt|"), key.cast("string"), lit("#"),
+        rep.cast("string"))), 1, 8), 16, 10).cast("long")
+
   /** Poisson(1) weight for (key, replicate) as a Column: the integer CASE
     * ladder over the 32-bit md5 prefix. `rep` must be a non-negative int
     * column; `key` any expression unique per row (duplicate keys get
     * correlated weights — pass the row's primary key).
+    *
+    * Single-Column convenience form — the md5 draw is embedded in every
+    * ladder rung, so it can evaluate up to `maxW` times per row. Fine for
+    * tests and one-off probes; [[meanCI]] projects the draw once and
+    * ladders over the attribute instead.
     */
   def poissonWeight(key: Column, rep: Column, salt: String = "boot",
-      maxW: Int = 8): Column = {
-    val h = conv(substring(
-      md5(concat(lit(s"$salt|"), key.cast("string"), lit("#"),
-        rep.cast("string"))), 1, 8), 16, 10).cast("long")
-    cutoffs(maxW).zipWithIndex.foldRight(lit(maxW): Column) {
-      case ((c, k), tail) => when(h < c, k).otherwise(tail)
-    }.cast("int")
-  }
+      maxW: Int = 8): Column =
+    weightLadder(uniformDraw(key, rep, salt), maxW)
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -95,13 +116,26 @@ object Bootstrap {
     require(reps >= 2, s"need at least 2 replicates, got $reps")
     require(alpha > 0 && alpha < 1, s"alpha out of range: $alpha")
     val g = groupCols.map(col)
+    // the draw's per-row prefix `salt|id#` is computed ONCE before the
+    // ×reps explode (the generate replicates the built string; only the
+    // replicate suffix varies per output row) — r15
     val base = df.filter(valueCol.isNotNull)
       .select(g ++ Seq(
         floor(valueCol.cast("double") * 10000 + 0.5).cast("long").as("__v4"),
-        idCol.cast("string").as("__id")): _*)
+        concat(lit(s"$salt|"), idCol.cast("string"), lit("#")).as("__pfx")): _*)
+    // the md5 draw is PROJECTED before the ladder so it evaluates exactly
+    // once per (row, replicate): the ladder's nested CaseWhen references
+    // its input once per rung, and conditional branches are outside
+    // codegen subexpression elimination — laddering over the raw md5
+    // expression was measured re-running the digest ~2× per row (r15).
+    // CollapseProject keeps the two projections apart (it refuses to
+    // duplicate non-cheap expressions), so the plan carries md5 once.
     val reped = base
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .select(g ++ Seq(col("__v4"), col("__b"),
+        conv(substring(md5(concat(col("__pfx"), col("__b").cast("string"))),
+          1, 8), 16, 10).cast("long").as("__hd")): _*)
+      .withColumn("__w", weightLadder(col("__hd")))
     val perRep = reped.groupBy(g :+ col("__b"): _*)
       .agg(sum(col("__w").cast("long") * col("__v4")).as("__swv"),
         sum(col("__w").cast("long")).as("__sw"))
