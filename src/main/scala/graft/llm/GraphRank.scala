@@ -152,8 +152,14 @@ object GraphRank {
     val base = ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
+    // count(dst), not count(1): identical under the explicit not-null
+    // endpoint filter, but it keeps BOTH edge columns required below the
+    // partial aggregate — so when a caller pins the edge frame behind one
+    // exchange, the degree branch does not get column-pruned into a
+    // canonically different (1-column) copy of that exchange, which would
+    // defeat ReuseExchange and re-run the edge build per branch (r15)
     val od = base.groupBy(src.as("node"))
-      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("__w"))).as("deg"))
+      .agg(weightCol.fold(count(dst))(_ => sum(col("__w"))).as("deg"))
     if (validate && !symmetric) {
       // loud dangling-sink check: a dst that is never a src absorbs mass
       // that then drains from the total each round
@@ -169,7 +175,19 @@ object GraphRank {
     // which deletes every per-round 1-row broadcast build + crossJoin.
     // `oneMinusD / n` is one IEEE double division either way — identical
     // bits to the SQL twins' `(1e0 - d) / n.n`.
-    val nFrame = od.agg(count(lit(1)).as("n"))
+    // count(deg), not count(1): identical (deg is never NULL — every od
+    // group has ≥1 row), but it stops column pruning from manufacturing a
+    // deg-less od copy below this branch, which under a caller-pinned edge
+    // exchange would be a canonically DIFFERENT exchange and re-run the
+    // whole edge build for the 1-row count (r15)
+    // count(when(deg > 0, …)), not count(1)/count(deg): deg is a positive
+    // count/sum by construction so the value is identical, but a bare
+    // count(deg) gets rewritten to count(1) by NullPropagation (deg is
+    // non-nullable), after which column pruning manufactures a deg-less
+    // od copy below this branch — a canonically different subtree that
+    // defeats exchange reuse and re-runs the |E|-sized pass (r15)
+    val nFrame =
+      od.agg(count(when(col("deg") > 0, true)).as("n"))
     val nLit: Option[Long] = if (reuseFrames) Some(od.count()) else None
     val oneMinusD = 1.0 - damping // IEEE once, embedded as a literal
     def withBaseline(df: DataFrame, psumTerm: Column): DataFrame =
@@ -206,8 +224,15 @@ object GraphRank {
         .join(if (broadcastRanks) broadcast(odSrc) else odSrc,
           src === col("__on"))
         .select(seCols: _*)
-      if (broadcastRanks) ck(seRaw)
-      else ck(seRaw.repartition(col("__s")))
+      if (broadcastRanks) {
+        // lazy weighted-broadcast regime: pin the decorated edge frame
+        // behind ONE __s-keyed exchange — every round's probe (and the
+        // final save) then READS it via ReuseExchange instead of
+        // re-running the |E|-sized decorate join per consumer (the r15
+        // q97/q102 post-explode-pin lesson applied to the weighted form).
+        // Under reuseFrames the localCheckpoint is already the barrier.
+        if (reuseFrames) ck(seRaw) else seRaw.repartition(col("__s"))
+      } else ck(seRaw.repartition(col("__s")))
     }
     val lazySparseRounds =
       !reuseFrames && broadcastRanks && weightCol.isEmpty
@@ -229,11 +254,18 @@ object GraphRank {
         .join(if (broadcastRanks) broadcast(dstNodes) else dstNodes,
           Seq("node"), "left_anti"), lit(0.0)))
     }
-    var r: DataFrame = nLit match {
-      case Some(nv) => od.select(col("node"), lit(1.0 / nv.toDouble).as("pr"))
-      case None => od.crossJoin(broadcast(nFrame))
-        .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    }
+    // Round-1 fold (r15): r0 is the UNIFORM 1/n for every node, so round 1
+    // never builds a rank frame at all — the share reads `initPr` in place
+    // of `pr`. (1/n)/deg (and (1/n)·nw weighted) is the same IEEE op pair
+    // the explicit r0 frame produced, so psums are bit-identical; what
+    // disappears is the |V|-sized init frame, its broadcast build, the
+    // round-1 join, and the column-pruned od copy the init's deg-less
+    // projection used to manufacture under a pinned edge exchange.
+    val initPr: Column = nLit.map(nv => lit(1.0 / nv.toDouble))
+      .getOrElse(lit(1.0) / col("n"))
+    def withN(df: DataFrame): DataFrame =
+      if (nLit.isDefined) df else df.crossJoin(broadcast(nFrame))
+    var r: DataFrame = null
     var ranks: DataFrame = null
     for (k <- 1 to rounds) {
       // one equi-join (edges × ranks on src) + one hash aggregate by dst;
@@ -246,7 +278,11 @@ object GraphRank {
         // |E| copy (the r14 personalizedPageRank round shape, applied to
         // the dense unweighted rank frame, which is ≤|V| and broadcastable
         // by the broadcastRanks contract)
-        val w = odSrc
+        val w = if (k == 1) {
+          withN(odSrc).select(col("__on").as("__r"),
+            floor((initPr / col("deg")) * lit(1e12) + 0.5)
+              .cast("long").as("__c"))
+        } else odSrc
           .join(broadcast(r.select(col("node").as("__rn"), col("pr"))),
             col("__on") === col("__rn"))
           .select(col("__on").as("__r"),
@@ -257,13 +293,17 @@ object GraphRank {
             .groupBy(dst.as("node"))
             .agg(sum(col("__c")).as("__psum")),
           lit(damping) * (col("__psum").cast("double") / lit(1e12)))
-      } else withBaseline(
-        se.join(rankSide(r.withColumnRenamed("node", "__r")),
+      } else {
+        val joined =
+          if (k == 1) withN(se).withColumn("pr", initPr)
+          else se.join(rankSide(r.withColumnRenamed("node", "__r")),
             col("__s") === col("__r"))
-          .groupBy(col("__d").as("node"))
-          .agg(sum(floor(share * lit(1e12) + 0.5)
-            .cast("long")).as("__psum")),
-        lit(damping) * (col("__psum").cast("double") / lit(1e12)))
+        withBaseline(
+          joined.groupBy(col("__d").as("node"))
+            .agg(sum(floor(share * lit(1e12) + 0.5)
+              .cast("long")).as("__psum")),
+          lit(damping) * (col("__psum").cast("double") / lit(1e12)))
+      }
       ranks = noIn.fold(ranks)(ranks.unionAll)
       // checkpoint intermediate rounds under reuseFrames so round k+1
       // (and its broadcast build) never re-executes round k's lineage —
@@ -317,7 +357,9 @@ object GraphRank {
     val base = ck(base0)
     val src = col(srcCol)
     val dst = col(dstCol)
-    val od = base.groupBy(src.as("node")).agg(count(lit(1)).as("deg"))
+    // count(dst) = count(1) under the not-null filter; keeps the pinned
+    // edge exchange canonically identical across branches — see [[pageRank]]
+    val od = base.groupBy(src.as("node")).agg(count(dst).as("deg"))
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     if (validate && !symmetric) {
       val dangling = base.select(dst.as("node")).distinct()
@@ -367,7 +409,9 @@ object GraphRank {
     // coalesce identity; tele multiplies by it so a dropped seed still
     // fails every run loudly.
     lazy val metaF = sd
-      .join(od.select(col("node"), lit(1).as("__in")), Seq("node"), "left")
+      // deg (never NULL) doubles as the presence flag so this probe does
+      // not column-prune od into a separate deg-less copy (r15)
+      .join(od.select(col("node"), col("deg").as("__in")), Seq("node"), "left")
       .agg(count(lit(1)).cast("double").as("__ns"),
         count(when(col("__in").isNull, true)).as("__miss"))
       .select(col("__ns"), coalesce(

@@ -3136,20 +3136,24 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
-      // r15: pin the PRE-explode deduped pair frame behind its own
-      // exchange — every GraphRank consumer (degree aggregate, n, one
-      // probe per round) then reads this half-|E|-sized reused exchange
-      // and re-runs only the explode inline, instead of re-running the
-      // 6M-row dedupe FINAL per consumer (the sf1 stage profile measured
-      // that re-run at ~0.25 s wall × 5 consumers vs ~0.4 s once here)
-      .repartition(col("src"))
     // symmetrize via explode (the q102 convention): one pass over the
-    // deduped pairs instead of a union of two final aggregates
+    // deduped pairs instead of a union of two final aggregates.
+    // r15 (2nd measurement): pin the POST-explode symmetrized frame, not
+    // the pre-explode pairs — the sf0.1 stage profile showed every
+    // GraphRank consumer (degree aggregate, one probe per round, final
+    // completion) re-running the explode+filter tail over the pre-explode
+    // exchange at ~0.35 s executor time each; pinning after the explode
+    // doubles the exchange bytes but runs the explode ONCE. The pin keys
+    // on BOTH columns so no consumer can column-prune the exchange into a
+    // canonically different copy (a src-only pin was measured re-running
+    // the whole edge build for deg-less branches); the degree aggregate
+    // then owns one small |V|-sized exchange all its consumers reuse
     val sym = e
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .repartition(col("src"), col("dst"))
     // validate = false: `sym` is symmetrized by construction, so the
     // no-dangling-sink contract holds without the one-time probe scans.
     // reuseFrames = FALSE since r14: the lazy unweighted-broadcast regime
@@ -3363,20 +3367,20 @@ object Catalog {
       .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
         (col("o_custkey") * 2).cast("long").as("dst"))
       .distinct()
-      // r15: pin the pre-explode deduped pairs behind a reused exchange
-      // (the q97 rationale — consumers re-run only the explode inline,
-      // not the 6M-row dedupe final)
-      .repartition(col("src"))
     // symmetrize via explode, not unionAll: the union's two branches each
     // carry a final dedup aggregate over the reused exchange, while the
     // explode emits both directions in ONE pass over the deduped pairs —
     // measured 1.2 s faster on the full sf1 chain (same rows, and row
-    // order is irrelevant under the downstream degree/psum aggregates)
+    // order is irrelevant under the downstream degree/psum aggregates).
+    // r15 (2nd measurement): pin POST-explode, keyed on BOTH columns — see
+    // q97; the explode tail then runs once instead of once per GraphRank
+    // consumer, and no branch can prune the pin into a different copy
     val sym = e
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .repartition(col("src"), col("dst"))
     val seeds = Tables.load(s, d, "supplier")
       .filter(col("s_nationkey") === 7)
       .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
@@ -5121,14 +5125,18 @@ object Catalog {
       .agg(count(lit(1)).as("w"))
     val sym = e.unionAll(
       e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    // reuseFrames: same split-verdict adjudication as q97 — the
-    // resident-session regime favors materialize-once
+    // reuseFrames = FALSE since r15: the lazy weighted-broadcast regime is
+    // ONE prepared plan with zero driver actions (the q97/q102 r14
+    // conversion applied to the weighted form — GraphRank now pins the
+    // decorated edge frame behind one reused exchange), so the bench times
+    // execution rather than per-rebuild Catalyst analysis + checkpoints.
+    // This also moves q146 out of the eager-rebuild bench regime.
     graft.llm.GraphRank.topK(
         graft.llm.GraphRank.pageRank(sym, "src", "dst", rounds = 2,
-          validate = false, reuseFrames = true, broadcastRanks = true,
+          validate = false, reuseFrames = false, broadcastRanks = true,
           symmetric = true, weightCol = Some("w")), 20)
       .transform(ordered("rnk"))
-  }.copy(eagerBuild = true)
+  }
 
   /** Robust feature scaling ([[graft.operators.Robust.robustScale]]):
     * events standardized per type by median/IQR — the heavy-tail-proof
